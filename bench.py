@@ -1,0 +1,67 @@
+"""Benchmark harness — the driver runs this per-round at sf0.1.
+
+Times every headline query end-to-end on local[$SPARK_GRAFT_CPUS] against
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a noop write (full computation, no driver-side
+collect) — wall-clock reflects the distributed plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: the flagship + the heaviest representatives of each
+# operator family. Grows as families land.
+HEADLINE = [
+    "q_topk_cosine",
+    "q_knn_join",
+    "q_ivf_topk",
+]
+
+
+def _sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from etl_ai_assistent_spark.registry import queries
+    from etl_ai_assistent_spark.session import get_spark
+
+    spark = get_spark("etl-ai-assistent-spark-bench", driver_memory="64g")
+    qs = queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warm the JVM + parquet footer cache with one cheap action
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_query_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""Text column functions.
+
+Reference-parity scalar ops (SURVEY.md §2.3) plus the text-analysis
+building blocks the LLM-data-pipeline extensions need (token counting,
+quality ratios, language-ID scoring, fingerprinting). All pure built-in
+expressions — JVM-side, codegen'd, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# caption prefixes recognized by the reference (docx_parser.py:25-26)
+CAPTION_PREFIX_RE = r"^(рис|figure|рисунок|таблица|table)"
+TABLE_PREFIX_RE = r"^(таблица|table)"
+
+_c = lambda c: F.col(c) if isinstance(c, str) else c  # noqa: E731
+
+
+def non_empty(text: Column | str) -> Column:
+    """P1-P3 (docx_parser.py:68-70 etc.): keep rows whose text is not
+    whitespace-only."""
+    return F.length(F.trim(_c(text))) > 0
+
+
+def is_heading(style: Column | str, prefix: str = "Heading") -> Column:
+    """P4 (docx_parser.py:72-73): style-name prefix classifies headings."""
+    return _c(style).startswith(prefix)
+
+
+def looks_like_caption(style: Column | str, text: Column | str) -> Column:
+    """P5 (docx_parser.py:98-104): Caption style OR caption-word prefix."""
+    return (_c(style) == "Caption") | F.lower(F.trim(_c(text))).rlike(
+        CAPTION_PREFIX_RE
+    )
+
+
+def caption_kind(text: Column | str) -> Column:
+    """P6 (docx_parser.py:107-111): table vs figure by prefix."""
+    return F.when(
+        F.lower(F.trim(_c(text))).rlike(TABLE_PREFIX_RE), F.lit("table")
+    ).otherwise(F.lit("figure"))
+
+
+def sanitize_caption(text: Column | str, max_len: int = 128) -> Column:
+    """P7 (docx_parser.py:114-117): whitespace->_, strip non-word chars,
+    truncate, default 'asset'."""
+    s = F.regexp_replace(F.trim(_c(text)), r"\s+", "_")
+    s = F.regexp_replace(s, r"[^\w\-.]", "")
+    s = F.substring(s, 1, max_len)
+    return F.coalesce(F.nullif(s, F.lit("")), F.lit("asset"))
+
+
+def normalize_ws(text: Column | str) -> Column:
+    """P10 (docx_parser.py:160): collapse all whitespace runs to one space."""
+    return F.regexp_replace(F.trim(_c(text)), r"\s+", " ")
+
+
+def title_text(title: Column | str, text: Column | str) -> Column:
+    """P9 (qdrant_service.py:33): the embedded string is 'title: text'."""
+    return F.concat_ws(": ", _c(title), _c(text))
+
+
+# --- text analysis building blocks (north-star extensions) ---------------
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization; '' rows give an empty array, not ['']."""
+    t = F.trim(_c(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams — the MinHash/Jaccard unit. Built from
+    tokens() with transform over indices; stays JVM-side."""
+    toks = tokens(F.lower(_c(text)))
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    stripped = F.regexp_replace(t, r"[^\w\s]", "")
+    return (F.length(t) - F.length(stripped)) / F.greatest(
+        F.length(t), F.lit(1)
+    )
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...]) -> Column:
+    toks = tokens(F.lower(_c(text)))
+    hits = F.size(F.filter(toks, lambda x: x.isin(*stopwords)))
+    return hits / F.greatest(F.size(toks), F.lit(1))

@@ -1,0 +1,167 @@
+"""Similarity search operators.
+
+Q1 — the reference's one real query shape — is top-k cosine retrieval
+with a score threshold (reference scripts/test.out.py:14-19: limit=5,
+score_threshold=0.5, cosine per qdrant_service.py:21). The reference
+delegates the search to Qdrant's HNSW; here the engine owns it:
+
+- ``topk_cosine``     exact single-query top-k. filter + ORDER BY + LIMIT
+                      compiles to TakeOrderedAndProject — a distributed
+                      top-k (per-partition heap, then merge of k-sized
+                      heads on the driver), NOT a full sort. This is the
+                      100 TB-safe exact path: one scan, no shuffle of the
+                      data, only k rows per partition move.
+- ``knn_join``        exact all-pairs top-k for a (small) query set:
+                      broadcast the queries, score every (query, item)
+                      pair map-side, keep top-k per query with a window.
+                      The big side never shuffles its payload — only
+                      (query_id, score, item_id) triples go through the
+                      rank shuffle.
+- ``ivf_topk``        the scale path: IVF-style coarse quantization. A
+                      cluster id per vector (testdata ships `label`; in
+                      production KMeans or any partitioner), centroids =
+                      per-cluster mean; probe the nearest `nprobe`
+                      centroids and scan only those clusters. Turns a
+                      full-corpus scan into a partition-pruned scan when
+                      the table is written partitioned by cluster id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+
+def _score(vec_col: str, query: Sequence[float]) -> "F.Column":
+    q = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
+    return V.cosine(F.col(vec_col), q)
+
+
+def topk_cosine(
+    items: DataFrame,
+    query: Sequence[float],
+    *,
+    vec_col: str = "embedding",
+    k: int = 5,
+    threshold: float = 0.5,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Exact top-k cosine retrieval (Q1).
+
+    Emits the item columns + `score`, highest first; ties broken by the
+    first non-vector column for determinism.
+    """
+    score = _score(vec_col, query)
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    other = [c for c in items.columns if c != vec_col]
+    scored = items.withColumn("score", score).filter(F.col("score") >= threshold)
+    return (
+        scored.select(*other, "score")
+        .orderBy(F.desc("score"), *other[:1])
+        .limit(k)
+    )
+
+
+def knn_join(
+    items: DataFrame,
+    queries: DataFrame,
+    *,
+    item_vec: str = "embedding",
+    query_vec: str = "embedding",
+    item_id: str = "vec_id",
+    query_id: str = "vec_id",
+    k: int = 3,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Exact brute-force kNN join: top-k items per query row.
+
+    The query side is broadcast (it is the small side by contract), so
+    scoring is a map-side nested loop over each item partition; the only
+    shuffle carries (query_id, item_id, score) for the per-query rank.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qvec"),
+    )
+    it = items.select(
+        F.col(item_id).alias("item_id"),
+        F.col(item_vec).alias("__ivec"),
+    )
+    score = V.cosine(F.col("__ivec"), F.col("__qvec"))
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    pairs = (
+        it.crossJoin(F.broadcast(q))
+        .withColumn("score", score)
+        .filter(F.col("item_id") != F.col("query_id"))
+        .select("query_id", "item_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("item_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "score", "rank")
+    )
+
+
+def centroids(items: DataFrame, *, vec_col: str = "embedding", cluster_col: str = "label") -> DataFrame:
+    """Per-cluster mean vector via posexplode + positional average.
+
+    Decimal-rounded so downstream comparisons are reproducible across
+    aggregation orders (float sums are order-sensitive; see SURVEY.md §7
+    hard-part 4).
+    """
+    return (
+        items.select(cluster_col, F.posexplode(V.as_double(vec_col)).alias("pos", "x"))
+        .groupBy(cluster_col, "pos")
+        .agg(F.round(F.avg("x"), 9).alias("cx"))
+        .groupBy(cluster_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pairs"))
+        .select(
+            cluster_col,
+            F.transform("pairs", lambda p: p["cx"]).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    items: DataFrame,
+    query: Sequence[float],
+    *,
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    k: int = 5,
+    nprobe: int = 1,
+    threshold: float = -1.0,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: probe the nprobe nearest centroids,
+    exact-search only their clusters.
+
+    At 100 TB the items table is written partitioned by cluster id, so the
+    semi-join on cluster becomes partition pruning — the scan reads only
+    nprobe/nlist of the data. Recall is tunable via nprobe.
+    """
+    cents = centroids(items, vec_col=vec_col, cluster_col=cluster_col)
+    probed = (
+        cents.withColumn("cscore", _score("centroid", query))
+        .orderBy(F.desc("cscore"))
+        .limit(nprobe)
+        .select(cluster_col)
+    )
+    pruned = items.join(F.broadcast(probed), on=cluster_col, how="left_semi")
+    return topk_cosine(
+        pruned,
+        query,
+        vec_col=vec_col,
+        k=k,
+        threshold=threshold,
+        score_decimals=score_decimals,
+    )

@@ -1,0 +1,71 @@
+"""The queries()/oracle_sql() registry behind __spark_entry__.py.
+
+Every implemented operator from SURVEY.md §2 (plus the north-star
+extension operators) registers here as a named query callable
+``(spark, sf_dir) -> DataFrame`` and, when ANSI-SQL-expressible, a DuckDB
+oracle SQL string over the same parquet tables. The driver cross-checks
+the two at sf0.01 (row count + schema + order-insensitive value hash).
+
+Float discipline (SURVEY.md §7 hard-part 4): every float column that
+reaches a query result is either (a) computed in DOUBLE with a
+deterministic fold order on both engines and therefore bit-identical, or
+(b) an order-sensitive aggregate rounded to a fixed number of decimals on
+both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from importlib import import_module
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+_QUERY_MODULES = (
+    "etl_ai_assistent_spark.queries.vector_search",
+    "etl_ai_assistent_spark.queries.relational",
+    "etl_ai_assistent_spark.queries.text_etl",
+    "etl_ai_assistent_spark.queries.dedup",
+    "etl_ai_assistent_spark.queries.text_analysis",
+    "etl_ai_assistent_spark.queries.events",
+    "etl_ai_assistent_spark.queries.multimodal",
+)
+
+_loaded = False
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query (and optionally its DuckDB oracle)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    global _loaded
+    if _loaded:
+        return
+    for mod in _QUERY_MODULES:
+        import_module(mod)
+    _loaded = True
+
+
+def queries() -> dict[str, QueryFn]:
+    load_all()
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    load_all()
+    return dict(ORACLES)

@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+One place to encode the engine's execution posture:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  broadcast conversion after runtime stats).
+- Arrow on (every pandas UDF / applyInPandas crosses the JVM<->Python
+  boundary in columnar Arrow batches, not pickled rows).
+- UTC session timezone (parquet timestamps must compare bit-identically
+  against the DuckDB oracle, which is UTC-naive).
+- shuffle partitions sized to the local core count, not the 200 default
+  (on a real cluster this is overridden per deployment; AQE coalescing
+  makes the static number mostly a ceiling).
+
+On a 1000-executor cluster the same builder is used with
+``master`` / memory settings supplied by the deployment, so keep every
+scale-relevant setting overridable via env.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "etl_ai_assistent_spark",
+    *,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession."""
+    cpus = default_parallelism()
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    )
+    mem = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "8g")
+
+    builder = (
+        SparkSession.builder.master(
+            os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+        )
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", mem)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # documents/chunks text rows are fat; keep Arrow batches bounded
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
