@@ -24,6 +24,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the events table. Its `ts` is nanosecond-precision parquet,
+    which Spark's timestamp type (microseconds) cannot hold — so it is
+    read as epoch-nanos BIGINT (exact; also sidesteps ns-vs-us truncation
+    drift against the DuckDB oracle, which reads full nanos). Queries
+    derive epoch seconds via integer division.
+
+    The conf is set here (runtime-settable) because the driver passes its
+    own SparkSession that won't have it in the builder.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return load_table(spark, sf_dir, "events")
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in schemas.TESTDATA_TABLES}
 

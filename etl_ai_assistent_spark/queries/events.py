@@ -1,1 +1,223 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Event-stream queries in batch form (SURVEY.md §2.6 ● Streaming).
+
+`events.ts` is nanosecond parquet; the engine reads it as epoch-nanos
+BIGINT (io.load_events) — exact on both engines, no µs-truncation drift.
+Queries work in epoch seconds (`ts DIV 1e9`) or raw nanos; outputs never
+carry a raw nanosecond timestamp column.
+
+The streaming twins (Structured Streaming with watermarks) live in
+streaming/pipeline.py; these batch forms define the oracle-checked
+semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import io
+from ..operators.asof import asof_join
+from ..operators.sessionize import sessionize
+from ..registry import register
+
+SESSION_GAP_S = 1800
+NS = 1_000_000_000
+
+
+def _events_s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return io.load_events(spark, sf_dir).withColumn(
+        "ts_s", F.expr(f"ts DIV {NS}")
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+                   OR ts_s - lag(ts_s) OVER w > {SESSION_GAP_S}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       min(ts_s) AS start_s, max(ts_s) AS end_s,
+       CAST(sum(v) AS DOUBLE) AS session_value
+FROM sess
+GROUP BY user_id, session_id
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): lag + running-sum recipe,
+    one shuffle on user_id, then per-session aggregation reusing the same
+    partitioning."""
+    e = _events_s(spark, sf_dir)
+    s = sessionize(e, key="user_id", ts="ts_s", gap=SESSION_GAP_S, order_tiebreak="event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_s").alias("start_s"),
+        F.max("ts_s").alias("end_s"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("session_value"),
+    )
+
+
+@register(
+    "q_tumbling_hourly",
+    oracle=f"""
+SELECT (epoch_us(ts) // 1000000) // 3600 * 3600 AS hour_start_s,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch twin of the streaming
+    window(ts, '1 hour') query). Bucketing by integer math keeps the
+    group key exact across engines."""
+    e = _events_s(spark, sf_dir)
+    return (
+        e.withColumn("hour_start_s", F.expr("ts_s DIV 3600 * 3600"))
+        .groupBy("hour_start_s", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "q_asof_purchase_signup",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type = 'purchase'
+),
+signups AS (
+  SELECT event_id AS signup_event_id, user_id, epoch_us(ts) AS signup_ts_us
+  FROM events WHERE event_type = 'signup'
+)
+SELECT p.event_id, p.user_id, s.signup_event_id,
+       p.ts_us - s.signup_ts_us AS wait_us
+FROM purchases p
+ASOF LEFT JOIN signups s
+  ON p.user_id = s.user_id AND p.ts_us >= s.signup_ts_us
+""",
+)
+def q_asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest signup at
+    or before it (union + fill-forward window — one shuffle on user_id,
+    no range explosion; operators/asof.py). Oracle is DuckDB's native
+    ASOF JOIN."""
+    e = io.load_events(spark, sf_dir)
+    # DuckDB reads the ns parquet as µs TIMESTAMP (truncating), so both
+    # sides work in µs: ts DIV 1000 floors exactly like epoch_us(ts).
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        "user_id",
+        F.expr("ts DIV 1000").alias("signup_ts_us"),
+    )
+    out = asof_join(
+        purchases, signups, on="user_id", left_ts="ts_us", right_ts="signup_ts_us",
+        payload_prefix="",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "signup_event_id",
+        (F.col("ts_us") - F.col("signup_ts_us")).alias("wait_us"),
+    )
+
+
+WEEK_US = 604_800_000_000
+
+
+@register(
+    "q_purchases_after_signup",
+    oracle=f"""
+WITH s AS (
+  SELECT event_id AS signup_event_id, user_id, epoch_us(ts) AS s_us
+  FROM events WHERE event_type = 'signup'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS p_us, CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT s.signup_event_id, s.user_id,
+       count(*) AS n_purchases,
+       CAST(sum(p.v) AS DOUBLE) AS purchase_value
+FROM s JOIN p
+  ON p.user_id = s.user_id
+ AND p.p_us >= s.s_us
+ AND p.p_us <  s.s_us + {WEEK_US}
+GROUP BY s.signup_event_id, s.user_id
+""",
+)
+def q_purchases_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: purchases within 7 days after each signup, equi-keyed
+    on the user. The equi key carries the shuffle; the range predicate is
+    a post-join filter — never a cross join. (With no equi key you'd
+    bucketize time and equi-join on the bucket.)"""
+    e = io.load_events(spark, sf_dir)
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        "user_id",
+        F.expr("ts DIV 1000").alias("s_us"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.expr("ts DIV 1000").alias("p_us"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    joined = s.join(
+        p,
+        (p.p_user_id == s.user_id)
+        & (p.p_us >= s.s_us)
+        & (p.p_us < s.s_us + WEEK_US),
+    )
+    return joined.groupBy("signup_event_id", "user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum("v").cast("double").alias("purchase_value"),
+    )
+
+
+@register(
+    "q_latest_event_per_user",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, event_type FROM ranked WHERE rn = 1
+""",
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key (CDC compaction shape): row_number over a
+    per-key desc sort. At scale this is the dedup-by-key primitive for
+    upsert streams."""
+    e = io.load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )

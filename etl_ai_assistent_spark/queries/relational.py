@@ -1,1 +1,402 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Relational analytics suite (SURVEY.md §2.6 ● extensions).
+
+The reference has no joins/aggs/windows/set-ops; the engine ships Spark's
+full relational surface and registers one oracle-checked query per
+category over the TPC-H-ish star schema.
+
+Float discipline: every order-sensitive aggregate (SUM/AVG over DOUBLE)
+is computed on DECIMAL (exact, order-independent) and cast to DOUBLE at
+the end — bit-identical across engines and across Spark task scheduling,
+with no rounding tolerance needed. Source money columns have 2 decimals
+(fits DECIMAL(12,2)); discount/tax have 2 decimals (DECIMAL(3,2)).
+
+Scale notes are on each query: what shuffles, what broadcasts, what AQE
+does at 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import io
+from ..registry import register
+
+
+def _dec(c: str, prec: int = 12, scale: int = 2) -> F.Column:
+    return F.col(c).cast(f"decimal({prec},{scale})")
+
+
+def _one() -> F.Column:
+    # column expressions can't be built before a SparkContext exists
+    return F.lit(1).cast("decimal(3,2)")
+
+
+# --- aggregation: TPC-H Q1 shape -----------------------------------------
+
+@register(
+    "q_pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+       AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))
+       AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary. One scan + partial/final hash agg
+    (Catalyst map-side combine is automatic); the shuffle carries only
+    |returnflag|x|linestatus| grouped partials. The shipdate predicate
+    pushes to the parquet scan."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    qty, price, disc, tax = (
+        _dec("l_quantity"),
+        _dec("l_extendedprice"),
+        _dec("l_discount", 3, 2),
+        _dec("l_tax", 3, 2),
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (_one() - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (_one() - disc) * (_one() + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- multi-way join: TPC-H Q5 shape ---------------------------------------
+
+@register(
+    "q_revenue_by_nation",
+    oracle="""
+SELECT
+  n.n_name,
+  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
+       AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM customer c
+JOIN orders o    ON c.c_custkey = o.o_custkey
+JOIN lineitem l  ON o.o_orderkey = l.l_orderkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n    ON s.s_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. region/nation/supplier/customer are
+    dimension-sized -> broadcast (no shuffle of the fact tables on their
+    account); the only big exchange is orders⋈lineitem on orderkey, which
+    AQE handles (and would convert to skew-join at scale if needed)."""
+    c = io.load_table(spark, sf_dir, "customer")
+    o = io.load_table(spark, sf_dir, "orders")
+    li = io.load_table(spark, sf_dir, "lineitem")
+    s = io.load_table(spark, sf_dir, "supplier")
+    n = io.load_table(spark, sf_dir, "nation")
+    r = io.load_table(spark, sf_dir, "region")
+
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+    )
+    price, disc = _dec("l_extendedprice"), _dec("l_discount", 3, 2)
+    return joined.groupBy("n_name").agg(
+        F.sum(price * (_one() - disc)).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# --- window: top-k per group ----------------------------------------------
+
+@register(
+    "q_top_orders_per_customer",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+)
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. One hash exchange on custkey + in-
+    partition sort; row_number (not rank) with an orderkey tiebreak keeps
+    it deterministic. totalprice passes through unaggregated -> exact."""
+    o = io.load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+# --- window: running aggregate ---------------------------------------------
+
+@register(
+    "q_running_revenue",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+FROM orders
+WHERE o_custkey < 100
+""",
+)
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend in order-date order. Decimal running
+    sum -> exact at every row regardless of engine; ROWS frame with an
+    orderkey tiebreak makes the prefix deterministic under date ties."""
+    o = io.load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+# --- cube / rollup ----------------------------------------------------------
+
+@register(
+    "q_cube_quantity",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping sets in one
+    pass (Catalyst Expand + single shuffle, not 4 scans)."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_rollup_orders",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       count(*) AS n
+FROM orders
+GROUP BY ROLLUP (CAST(year(o_orderdate) AS INT), o_orderstatus)
+""",
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP by (year, status): hierarchical totals in one shuffle."""
+    o = io.load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .rollup("order_year", "o_orderstatus")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# --- pivot -------------------------------------------------------------------
+
+@register(
+    "q_pivot_linestatus",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_O,
+       CAST(sum(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_F
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on an explicit value list (never let Spark scan for distinct
+    pivot values at 100 TB — pass them)."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("qty_O"),
+        F.col("F").alias("qty_F"),
+    )
+
+
+# --- semi / anti joins (set-membership) --------------------------------------
+
+@register(
+    "q_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+""",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (the 'chunks without embeddings' integrity-check
+    shape from SURVEY.md §2.6). The 'P'-status filter keeps the result
+    non-empty at every sf; the hash side is the filtered distinct key
+    set only."""
+    c = io.load_table(spark, sf_dir, "customer")
+    o = io.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "P"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_active_machinery_customers",
+    oracle="""
+SELECT c_custkey, c_acctbal
+FROM customer c
+WHERE c.c_mktsegment = 'MACHINERY'
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""",
+)
+def q_active_machinery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join with pushed-down filters on both sides."""
+    c = io.load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    o = io.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+# --- set operations -----------------------------------------------------------
+
+@register(
+    "q_except_event_hours",
+    oracle="""
+SELECT (epoch_us(ts) // 1000000) // 3600 AS hour_id
+FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT (epoch_us(ts) // 1000000) // 3600 AS hour_id
+FROM events WHERE event_type = 'error'
+""",
+)
+def q_except_event_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — the version-diff query shape (SURVEY.md §2.6
+    set ops): hours that saw purchases but no errors. Spark plans it as
+    a distinct left-anti."""
+    e = io.load_events(spark, sf_dir).withColumn(
+        "hour_id", F.expr("(ts DIV 1000000000) DIV 3600")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("hour_id")
+    errors = e.filter(F.col("event_type") == "error").select("hour_id")
+    return purchases.subtract(errors)  # EXCEPT DISTINCT, unlike exceptAll
+
+
+@register(
+    "q_nation_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def q_nation_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = io.load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = io.load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+# --- stats: exact distinct + order statistics ----------------------------------
+
+@register(
+    "q_priority_stats",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority stats: exact COUNT DISTINCT (two-level agg under the
+    hood) and an exact interpolated median. At 100 TB you'd reach for
+    approx_count_distinct / percentile_approx — exposed by the engine but
+    kept out of the oracle gate because sketch outputs are
+    engine-specific."""
+    o = io.load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_price"),
+    )
