@@ -83,10 +83,13 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     toks = tokens(F.lower(_c(text)))
     k = F.size(toks) - (n - 1)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        F.sequence(F.lit(1), k),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
     )
-    return F.array_distinct(grams)
+    # sequence(1, k<=0) would generate a DESCENDING range — guard to empty
+    return F.when(k >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def punct_ratio(text: Column | str) -> Column:

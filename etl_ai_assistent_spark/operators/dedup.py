@@ -1,0 +1,249 @@
+"""Deduplication operators — the north-star LLM-data-pipeline family
+(BASELINE.json; the reference declared rapidfuzz for this but never built
+it, pyproject.toml:22 / SURVEY.md §2.6).
+
+Five detectors, all candidate-generation-first (banding / hashing equi-
+joins) so nothing ever materializes an O(n²) cross product at 100 TB:
+
+- exact            hash-groupBy on normalized text; keeper = min id.
+- minhash_lsh      word-shingles -> K minhashes -> banded signatures ->
+                   equi-join on (band_idx, band_hash) -> verify true
+                   Jaccard on candidates only.
+- simhash          frequency-weighted bit-vote signature; candidates via
+                   byte-banding; verify Hamming distance on candidates.
+- ngram_jaccard    the verify metric exposed standalone for scored pairs.
+- embedding cosine near-dup lives in operators/similarity.py (same
+                   banding logic via IVF cluster ids at scale).
+
+Every hash is md5-derived (identical in Spark and DuckDB), so the whole
+family is oracle-checkable bit-for-bit — no engine-specific hash
+functions (xxhash64 etc.) in verified paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+MERSENNE31 = 2_147_483_647
+
+
+def md5_bucket(col: Column, salt: str = "") -> Column:
+    """First 8 md5 hex digits as BIGINT (< 2^32), optionally salted.
+    DuckDB twin: CAST(('0x' || substr(md5(salt || x), 1, 8)) AS BIGINT)."""
+    s = F.concat(F.lit(salt), col) if salt else col
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
+def normalized_text_key(text: Column | str) -> Column:
+    """Exact-dedup key: md5 of lowercased, whitespace-collapsed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(TX.normalize_ws(F.lower(c)))
+
+
+def exact_dedup(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct normalized text: (text_key, keeper id,
+    dup_count). Map-side partial agg makes this one light shuffle of
+    (key, id) pairs regardless of corpus size."""
+    return (
+        df.select(normalized_text_key(text_col).alias("text_key"), F.col(id_col))
+        .groupBy("text_key")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def minhash_values(text: Column | str, k: int = 8) -> Column:
+    """ARRAY<BIGINT> of k minhash values over distinct word 3-shingles:
+    mh_j = min over shingles of md5_bucket(j || '|' || shingle).
+    Empty shingle sets yield nulls (callers filter)."""
+    shingles = TX.word_shingles(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: md5_bucket(
+                    F.concat(j.cast("string"), F.lit("|"), s)
+                ),
+            )
+        ),
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 2,
+) -> DataFrame:
+    """(id, band_idx, band_hash) — the LSH bucketing table. Equal band
+    hash => candidate pair. rows_per_band = k/bands tunes the
+    sensitivity curve (P[candidate] = 1-(1-j^r)^b)."""
+    r = k // bands
+    mh = df.select(
+        F.col(id_col).alias("id"), minhash_values(text_col, k).alias("mh")
+    ).filter(F.col("mh")[0].isNotNull())
+    banded = mh.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(F.col("mh"), F.lit(i + 1) + b * r).cast(
+                                "string"
+                            )
+                            for i in range(r)
+                        ],
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    return banded
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A ∩ B| / |A ∪ B| over distinct-element arrays."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: banded candidates (equi-join,
+    never a cross product), then true-Jaccard verification on candidates
+    only. Output: (id_a < id_b, jaccard >= threshold)."""
+    banded = minhash_bands(
+        df, text_col=text_col, id_col=id_col, k=k, bands=bands
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"), TX.word_shingles(text_col).alias("sh")
+    )
+    verified = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash(text: Column | str, bits: int = 16) -> Column:
+    """Frequency-weighted SimHash signature: bit b is set when the sum
+    over tokens of (bit b of md5_bucket(token) ? +1 : -1) is >= 0.
+    Pure built-in expressions (bit tests via DIV/%, since shiftright
+    needs a literal); empty docs hash to all-ones (every vote is 0)."""
+    toks = TX.tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    hashes = F.transform(toks, lambda t: md5_bucket(t))
+    bit_vals = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("bigint"),
+                lambda acc, h: acc
+                + F.when(
+                    (h.cast("bigint") / F.pow(F.lit(2), b).cast("bigint"))
+                    .cast("bigint") % 2
+                    == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            )
+            >= 0,
+            F.pow(F.lit(2), b).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(bit_vals, F.lit(0).cast("bigint"), lambda a, x: a + x)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup: candidates share at least one signature half
+    (byte-banding — pigeonhole guarantees recall for hamming <= bits/16
+    per half), verified with bit_count(xor) on candidates only."""
+    half = 1 << (bits // 2)
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sig")
+    ).withColumns(
+        {
+            "hi": (F.col("sig") / half).cast("bigint"),
+            "lo": F.col("sig") % half,
+        }
+    )
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(F.array("hi", "lo")).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def fingerprint(text: Column | str, modulus: int = MERSENNE31) -> Column:
+    """Order-sensitive document fingerprint: left-to-right polynomial
+    rolling hash over token buckets, h = (h*31 + bucket) mod 2^31-1.
+    Unlike the set-based detectors this distinguishes permutations."""
+    toks = TX.tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    return F.aggregate(
+        F.transform(toks, lambda t: md5_bucket(t)),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * 31 + t) % modulus,
+    )

@@ -1,1 +1,356 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Deduplication queries (north-star family, BASELINE.json).
+
+The testdata has no literal duplicates (500 distinct texts per sf), so
+each query derives its corpus deterministically IN the query — exact
+copies (id+100000) for exact dedup, token-appended copies for near-dup —
+with the identical derivation in the DuckDB oracle. The operators under
+test are the real engine operators from operators/dedup.py.
+
+Shared hash vocabulary (identical across engines):
+  md5_bucket(x) = CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+from ..operators import dedup as D
+from ..registry import register
+
+BUCKET = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+
+# DuckDB twins of functions.text.tokens / word_shingles
+_TOKS = """
+CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+     ELSE string_split_regex(lower(trim(text)), '\\s+') END
+"""
+_SHINGLES_CTE = f"""
+shingled AS (
+  SELECT id, text,
+         list_distinct(
+           list_transform(generate_series(1, greatest(len(tok) - 2, 0)),
+             i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
+  FROM (SELECT id, text, {_TOKS} AS tok FROM corpus)
+  WHERE len(tok) >= 3
+)
+"""
+
+
+# --- exact dedup -------------------------------------------------------------
+
+@register(
+    "q_exact_dedup",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+)
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_key,
+       min(doc_id) AS keeper_id,
+       count(*) AS dup_count
+FROM corpus
+GROUP BY 1
+""",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text hash over a corpus with one exact
+    copy of every document: hash-groupBy, keeper = min id. One light
+    shuffle of (key, id); the text itself never shuffles."""
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    return D.exact_dedup(corpus)
+
+
+# --- MinHash + LSH near-dup ---------------------------------------------------
+
+NEAR_LIMIT = 150
+K, BANDS, R = 8, 2, 4
+_NEAR_CORPUS_SQL = f"""
+corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < {NEAR_LIMIT}
+  UNION ALL
+  SELECT doc_id + 100000 AS id, text || ' zza zzb zzc zzd' AS text
+  FROM documents WHERE doc_id < {NEAR_LIMIT}
+)
+"""
+
+
+@register(
+    "q_minhash_near_dup",
+    oracle=f"""
+WITH {_NEAR_CORPUS_SQL},
+{_SHINGLES_CTE},
+mh AS (
+  SELECT id, sh,
+         list_transform(generate_series(0, {K - 1}),
+           j -> list_min(list_transform(sh,
+                  s -> {BUCKET.format(x="CAST(j AS VARCHAR) || '|' || s")})))
+           AS m
+  FROM shingled
+),
+banded AS (
+  SELECT id, b.band_idx,
+         md5(CAST(m[band_idx * {R} + 1] AS VARCHAR) || ',' ||
+             CAST(m[band_idx * {R} + 2] AS VARCHAR) || ',' ||
+             CAST(m[band_idx * {R} + 3] AS VARCHAR) || ',' ||
+             CAST(m[band_idx * {R} + 4] AS VARCHAR)) AS band_hash
+  FROM mh, (SELECT unnest(generate_series(0, {BANDS - 1})) AS band_idx) b
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM cands c
+JOIN shingled sa ON sa.id = c.id_a
+JOIN shingled sb ON sb.id = c.id_b
+WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.5
+""",
+)
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate detection end-to-end on a corpus where
+    every doc has a near-copy (4 appended tokens, Jaccard ~0.9): shingle
+    -> 8 minhashes -> 2 banded signatures -> candidate equi-join ->
+    true-Jaccard verify. The cross product never materializes; candidate
+    volume is governed by the banding curve."""
+    docs = (
+        io.load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < NEAR_LIMIT)
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("id") + 100000).alias("id"),
+            F.concat(F.col("text"), F.lit(" zza zzb zzc zzd")).alias("text"),
+        )
+    )
+    return D.minhash_near_dup_pairs(
+        corpus, text_col="text", id_col="id", k=K, bands=BANDS, threshold=0.5
+    )
+
+
+# --- SimHash ------------------------------------------------------------------
+
+SIM_LIMIT = 200
+
+
+@register(
+    "q_simhash_signatures",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < {SIM_LIMIT}
+),
+hashed AS (
+  SELECT id, list_transform({_TOKS.strip()},
+                t -> {BUCKET.format(x='t')}) AS h
+  FROM corpus
+)
+SELECT id AS doc_id,
+       list_reduce(list_transform(generate_series(0, 15),
+         b -> CASE WHEN list_reduce(
+                     list_concat([CAST(0 AS BIGINT)],
+                       list_transform(h,
+                         x -> CASE WHEN (x // CAST(pow(2, b) AS BIGINT)) % 2 = 1
+                              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+                     (a, v) -> a + v) >= 0
+              THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+         (a, v) -> a + v) AS simhash
+FROM hashed
+""",
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document — frequency-weighted bit votes over
+    md5 token buckets, built-in expressions only (bit tests via integer
+    DIV/mod since shift functions need literals)."""
+    docs = io.load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < SIM_LIMIT
+    )
+    return docs.select(
+        "doc_id", D.simhash("text", bits=16).alias("simhash")
+    )
+
+
+@register(
+    "q_simhash_near_dup",
+    oracle=f"""
+WITH {_NEAR_CORPUS_SQL},
+hashed AS (
+  SELECT id, list_transform({_TOKS.strip()},
+                t -> {BUCKET.format(x='t')}) AS h
+  FROM corpus
+),
+sigs AS (
+  SELECT id,
+         list_reduce(list_transform(generate_series(0, 15),
+           b -> CASE WHEN list_reduce(
+                       list_concat([CAST(0 AS BIGINT)],
+                         list_transform(h,
+                           x -> CASE WHEN (x // CAST(pow(2, b) AS BIGINT)) % 2 = 1
+                                THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+                       (a, v) -> a + v) >= 0
+                THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+           (a, v) -> a + v) AS sig
+  FROM hashed
+),
+banded AS (
+  SELECT id, sig, 0 AS band_idx, sig // 256 AS band_val FROM sigs
+  UNION ALL
+  SELECT id, sig, 1 AS band_idx, sig % 256 AS band_val FROM sigs
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cands
+WHERE bit_count(xor(sig_a, sig_b)) <= 3
+""",
+)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on the near-copy corpus: byte-banded
+    candidates (pigeonhole: hamming<=3 over 16 bits guarantees one equal
+    half... when the damage is confined to one half; the standard
+    recall/precision trade), Hamming verify via bit_count(xor)."""
+    docs = (
+        io.load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < NEAR_LIMIT)
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("id") + 100000).alias("id"),
+            F.concat(F.col("text"), F.lit(" zza zzb zzc zzd")).alias("text"),
+        )
+    )
+    return D.simhash_near_dup_pairs(
+        corpus, text_col="text", id_col="id", bits=16, max_hamming=3
+    )
+
+
+# --- n-gram Jaccard scored pairs ----------------------------------------------
+
+@register(
+    "q_ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_NEAR_CORPUS_SQL},
+{_SHINGLES_CTE}
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(a.sh), 6) AS containment_a
+FROM shingled a JOIN shingled b ON b.id = a.id + 100000
+""",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard + containment for known original/variant
+    pairs (equi-join on the derived id mapping — the metric op isolated
+    from candidate generation)."""
+    from ..functions import text as TX
+
+    docs = (
+        io.load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < NEAR_LIMIT)
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("id") + 100000).alias("id"),
+            F.concat(F.col("text"), F.lit(" zza zzb zzc zzd")).alias("text"),
+        )
+    )
+    sh = corpus.select(
+        "id", TX.word_shingles("text").alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return a.join(b, F.col("b.id") == F.col("a.id") + 100000).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(inter / union, 6).alias("jaccard"),
+        F.round(inter / F.size(F.col("a.sh")), 6).alias("containment_a"),
+    )
+
+
+# --- embedding-cosine near-dup -------------------------------------------------
+
+COS_THRESHOLD = 0.35
+_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+@register(
+    "q_embedding_near_dup",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_DOT.format(a='a.embedding', b='b.embedding')}
+             / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+                * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6)
+         AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_DOT.format(a='a.embedding', b='b.embedding')}
+            / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+               * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6)
+      >= {COS_THRESHOLD}
+""",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.35). Exact self-join
+    here (the embeddings table is dimension-sized); at 100 TB the same
+    verify runs only on IVF/LSH candidates — operators/similarity.py's
+    cluster pruning is the candidate generator."""
+    from ..functions import vector as V
+
+    emb = io.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
+        "cos", F.round(V.cosine("ea", "eb"), 6)
+    )
+    return pairs.filter(F.col("cos") >= COS_THRESHOLD).select(
+        "id_a", "id_b", "cos"
+    )
+
+
+# --- fingerprint ----------------------------------------------------------------
+
+@register(
+    "q_fingerprint",
+    oracle=f"""
+WITH corpus AS (SELECT doc_id AS id, text FROM documents)
+SELECT id AS doc_id,
+       list_reduce(
+         list_concat([CAST(0 AS BIGINT)],
+           list_transform({_TOKS.strip()}, t -> {BUCKET.format(x='t')})),
+         (acc, t) -> (acc * 31 + t) % 2147483647) AS fingerprint
+FROM corpus
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint (h = h*31 + bucket mod
+    2^31-1) — distinguishes token permutations that the set-based
+    detectors collapse."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id"), D.fingerprint("text").alias("fingerprint")
+    )
