@@ -92,6 +92,32 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+# Per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic (north-star text analysis). Tiny fixed sets — the operator is
+# about deterministic scoring mechanics, not linguistic coverage.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "mit", "von"),
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "los", "y", "en", "es"),
+    "fr": ("le", "la", "les", "et", "des", "en", "est"),
+}
+CJK_RE_JAVA = "[\\u4e00-\\u9fff]"
+
+
+def stopword_hits(text: Column | str, stopwords: tuple[str, ...]) -> Column:
+    """Occurrence count (not distinct) of profile stopwords in the
+    lowercased token stream — one language-ID score channel."""
+    toks = tokens(F.lower(_c(text)))
+    return F.size(F.filter(toks, lambda x: x.isin(*stopwords)))
+
+
+def cjk_char_count(text: Column | str) -> Column:
+    """CJK-ideograph count — the zh score channel (char-class evidence
+    instead of stopwords)."""
+    t = _c(text)
+    return F.length(t) - F.length(F.regexp_replace(t, CJK_RE_JAVA, ""))
+
+
 def punct_ratio(text: Column | str) -> Column:
     t = _c(text)
     stripped = F.regexp_replace(t, r"[^\w\s]", "")

@@ -37,8 +37,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
         elif df[c].dtype == object:
+            import numpy as np
+
             df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v,
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple, np.ndarray))
+                else v,
                 na_action="ignore",
             )
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(

@@ -1,1 +1,171 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Multimodal-column queries (north-star family).
+
+The testdata ships no media files, so the `assets` table is derived
+deterministically from `documents` (operators/multimodal.make_assets):
+content = the text's UTF-8 bytes as an opaque BINARY column, kind
+round-robined, metadata md5-derived. The corpus text is pure ASCII
+(verified), so DuckDB can replay even the byte-level pandas UDFs via
+codepoints — the mapInPandas plumbing gets an exact value oracle, not
+just a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+from ..operators import multimodal as MM
+from ..registry import register
+
+_ASSETS_CTE = """
+assets AS (
+  SELECT doc_id AS asset_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         text,
+         CAST(('0x' || substr(md5('w|' || text), 1, 8)) AS BIGINT) AS b1,
+         CAST(('0x' || substr(md5('h|' || text), 1, 8)) AS BIGINT) AS b2
+  FROM documents
+)
+"""
+
+
+def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.make_assets(
+        io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+@register(
+    "q_asset_catalog",
+    oracle=f"""
+WITH {_ASSETS_CTE}
+SELECT asset_id, kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CASE WHEN kind = 'image' THEN CAST(16 * (1 + b1 % 120) AS INT) END AS width,
+       CASE WHEN kind = 'image' THEN CAST(16 * (1 + b2 % 68) AS INT) END AS height,
+       CASE WHEN kind = 'audio'
+            THEN [8000, 16000, 22050, 44100][CAST(b1 % 4 AS INT) + 1] END AS sample_rate,
+       CASE WHEN kind = 'audio' THEN CAST(500 + b2 % 60000 AS INT) END AS duration_ms,
+       CASE WHEN kind = 'video'
+            THEN [10, 24, 25, 30][CAST(b1 % 4 AS INT) + 1] END AS fps,
+       CASE WHEN kind = 'video' THEN CAST(30 + b2 % 900 AS INT) END AS n_frames
+FROM assets
+""",
+)
+def q_asset_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The typed multimodal catalog: opaque BINARY content + per-kind
+    metadata as flat nullable columns (flat > MapType for predicate
+    pushdown, SURVEY.md §1.4). Narrow map over the scan — no shuffle."""
+    return _assets(spark, sf_dir).select(
+        "asset_id",
+        "kind",
+        F.length("content").cast("bigint").alias("n_bytes"),
+        "width",
+        "height",
+        "sample_rate",
+        "duration_ms",
+        "fps",
+        "n_frames",
+    )
+
+
+@register(
+    "q_frame_sample",
+    oracle=f"""
+WITH {_ASSETS_CTE},
+vids AS (
+  SELECT asset_id,
+         [10, 24, 25, 30][CAST(b1 % 4 AS INT) + 1] AS fps,
+         CAST(30 + b2 % 900 AS INT) AS n_frames
+  FROM assets WHERE kind = 'video'
+)
+SELECT asset_id,
+       CAST(frame_idx // fps AS INT) AS sample_ord,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(floor(CAST(frame_idx AS DOUBLE) * 1000 / fps) AS BIGINT) AS frame_ts_ms
+FROM (SELECT asset_id, fps,
+             unnest(generate_series(0, n_frames - 1, fps)) AS frame_idx
+      FROM vids)
+""",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: every fps-th frame (~1/sec) via
+    sequence + posexplode — a pure narrow flatMap; the decode of each
+    sampled frame would slot into the same position as a mapInPandas
+    over (asset_id, frame_idx, content)."""
+    return MM.frame_sample(_assets(spark, sf_dir))
+
+
+@register(
+    "q_resize_plan",
+    oracle=f"""
+WITH {_ASSETS_CTE},
+imgs AS (
+  SELECT asset_id,
+         CAST(16 * (1 + b1 % 120) AS INT) AS width,
+         CAST(16 * (1 + b2 % 68) AS INT) AS height
+  FROM assets WHERE kind = 'image'
+)
+SELECT asset_id, width, height,
+       greatest(1, CAST(floor(CAST(width AS DOUBLE)
+         * least(256.0 / width, 256.0 / height, 1.0)) AS INT)) AS new_width,
+       greatest(1, CAST(floor(CAST(height AS DOUBLE)
+         * least(256.0 / width, 256.0 / height, 1.0)) AS INT)) AS new_height
+FROM imgs
+""",
+)
+def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving fit of every image into a 256×256 box (never
+    upscaling) — metadata-only double arithmetic, bit-identical across
+    engines (same IEEE ops in the same order)."""
+    return MM.resize_plan(_assets(spark, sf_dir), box=256)
+
+
+@register(
+    "q_byte_features",
+    oracle="""
+WITH codes AS (
+  SELECT doc_id AS asset_id,
+         list_transform(generate_series(1, length(text)),
+                        i -> unicode(substr(text, i, 1))) AS c
+  FROM documents
+)
+SELECT asset_id,
+       CAST(len(c) AS BIGINT) AS n_bytes,
+       round(CAST(list_aggregate(c, 'sum') AS DOUBLE) / greatest(len(c), 1), 6)
+         AS mean_byte,
+       list_transform(generate_series(0, 15),
+                      b -> CAST(len(list_filter(c, x -> x // 16 = b)) AS BIGINT))
+         AS hist
+FROM codes
+""",
+)
+def q_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level feature extraction (16-bin histogram + mean byte) via
+    an Arrow-batched pandas UDF in mapInPandas — the real multimodal
+    feature-extract shape. The oracle replays it over codepoints
+    (corpus is pure ASCII, so byte == codepoint)."""
+    return MM.byte_features(_assets(spark, sf_dir), bins=16)
+
+
+@register(
+    "q_decode_stub",
+    oracle=f"""
+WITH {_ASSETS_CTE}
+SELECT asset_id,
+       CAST(1 + (CASE WHEN length(text) > 0 THEN unicode(substr(text, 1, 1)) ELSE 0 END * 256
+                 + CASE WHEN length(text) > 1 THEN unicode(substr(text, 2, 1)) ELSE 0 END)
+                % 2048 AS INT) AS dec_width,
+       CAST(1 + CASE WHEN length(text) > 1 THEN unicode(substr(text, 2, 1)) ELSE 0 END
+                % 1024 AS INT) AS dec_height,
+       'L' AS dec_mode
+FROM assets WHERE kind = 'image'
+""",
+)
+def q_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-decode plumbing with the decoder STUBBED (no PIL in
+    this container): deterministic fake dimensions from the leading
+    bytes, exercised through the production mapInPandas path so the
+    batch shape, schema, and projection are all real and verified."""
+    return MM.decode_image_meta(_assets(spark, sf_dir))

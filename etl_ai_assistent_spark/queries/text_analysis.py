@@ -1,1 +1,266 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Text-analysis queries (north-star LLM-data-pipeline family).
+
+The reference has no text analytics at all (its only text "metric" is
+len() counts, docx_etl.py:233-236); this family is the BASELINE.json
+extension surface: language-ID, quality scoring, token counting, corpus
+profiling. Document fingerprinting lives with its siblings in
+queries/dedup.py (q_fingerprint).
+
+Everything is pure built-in expressions (JVM-side, codegen'd — no UDFs
+in any of these paths), and every ratio that reaches a result column is
+rounded to 6 decimals on both engines so float parity is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+from ..functions import text as TX
+from ..registry import register
+
+# DuckDB twin of functions.text.tokens (same as queries/dedup.py)
+_TOKS = """
+CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+     ELSE string_split_regex(lower(trim(text)), '\\s+') END
+"""
+
+# BPE-ish subword tokenizer: letter runs | single digits | single
+# non-alnum marks. Same regex in Java (Spark) and RE2 (DuckDB) dialects.
+BPE_RE = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+
+def _hits_sql(stopwords: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in stopwords)
+    return f"len(list_filter(tok, t -> t IN ({inlist})))"
+
+
+# --- token counting ----------------------------------------------------------
+
+@register(
+    "q_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       len(tok) AS n_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_RE}')) AS n_bpe_tokens,
+       length(text) AS n_chars_measured,
+       round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+             / greatest(len(tok), 1), 6) AS avg_token_len
+FROM (SELECT doc_id, text, {_TOKS} AS tok FROM documents)
+""",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways — whitespace tokens and a BPE-ish regex
+    subword count — plus char count and mean token length. All
+    regexp/size expressions inside whole-stage codegen; the scan reads
+    only (doc_id, text)."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n_tok = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), 0)
+        ).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("double")
+            / F.greatest(n_tok, F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+# --- language identification -------------------------------------------------
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_hits_sql(TX.LANG_STOPWORDS["de"])} AS s_de,
+         {_hits_sql(TX.LANG_STOPWORDS["en"])} AS s_en,
+         {_hits_sql(TX.LANG_STOPWORDS["es"])} AS s_es,
+         {_hits_sql(TX.LANG_STOPWORDS["fr"])} AS s_fr,
+         length(text) - length(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+           AS s_zh
+  FROM (SELECT doc_id, lang, text, {_TOKS} AS tok FROM documents)
+)
+SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+       substr(greatest(lpad(CAST(s_de AS VARCHAR), 6, '0') || 'de',
+                       lpad(CAST(s_en AS VARCHAR), 6, '0') || 'en',
+                       lpad(CAST(s_es AS VARCHAR), 6, '0') || 'es',
+                       lpad(CAST(s_fr AS VARCHAR), 6, '0') || 'fr',
+                       lpad(CAST(s_zh AS VARCHAR), 6, '0') || 'zh'), 7) AS pred_lang,
+       CAST(substr(greatest(lpad(CAST(s_de AS VARCHAR), 6, '0') || 'de',
+                            lpad(CAST(s_en AS VARCHAR), 6, '0') || 'en',
+                            lpad(CAST(s_es AS VARCHAR), 6, '0') || 'es',
+                            lpad(CAST(s_fr AS VARCHAR), 6, '0') || 'fr',
+                            lpad(CAST(s_zh AS VARCHAR), 6, '0') || 'zh'), 7) = lang
+            AS INT) AS is_correct
+FROM scored
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword-occurrence scores
+    (de/en/es/fr) + CJK char-class evidence (zh); argmax with a
+    deterministic tie-break (score, then language code) done by
+    formatting each channel as 'zero-padded-score || code' and taking
+    greatest() — identical total order on both engines, no struct
+    comparison semantics to trust."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    scores = {
+        f"s_{code}": TX.stopword_hits("text", words)
+        for code, words in TX.LANG_STOPWORDS.items()
+    }
+    scores["s_zh"] = TX.cjk_char_count("text")
+    scored = docs.select("doc_id", "lang", *[c.alias(n) for n, c in scores.items()])
+    tagged = F.greatest(
+        *[
+            F.concat(
+                F.lpad(F.col(f"s_{code}").cast("string"), 6, "0"), F.lit(code)
+            )
+            for code in ("de", "en", "es", "fr", "zh")
+        ]
+    )
+    pred = F.substring(tagged, 7, 2)
+    return scored.select(
+        "doc_id",
+        "s_de",
+        "s_en",
+        "s_es",
+        "s_fr",
+        "s_zh",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).cast("int").alias("is_correct"),
+    )
+
+
+# --- quality scoring ---------------------------------------------------------
+
+_EN_STOPS = TX.LANG_STOPWORDS["en"]
+
+
+@register(
+    "q_quality_score",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         len(tok) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         {_hits_sql(_EN_STOPS)} AS n_stop,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         greatest(length(text), 1) AS n_chars_g
+  FROM (SELECT doc_id, text, {_TOKS} AS tok FROM documents)
+),
+ppm AS (
+  SELECT doc_id, n_tokens,
+         CAST(round(n_punct * 1000000.0 / n_chars_g, 0) AS BIGINT) AS pr_ppm,
+         CAST(round(n_stop * 1000000.0 / greatest(n_tokens, 1), 0) AS BIGINT) AS sr_ppm,
+         CAST(round(n_digit * 1000000.0 / n_chars_g, 0) AS BIGINT) AS dr_ppm
+  FROM feats
+)
+SELECT doc_id, n_tokens,
+       CAST(pr_ppm AS DOUBLE) / 1e6 AS punct_ratio,
+       CAST(sr_ppm AS DOUBLE) / 1e6 AS stopword_ratio,
+       CAST(dr_ppm AS DOUBLE) / 1e6 AS digit_ratio,
+       CAST(least(n_tokens, 100) * 40000 + (1000000 - pr_ppm) * 3
+            + least(sr_ppm * 5, 1000000) * 3 AS DOUBLE) / 1e7 AS quality,
+       CASE WHEN least(n_tokens, 100) * 40000 + (1000000 - pr_ppm) * 3
+                 + least(sr_ppm * 5, 1000000) * 3 >= 7000000
+            THEN 'keep' ELSE 'review' END AS quality_band
+FROM ppm
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring from length / punctuation / stopword /
+    digit ratios, composed into a bounded [0,1] quality metric and a
+    keep/review band — the pretraining-corpus filter shape. All ratios
+    and the weighted composite are computed in integer ppm units
+    (exact, no float-tie ambiguity across engines); floats appear only
+    as a final exact division by a power of ten."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    n_tok = F.size(TX.tokens("text"))
+    length_g = F.greatest(F.length("text"), F.lit(1))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[^\w\s]", "")
+    )
+    n_digit = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[0-9]", "")
+    )
+    ppm = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(n_punct * 1000000.0 / length_g, 0).cast("bigint").alias("pr_ppm"),
+        F.round(
+            TX.stopword_hits("text", _EN_STOPS) * 1000000.0
+            / F.greatest(n_tok, F.lit(1)),
+            0,
+        )
+        .cast("bigint")
+        .alias("sr_ppm"),
+        F.round(n_digit * 1000000.0 / length_g, 0).cast("bigint").alias("dr_ppm"),
+    )
+    quality_e7 = (
+        F.least(F.col("n_tokens"), F.lit(100)) * 40000
+        + (F.lit(1000000) - F.col("pr_ppm")) * 3
+        + F.least(F.col("sr_ppm") * 5, F.lit(1000000)) * 3
+    )
+    return ppm.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("pr_ppm").cast("double") / 1e6).alias("punct_ratio"),
+        (F.col("sr_ppm").cast("double") / 1e6).alias("stopword_ratio"),
+        (F.col("dr_ppm").cast("double") / 1e6).alias("digit_ratio"),
+        (quality_e7.cast("double") / 1e7).alias("quality"),
+        F.when(quality_e7 >= 7000000, F.lit("keep"))
+        .otherwise(F.lit("review"))
+        .alias("quality_band"),
+    )
+
+
+# --- corpus profiling --------------------------------------------------------
+
+@register(
+    "q_corpus_profile",
+    oracle=f"""
+SELECT lang, source,
+       count(*) AS n_docs,
+       round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars_meta,
+       sum(CAST(length(text) <> n_chars AS INT)) AS n_chars_mismatch,
+       sum(len(tok)) AS total_tokens,
+       min(len(tok)) AS min_tokens,
+       max(len(tok)) AS max_tokens
+FROM (SELECT lang, source, n_chars, text, {_TOKS} AS tok FROM documents)
+GROUP BY lang, source
+""",
+)
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile by (lang, source): doc counts, metadata-vs-measured
+    char-length validation, token totals/extremes. One partial-agg
+    shuffle of small tuples; avg is rounded (order-sensitive sum) for
+    cross-engine parity."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    n_tok = F.size(TX.tokens("text"))
+    return (
+        docs.select(
+            "lang",
+            "source",
+            "n_chars",
+            n_tok.alias("n_tok"),
+            (F.length("text") != F.col("n_chars")).cast("int").alias("mismatch"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias(
+                "avg_chars_meta"
+            ),
+            F.sum("mismatch").alias("n_chars_mismatch"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+    )
