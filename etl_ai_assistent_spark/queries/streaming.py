@@ -1,0 +1,126 @@
+"""Registered Structured Streaming queries.
+
+Each callable runs a REAL streaming query (micro-batch engine, state
+store, watermark) over the finite testdata stream via a memory sink and
+returns the drained result — so the driver's DuckDB oracle checks the
+streaming runtime's values exactly like a batch query's.
+
+Streaming-specific constraints shape the designs:
+- `count(DISTINCT)` is unsupported in streaming — tumbling uses plain
+  count/sum (the batch twin q_tumbling_hourly carries n_users).
+- session_window supports append/update only — sessions run in update
+  mode (the finite single-file source is one micro-batch, so update
+  emits each final group exactly once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..streaming import pipeline as SP
+from .text_etl import CHUNK_SIZE, OVERLAP, STRIDE
+
+GAP_US = 1_800_000_000  # 30 minutes
+
+
+@register(
+    "q_stream_tumbling_hourly",
+    oracle="""
+SELECT (epoch_us(ts) // 1000000) // 3600 * 3600 AS hour_start_s,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling 1-hour windows with a 1-hour watermark,
+    executed by the streaming engine and drained to completion. The
+    oracle is the same integer hour-bucketing the batch twin uses —
+    the stateful window operator must reproduce it exactly."""
+    events = SP.read_events_stream(spark, sf_dir)
+    return SP.run_to_memory(
+        SP.tumbling_hourly(events), prefix="tumbling", mode="complete"
+    )
+
+
+@register(
+    "q_stream_sessions",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w >= {GAP_US}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+agg AS (
+  SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS last_us,
+         count(*) AS n_events,
+         CAST(sum(v) AS DOUBLE) AS session_value
+  FROM sess
+  GROUP BY user_id, sid
+)
+SELECT user_id, start_us, n_events, session_value
+FROM agg
+WHERE last_us + {GAP_US} < (SELECT max(epoch_us(ts)) - 3600000000 FROM events)
+""",
+)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (session_window, 30-min gap):
+    the state store merges events closer than the gap; a new session
+    starts when the inter-event gap is >= gap (window end exclusive).
+    Session windows only support APPEND output, so only sessions closed
+    by the final watermark (max event time - 1h) are emitted — the
+    oracle models exactly that: the lag+running-sum batch recipe with
+    the same >= merge boundary in µs, filtered to sessions whose window
+    end precedes the last watermark. That holdback IS the streaming
+    late-data contract, verified rather than worked around."""
+    events = SP.read_events_stream(spark, sf_dir)
+    return SP.run_to_memory(
+        SP.session_windows(events, gap="30 minutes"),
+        prefix="sessions",
+        mode="append",
+    )
+
+
+@register(
+    "q_stream_doc_ingest",
+    oracle=f"""
+WITH chunks AS (
+  SELECT doc_id, substr(text, i * {STRIDE} + 1, {CHUNK_SIZE}) AS chunk_text
+  FROM documents,
+       unnest(generate_series(0, CAST(floor((length(text) - 1) / {STRIDE}) AS INT)))
+         AS t(i)
+  WHERE length(text) > 0
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(length(chunk_text)) AS BIGINT) AS total_chars,
+       CAST(sum(CAST(('0x' || substr(md5(chunk_text), 1, 8)) AS BIGINT)) AS BIGINT)
+         AS checksum
+FROM chunks
+GROUP BY doc_id
+""",
+)
+def q_stream_doc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ingestion pipeline (§3.1: upload → parse → chunk)
+    as a streaming job: file-source documents → fixed chunking → per-doc
+    stats + md5-bucket content checksum, all inside the micro-batch
+    engine. The checksum makes the oracle sensitive to every chunk byte."""
+    docs = SP.read_documents_stream(spark, sf_dir)
+    return SP.run_to_memory(
+        SP.doc_ingest(docs, CHUNK_SIZE, OVERLAP), prefix="doc_ingest", mode="complete"
+    )

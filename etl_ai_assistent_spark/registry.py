@@ -33,6 +33,7 @@ _QUERY_MODULES = (
     "etl_ai_assistent_spark.queries.text_analysis",
     "etl_ai_assistent_spark.queries.events",
     "etl_ai_assistent_spark.queries.multimodal",
+    "etl_ai_assistent_spark.queries.streaming",
 )
 
 _loaded = False

@@ -1,0 +1,162 @@
+"""Structured Streaming pipelines (SURVEY.md §2.6 ● Streaming, §7 Step 5).
+
+The reference's only ingest edge is a blocking HTTP upload
+(scripts/app.py:17-33); its Spark generalization is a file-source stream
+(Auto-Loader shape): `readStream` over a landing directory → the same
+stateless operator chain the batch engine uses → windowed / sessionized
+stateful aggregation with watermarks → sink.
+
+Everything here runs REAL streaming execution (micro-batch engine,
+StateStore-backed stateful operators). The registered queries drain the
+finite testdata stream into a memory sink with `processAllAvailable()`
+and return the materialized table, so the driver's DuckDB oracle gate
+applies to streaming exactly as to batch: the streaming runtime must
+reproduce the batch-declared semantics bit-for-bit.
+
+Scale posture: the file source lists+splits per micro-batch and scales
+with executors like any parquet scan; stateful aggs shuffle on the group
+key with state kept per-partition in the state store (RocksDB-backed on
+a real cluster); watermarks bound state growth — nothing here holds the
+stream in driver memory except the (small) memory-sink results used for
+verification.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import schemas
+
+# File-stream schema for events: ts is nanosecond parquet, read as
+# epoch-nanos BIGINT (see io.load_events — exact, no µs truncation).
+EVENTS_NS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_qname_counter = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table (file source, one file =
+    finite stream; in production a landing dir the writer appends to).
+    Emits an event-time µs TIMESTAMP column `ts_ts` for window ops."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_NS)
+        .format("parquet")
+        .load(os.path.join(sf_dir, "events.parq*"))  # glob: file source needs a dir/glob
+    )
+    return raw.withColumn("ts_ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the documents table — the Auto-Loader-shaped
+    ingest edge of the document pipeline (reference app.py:17-33's HTTP
+    upload, re-expressed as files landing in object storage)."""
+    return (
+        spark.readStream.schema(schemas.DOCUMENTS)
+        .format("parquet")
+        .load(os.path.join(sf_dir, "documents.parq*"))  # glob: file source needs a dir/glob
+    )
+
+
+def run_to_memory(
+    df: DataFrame, *, prefix: str, mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion against the finite
+    source: memory sink + processAllAvailable + stop, returning the
+    materialized result table. The verification harness for every
+    streaming query here."""
+    spark = df.sparkSession
+    qname = f"{prefix}_{next(_qname_counter)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    """Event-time tumbling 1-hour windows with a 1-hour watermark (the
+    late-data contract: rows later than 1h behind max event time are
+    dropped from state). Streaming twin of queries/events.q_tumbling_hourly."""
+    return (
+        events.withWatermark("ts_ts", "1 hour")
+        .groupBy(F.window("ts_ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_start_s"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    # NOTE: count(DISTINCT user_id) is not supported by the streaming
+    # engine; use approx_count_distinct in production streams and the
+    # batch twin (q_tumbling_hourly) for exact distincts.
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (session_window + watermark): per-user
+    sessions merging events closer than `gap`; a new session starts when
+    the inter-event gap is >= gap (window end is exclusive). The
+    stateful-streaming twin of operators/sessionize.py's batch recipe."""
+    return (
+        events.withWatermark("ts_ts", "1 hour")
+        .groupBy(F.session_window("ts_ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def doc_ingest(docs: DataFrame, chunk_size: int, overlap: int) -> DataFrame:
+    """The reference ingestion pipeline (§3.1) as a stream: documents →
+    fixed chunking (narrow flatMap) → per-doc chunk stats + md5-bucket
+    content checksum. Stateless except the final aggregation."""
+    from ..operators.chunker import fixed_chunks
+    from ..operators.dedup import md5_bucket
+
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(fixed_chunks("text", chunk_size, overlap)).alias(
+            "chunk_idx", "chunk_text"
+        ),
+    )
+    return chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.length("chunk_text")).alias("total_chars"),
+        F.sum(md5_bucket(F.col("chunk_text"))).alias("checksum"),
+    )
