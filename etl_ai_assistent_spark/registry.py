@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "etl_ai_assistent_spark.queries.events",
     "etl_ai_assistent_spark.queries.multimodal",
     "etl_ai_assistent_spark.queries.streaming",
+    "etl_ai_assistent_spark.queries.docx",
 )
 
 _loaded = False
