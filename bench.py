@@ -22,9 +22,28 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline queries: the flagship + the heaviest representatives of each
 # operator family. Grows as families land.
 HEADLINE = [
+    # vector search
     "q_topk_cosine",
     "q_knn_join",
     "q_ivf_topk",
+    # relational analytics (TPC-H-style)
+    "q_pricing_summary",
+    "q_revenue_by_nation",
+    "q_top_orders_per_customer",
+    "q_running_revenue",
+    # events / temporal
+    "q_asof_purchase_signup",
+    "q_sessionize",
+    # dedup family
+    "q_exact_dedup",
+    "q_minhash_near_dup",
+    # text analysis
+    "q_token_stats",
+    "q_quality_score",
+    # multimodal (Arrow-batched pandas UDF path)
+    "q_byte_features",
+    # structured streaming (micro-batch engine end-to-end)
+    "q_stream_tumbling_hourly",
 ]
 
 

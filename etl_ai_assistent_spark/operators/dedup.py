@@ -6,9 +6,10 @@ Five detectors, all candidate-generation-first (banding / hashing equi-
 joins) so nothing ever materializes an O(n²) cross product at 100 TB:
 
 - exact            hash-groupBy on normalized text; keeper = min id.
-- minhash_lsh      word-shingles -> K minhashes -> banded signatures ->
-                   equi-join on (band_idx, band_hash) -> verify true
-                   Jaccard on candidates only.
+- minhash_lsh      word-shingles -> one md5 bucket each -> K universal
+                   affine minhashes -> banded signatures -> equi-join on
+                   (band_idx, band_hash) -> verify true Jaccard on
+                   candidates only.
 - simhash          frequency-weighted bit-vote signature; candidates via
                    byte-banding; verify Hamming distance on candidates.
 - ngram_jaccard    the verify metric exposed standalone for scored pairs.
@@ -59,19 +60,28 @@ def exact_dedup(
     )
 
 
-def minhash_values(text: Column | str, k: int = 8) -> Column:
-    """ARRAY<BIGINT> of k minhash values over distinct word 3-shingles:
-    mh_j = min over shingles of md5_bucket(j || '|' || shingle).
-    Empty shingle sets yield nulls (callers filter)."""
-    shingles = TX.word_shingles(text)
+def shingle_buckets(text: Column | str) -> Column:
+    """ARRAY<BIGINT>: one md5 bucket per distinct word 3-shingle — the
+    single expensive hash pass; every minhash function derives from it
+    by cheap affine transforms."""
+    return F.transform(TX.word_shingles(text), lambda s: md5_bucket(s))
+
+
+def minhash_from_buckets(buckets: Column, k: int = 8) -> Column:
+    """ARRAY<BIGINT> of k minhash values from a (staged) shingle-bucket
+    array column: mh_j = min over buckets x of (a_j*x + c_j) mod 2^31-1
+    with a_j=(2j+1)*1000003, c_j=7919j+1 (universal-hash family; one md5
+    per shingle total, not per (j, shingle) — and `buckets` must be a
+    real column reference so the plan evaluates it once per row, not
+    once per lambda iteration). No 64-bit overflow: a_j < 2^24 and
+    x < 2^32 keep a_j*x < 2^56."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda j: F.array_min(
             F.transform(
-                shingles,
-                lambda s: md5_bucket(
-                    F.concat(j.cast("string"), F.lit("|"), s)
-                ),
+                buckets,
+                lambda x: ((j * 2 + 1) * 1000003 * x + j * 7919 + 1)
+                % MERSENNE31,
             )
         ),
     )
@@ -87,11 +97,27 @@ def minhash_bands(
 ) -> DataFrame:
     """(id, band_idx, band_hash) — the LSH bucketing table. Equal band
     hash => candidate pair. rows_per_band = k/bands tunes the
-    sensitivity curve (P[candidate] = 1-(1-j^r)^b)."""
+    sensitivity curve (P[candidate] = 1-(1-j^r)^b).
+
+    The shingle-bucket stage is persisted: without the cache barrier,
+    Catalyst's project-collapsing re-inlines the md5-per-shingle pass
+    into every one of the k minhash lambdas (higher-order functions run
+    interpreted, so that k× recomputation is the dominant cost). With
+    it, md5 runs once per shingle and the k affine transforms read the
+    cached array — the same one-hash-pass discipline a 100 TB run gets
+    by materializing the signature table to parquet."""
+    from pyspark.storagelevel import StorageLevel
+
     r = k // bands
-    mh = df.select(
-        F.col(id_col).alias("id"), minhash_values(text_col, k).alias("mh")
-    ).filter(F.col("mh")[0].isNotNull())
+    sb = df.select(
+        F.col(id_col).alias("id"), shingle_buckets(text_col).alias("sb")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    mh = (
+        sb.select("id", minhash_from_buckets(F.col("sb"), k).alias("mh"))
+        .filter(F.col("mh")[0].isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # same barrier logic: banding's element_at would re-inline the mh
+    # transform once per extracted element otherwise
     banded = mh.select(
         "id",
         F.posexplode(
@@ -130,10 +156,20 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: banded candidates (equi-join,
     never a cross product), then true-Jaccard verification on candidates
-    only. Output: (id_a < id_b, jaccard >= threshold)."""
+    only. Output: (id_a < id_b, jaccard >= threshold).
+
+    The banded-signature and shingle tables are persisted
+    (MEMORY_AND_DISK): each feeds both sides of a self-join, and without
+    materialization Spark would re-derive the full hash pipeline per
+    side (and Catalyst re-inlines the staged projections, compounding
+    it). At 100 TB the same move is writing the signature table to
+    parquet before the candidate join — one hash pass over the corpus,
+    ever."""
+    from pyspark.storagelevel import StorageLevel
+
     banded = minhash_bands(
         df, text_col=text_col, id_col=id_col, k=k, bands=bands
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -147,7 +183,7 @@ def minhash_near_dup_pairs(
     )
     sh = df.select(
         F.col(id_col).alias("id"), TX.word_shingles(text_col).alias("sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     verified = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -158,13 +194,20 @@ def minhash_near_dup_pairs(
     return verified
 
 
-def simhash(text: Column | str, bits: int = 16) -> Column:
-    """Frequency-weighted SimHash signature: bit b is set when the sum
-    over tokens of (bit b of md5_bucket(token) ? +1 : -1) is >= 0.
-    Pure built-in expressions (bit tests via DIV/%, since shiftright
-    needs a literal); empty docs hash to all-ones (every vote is 0)."""
+def token_buckets(text: Column | str) -> Column:
+    """ARRAY<BIGINT>: one md5 bucket per (lowercased) token — the single
+    hash pass SimHash's bit votes derive from."""
     toks = TX.tokens(F.lower(F.col(text) if isinstance(text, str) else text))
-    hashes = F.transform(toks, lambda t: md5_bucket(t))
+    return F.transform(toks, lambda t: md5_bucket(t))
+
+
+def simhash_from_buckets(hashes: Column, bits: int = 16) -> Column:
+    """Frequency-weighted SimHash signature from a (staged) token-bucket
+    array column: bit b is set when the sum over tokens of (bit b of
+    bucket ? +1 : -1) is >= 0. Pure built-in expressions (bit tests via
+    DIV/%, since shiftright needs a literal); empty docs hash to
+    all-ones (every vote is 0). Pass a real column reference so the
+    bucket array is computed once per row, not once per bit."""
     bit_vals = F.transform(
         F.sequence(F.lit(0), F.lit(bits - 1)),
         lambda b: F.when(
@@ -186,6 +229,13 @@ def simhash(text: Column | str, bits: int = 16) -> Column:
     return F.aggregate(bit_vals, F.lit(0).cast("bigint"), lambda a, x: a + x)
 
 
+def simhash(text: Column | str, bits: int = 16) -> Column:
+    """Convenience one-expression SimHash. Prefer staging
+    token_buckets() into a column first (see simhash_near_dup_pairs) —
+    inline, the bucket array is re-evaluated once per bit."""
+    return simhash_from_buckets(token_buckets(text), bits)
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     *,
@@ -198,13 +248,15 @@ def simhash_near_dup_pairs(
     (byte-banding — pigeonhole guarantees recall for hamming <= bits/16
     per half), verified with bit_count(xor) on candidates only."""
     half = 1 << (bits // 2)
-    sigs = df.select(
-        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sig")
-    ).withColumns(
-        {
-            "hi": (F.col("sig") / half).cast("bigint"),
-            "lo": F.col("sig") % half,
-        }
+    sigs = (
+        df.select(F.col(id_col).alias("id"), token_buckets(text_col).alias("h"))
+        .select("id", simhash_from_buckets(F.col("h"), bits).alias("sig"))
+        .withColumns(
+            {
+                "hi": (F.col("sig") / half).cast("bigint"),
+                "lo": F.col("sig") % half,
+            }
+        )
     )
     banded = sigs.select(
         "id",

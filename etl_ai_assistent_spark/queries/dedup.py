@@ -85,13 +85,17 @@ corpus AS (
     oracle=f"""
 WITH {_NEAR_CORPUS_SQL},
 {_SHINGLES_CTE},
+sb AS (
+  SELECT id, sh, list_transform(sh, s -> {BUCKET.format(x='s')}) AS sb
+  FROM shingled
+),
 mh AS (
   SELECT id, sh,
          list_transform(generate_series(0, {K - 1}),
-           j -> list_min(list_transform(sh,
-                  s -> {BUCKET.format(x="CAST(j AS VARCHAR) || '|' || s")})))
+           j -> list_min(list_transform(sb,
+                  x -> ((j * 2 + 1) * 1000003 * x + j * 7919 + 1) % 2147483647)))
            AS m
-  FROM shingled
+  FROM sb
 ),
 banded AS (
   SELECT id, b.band_idx,
@@ -174,8 +178,8 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = io.load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < SIM_LIMIT
     )
-    return docs.select(
-        "doc_id", D.simhash("text", bits=16).alias("simhash")
+    return docs.select("doc_id", D.token_buckets("text").alias("h")).select(
+        "doc_id", D.simhash_from_buckets(F.col("h"), bits=16).alias("simhash")
     )
 
 
