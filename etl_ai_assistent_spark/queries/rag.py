@@ -1,0 +1,185 @@
+"""The retrieval-evaluation loop (reference §3.3: make_ragas_dataset.py /
+make_ragas_test.py) — deterministic, LLM-free, and oracle-checked.
+
+The reference's correctness story is end-to-end RAG quality judged by an
+external LLM (RAGAS metrics over a 6-item golden set; BASELINE.md). That
+is not reproducible in a hermetic engine, so the engine's analogue keeps
+the *shape* — corpus → embed → top-k retrieve → per-probe metrics →
+aggregate scores (the score.json sink, K6) — with every stochastic part
+made deterministic:
+
+- probes are derived from the corpus itself (a mid-document token span;
+  the generated-testset idea of make_ragas_test.py:95-132, determinized);
+- the embedding is the hashed-TF model (operators/embedder.py), computed
+  here in its SPARSE form: explode token buckets → TF weights →
+  equi-join probe×doc on bucket → grouped dot products. Identical
+  cosines to the dense array form, but expressed as hash joins +
+  aggregations — whole-stage-codegen'd, shuffle-partitioned on the
+  bucket key, and the design that scales to 100 TB corpora (the dense
+  cross-join never materializes; only bucket-colocated partial products
+  shuffle).
+
+Metric parity: cosines are rounded to 6 dp on both engines before
+ranking, and ranking ties break on doc_id — so ranks are deterministic
+integers, and hit@5 / MRR match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import io
+from ..functions import text as TX
+from ..registry import register
+
+DIM = 64
+N_PROBES = 150
+TOP_K = 5
+
+_TOKS = """
+CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+     ELSE string_split_regex(lower(trim(text)), '\\s+') END
+"""
+
+# Shared SQL scaffold: sparse TF tables for corpus and probes, grouped
+# dot products, rounded cosine, deterministic rank.
+_SCORED_CTES = f"""
+doc_tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok
+  FROM (SELECT doc_id, text FROM documents)
+),
+doc_tf AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {DIM} AS bucket,
+         count(*) AS c
+  FROM doc_tok GROUP BY 1, 2
+),
+doc_norm AS (
+  SELECT doc_id, sqrt(sum(CAST(c * c AS DOUBLE))) AS nrm FROM doc_tf GROUP BY 1
+),
+probe_tok AS (
+  SELECT doc_id AS probe_id, unnest(tok[3:12]) AS tok
+  FROM (SELECT doc_id, {_TOKS} AS tok FROM documents WHERE doc_id < {N_PROBES})
+),
+probe_tf AS (
+  SELECT probe_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {DIM} AS bucket,
+         count(*) AS c
+  FROM probe_tok GROUP BY 1, 2
+),
+probe_norm AS (
+  SELECT probe_id, sqrt(sum(CAST(c * c AS DOUBLE))) AS nrm FROM probe_tf GROUP BY 1
+),
+dots AS (
+  SELECT p.probe_id, d.doc_id, sum(CAST(p.c * d.c AS DOUBLE)) AS dot
+  FROM probe_tf p JOIN doc_tf d ON p.bucket = d.bucket
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT t.probe_id, t.doc_id,
+         round(t.dot / (pn.nrm * dn.nrm), 6) AS cos,
+         row_number() OVER (PARTITION BY t.probe_id
+                            ORDER BY round(t.dot / (pn.nrm * dn.nrm), 6) DESC,
+                                     t.doc_id) AS rank
+  FROM dots t
+  JOIN probe_norm pn ON pn.probe_id = t.probe_id
+  JOIN doc_norm dn ON dn.doc_id = t.doc_id
+)
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = TX.tokens(F.lower(F.col("text")))
+
+    def tf(df: DataFrame, id_out: str, tok_expr) -> DataFrame:
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+            % DIM
+        )
+        return (
+            df.select(F.col("doc_id").alias(id_out), F.explode(tok_expr).alias("tok"))
+            .groupBy(id_out, bucket.alias("bucket"))
+            .agg(F.count("*").alias("c"))
+        )
+
+    doc_tf = tf(docs, "doc_id", toks)
+    probe_tf = tf(
+        docs.filter(F.col("doc_id") < N_PROBES), "probe_id", F.slice(toks, 3, 10)
+    )
+
+    def norm(df: DataFrame, key: str) -> DataFrame:
+        return df.groupBy(key).agg(
+            F.sqrt(F.sum((F.col("c") * F.col("c")).cast("double"))).alias("nrm")
+        )
+
+    doc_norm = norm(doc_tf, "doc_id")
+    probe_norm = norm(probe_tf, "probe_id").withColumnRenamed("nrm", "pnrm")
+
+    dots = (
+        probe_tf.withColumnRenamed("c", "pc")
+        .join(doc_tf.withColumnRenamed("c", "dc"), "bucket")
+        .groupBy("probe_id", "doc_id")
+        .agg(F.sum((F.col("pc") * F.col("dc")).cast("double")).alias("dot"))
+    )
+    cos = F.round(F.col("dot") / (F.col("pnrm") * F.col("nrm")), 6)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    return (
+        dots.join(probe_norm, "probe_id")
+        .join(doc_norm, "doc_id")
+        .select("probe_id", "doc_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+@register(
+    "q_rag_retrieval",
+    oracle=f"""
+WITH {_SCORED_CTES}
+SELECT probe_id, CAST(rank AS INT) AS rank, doc_id, cos
+FROM scored WHERE rank <= {TOP_K}
+""",
+)
+def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 sparse hashed-TF retrieval for every derived probe — the
+    reference retrieval query (test.out.py:14-19) run as an all-probes
+    batch. Dot products come from a bucket equi-join, never a dense
+    cross join; ranking is TakeOrderedAndProject-per-key via
+    row_number + filter."""
+    s = _scored(spark, sf_dir)
+    return s.filter(F.col("rank") <= TOP_K).select(
+        "probe_id", F.col("rank").cast("int"), "doc_id", "cos"
+    )
+
+
+@register(
+    "q_rag_eval",
+    oracle=f"""
+WITH {_SCORED_CTES},
+gold AS (
+  SELECT probe_id, rank AS gold_rank FROM scored WHERE doc_id = probe_id
+)
+SELECT count(*) AS n_probes,
+       CAST(sum(CASE WHEN gold_rank <= {TOP_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(sum(CASE WHEN gold_rank <= {TOP_K} THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS hit_rate,
+       round(avg(1.0 / gold_rank), 6) AS mrr
+FROM gold
+""",
+)
+def q_rag_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation aggregate (reference §3.3 / K6 score sink):
+    per-probe gold rank (does the probe's source document come back?)
+    reduced to hit@5 and MRR. The engine's deterministic stand-in for
+    the RAGAS score.json — same dataflow, no LLM judge."""
+    s = _scored(spark, sf_dir)
+    gold = s.filter(F.col("doc_id") == F.col("probe_id")).select(
+        "probe_id", F.col("rank").alias("gold_rank")
+    )
+    hit = (F.col("gold_rank") <= TOP_K).cast("int")
+    return gold.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(hit).cast("bigint").alias("n_hits"),
+        (F.sum(hit).cast("double") / F.count("*")).alias("hit_rate"),
+        F.round(F.avg(F.lit(1.0) / F.col("gold_rank")), 6).alias("mrr"),
+    )

@@ -35,6 +35,7 @@ _QUERY_MODULES = (
     "etl_ai_assistent_spark.queries.multimodal",
     "etl_ai_assistent_spark.queries.streaming",
     "etl_ai_assistent_spark.queries.docx",
+    "etl_ai_assistent_spark.queries.rag",
 )
 
 _loaded = False
