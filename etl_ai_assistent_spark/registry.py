@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "etl_ai_assistent_spark.queries.streaming",
     "etl_ai_assistent_spark.queries.docx",
     "etl_ai_assistent_spark.queries.rag",
+    "etl_ai_assistent_spark.queries.scale",
 )
 
 _loaded = False

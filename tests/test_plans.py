@@ -1,0 +1,134 @@
+"""Physical-plan lint: scale hygiene checks over every registered query,
+plus shuffle-free bucketed-join evidence.
+
+These tests read `executedPlan` strings — the same evidence a human
+collects with .explain("formatted") — and assert the properties the
+100 TB design rules demand: no accidental cartesian products, parquet
+filter pushdown where a selective filter exists, and bucketing
+eliminating the join exchange."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_ai_assistent_spark.registry import queries
+
+# Queries whose plans legitimately contain a cartesian/broadcast nested
+# loop join (documented all-pairs or inequality-only semantics; each is
+# either dimension-sized or candidate-pruned by construction).
+ALLOWED_CROSS = {
+    "q_embedding_near_dup",  # all-pairs verify on the dim-sized embeddings table
+    "q_knn_join",  # brute-force query×corpus scoring (queries side is tiny)
+    "q_topk_cosine",  # single query vector vs corpus
+    "q_ivf_topk",  # centroid assignment cross (centroid set is tiny)
+    "q_rag_retrieval",  # probe×doc bucket join is equi; gold-rank windows
+    "q_rag_eval",
+}
+
+# Streaming memory-sink queries execute eagerly on construction; the
+# batch plan string isn't comparable. Excluded from plan lint.
+STREAMING = {"q_stream_tumbling_hourly", "q_stream_sessions", "q_stream_doc_ingest"}
+
+# q_docx_pipeline materializes a 500-file fixture corpus first — slow to
+# plan-lint on every run and join-only; covered by its parity check.
+SLOW = {"q_docx_pipeline"}
+
+
+def _plan(spark, name, sf):
+    df = queries()[name](spark, sf)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _lintable():
+    return sorted(set(queries()) - STREAMING - SLOW)
+
+
+@pytest.mark.parametrize("name", _lintable())
+def test_no_accidental_cartesian(spark, sf_small, name):
+    plan = _plan(spark, name, sf_small)
+    has_cross = (
+        "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+    )
+    if name in ALLOWED_CROSS:
+        return  # intentional (documented above)
+    assert not has_cross, f"{name} has an unplanned cartesian/nested-loop join"
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_small):
+    """Selective event_type filters must appear as parquet PushedFilters,
+    not post-scan filters only."""
+    plan = _plan(spark, "q_asof_purchase_signup", sf_small)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)" in plan
+
+
+def test_column_pruning_reaches_parquet(spark, sf_small):
+    """A 2-column projection must read a 2-column schema, not the table."""
+    plan = _plan(spark, "q_token_stats", sf_small)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_dim_joins_broadcast(spark, sf_small):
+    """The star-schema revenue query must broadcast every dimension (no
+    sort-merge exchanges for dim tables)."""
+    plan = _plan(spark, "q_revenue_by_nation", sf_small)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketing both sides of a join on the join key removes the
+    exchange entirely — the co-located-join layout for repeated joins
+    at scale. Evidence: no ShuffleExchange in the joined plan."""
+    from etl_ai_assistent_spark import io
+
+    sf = "/root/testdata/sf0.001"
+    orders = io.load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = io.load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try:
+        for name, df, key in (
+            ("b_orders", orders, "o_orderkey"),
+            ("b_lineitem", lineitem, "l_orderkey"),
+        ):
+            (
+                df.write.mode("overwrite")
+                .option("path", str(tmp_path / name))
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            spark.table("b_orders")["o_orderkey"]
+            == spark.table("b_lineitem")["l_orderkey"],
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # sanity: it still returns the right row count
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        for name in ("b_orders", "b_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_salted_join_identical_to_plain(spark, sf_small):
+    """The skew-salted join must be row-identical to the plain join."""
+    from etl_ai_assistent_spark import io
+    from etl_ai_assistent_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F
+
+    e = io.load_events(spark, sf_small).select("event_id", "event_type")
+    dim = e.select("event_type").distinct().withColumn(
+        "tag", F.md5("event_type")
+    )
+    plain = e.join(dim, "event_type")
+    salted = salted_join(e, dim, on="event_type", salt_from="event_id", buckets=8)
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
