@@ -97,6 +97,36 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_stateful_totals",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY user_id
+""",
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals maintained in the state store across 4 real
+    micro-batches (events split one file per trigger). The memory sink
+    accumulates one cumulative row per touched user per batch; the
+    final totals are the per-user maxima (cumulative counters are
+    monotone). Integer-cent arithmetic keeps cross-batch sums exact, so
+    the oracle — a plain batch groupBy — matches to the last cent."""
+    from pyspark.sql import functions as F
+
+    events = SP.read_events_stream_split(spark, sf_dir, parts=4)
+    drained = SP.run_to_memory(
+        SP.stateful_user_totals(events), prefix="stateful", mode="update"
+    )
+    return drained.groupBy("user_id").agg(
+        F.max("cum_events").alias("n_events"),
+        F.max("cum_cents").alias("total_cents"),
+    )
+
+
+@register(
     "q_stream_doc_ingest",
     oracle=f"""
 WITH chunks AS (

@@ -142,6 +142,87 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def split_events_fixture(spark: SparkSession, sf_dir: str, parts: int = 4) -> str:
+    """Split the single events parquet into `parts` files (by
+    event_id % parts — deterministic) under /tmp, so a
+    maxFilesPerTrigger=1 stream replays it as `parts` micro-batches:
+    real cross-batch state store traffic instead of a single batch."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_events_split_{tag}_{parts}"
+    marker = os.path.join(out, "_complete")
+    if not os.path.exists(marker):
+        import pyarrow.parquet as pq
+
+        os.makedirs(out, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        part_key = [int(v) % parts for v in t.column("event_id").to_pylist()]
+        import pyarrow as pa
+
+        t = t.append_column("__part", pa.array(part_key, type=pa.int32()))
+        for i in range(parts):
+            sub = t.filter(pa.compute.equal(t.column("__part"), i)).drop(
+                ["__part"]
+            )
+            pq.write_table(sub, os.path.join(out, f"part_{i}.parquet"))
+        open(marker, "w").close()
+    return out
+
+
+def read_events_stream_split(
+    spark: SparkSession, sf_dir: str, parts: int = 4
+) -> DataFrame:
+    """Streaming scan over the split fixture, one file per micro-batch."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = split_events_fixture(spark, sf_dir, parts)
+    return (
+        spark.readStream.schema(EVENTS_NS)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(path + "/part_*.parquet")
+    )
+
+
+STATEFUL_OUTPUT = "user_id bigint, cum_events bigint, cum_cents bigint"
+STATEFUL_STATE = "cum_events bigint, cum_cents bigint"
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (event count, value cents) carried in the state store across
+    micro-batches; each batch emits the updated cumulative row for every
+    user it touched. Money is integer cents (floor(v*100 + 0.5)) so the
+    cross-batch accumulation is exact integer math — order-free and
+    oracle-checkable.
+
+    This is the §2.6 custom-state showcase: no built-in window can
+    express 'arbitrary per-key accumulator with app-controlled emit'."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        cnt, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            cents += int(
+                np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64").sum()
+            )
+        state.update((cnt, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "cum_events": [cnt], "cum_cents": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=STATEFUL_OUTPUT,
+        stateStructType=STATEFUL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def doc_ingest(docs: DataFrame, chunk_size: int, overlap: int) -> DataFrame:
     """The reference ingestion pipeline (§3.1) as a stream: documents →
     fixed chunking (narrow flatMap) → per-doc chunk stats + md5-bucket
