@@ -39,7 +39,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {t: load_table(spark, sf_dir, t) for t in schemas.TESTDATA_TABLES}
+    return {
+        t: load_events(spark, sf_dir) if t == "events" else load_table(spark, sf_dir, t)
+        for t in schemas.TESTDATA_TABLES
+    }
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

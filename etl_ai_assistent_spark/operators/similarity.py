@@ -165,3 +165,115 @@ def ivf_topk(
         threshold=threshold,
         score_decimals=score_decimals,
     )
+
+
+# --- SRP-LSH (signed random projections) ---------------------------------
+
+SRP_BITS = 16
+SRP_BANDS = 4
+
+
+def srp_signs(bits: int = SRP_BITS, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for cosine LSH: component
+    (j, d) is ±1 from the parity of md5(f"{j}|{d}") — reproducible in
+    any engine, here materialized as literals so signing costs zero
+    hashes at run time."""
+    import hashlib
+
+    def sgn(j: int, d: int) -> float:
+        h = int(hashlib.md5(f"{j}|{d}".encode()).hexdigest()[:8], 16)
+        return 1.0 if h % 2 == 1 else -1.0
+
+    return [[sgn(j, d) for d in range(dim)] for j in range(bits)]
+
+
+def srp_bands(
+    items: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = SRP_BITS,
+    bands: int = SRP_BANDS,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, band_idx, band_val) LSH bucketing table for cosine: bit j is
+    the sign of <v, h_j> (P[bits agree] = 1 - θ/π), grouped into `bands`
+    sub-signatures. Equal band => candidate. The signing pass is `bits`
+    zip_with/fold expressions over literal hyperplanes — one narrow map,
+    no shuffle, no runtime hashing."""
+    signs = srp_signs(bits, dim)
+    r = bits // bands
+    bit_cols = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(s) for s in signs[j]]),
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            >= 0
+        ).cast("int")
+        for j in range(bits)
+    ]
+    sig = items.select(
+        F.col(id_col).alias("id"), F.array(*bit_cols).alias("bits")
+    )
+    band_vals = F.array(
+        *[
+            sum(
+                F.element_at(F.col("bits"), b * r + i + 1) * (1 << (r - 1 - i))
+                for i in range(r)
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        "id", F.posexplode(band_vals).alias("band_idx", "band_val")
+    )
+
+
+def srp_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    bits: int = SRP_BITS,
+    bands: int = SRP_BANDS,
+    dim: int = 64,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k cosine: banded-signature equi-join
+    generates candidates (never the full cross product), exact cosine
+    verifies them, a per-query window keeps the top k. The approximate
+    twin of knn_join — recall is governed by the banding curve."""
+    ib = srp_bands(items, vec_col=vec_col, id_col=id_col, bits=bits, bands=bands, dim=dim)
+    qb = srp_bands(queries, vec_col=vec_col, id_col=id_col, bits=bits, bands=bands, dim=dim)
+    cands = (
+        qb.withColumnRenamed("id", "query_id")
+        .join(ib.withColumnRenamed("id", "item_id"), ["band_idx", "band_val"])
+        .filter(F.col("query_id") != F.col("item_id"))
+        .select("query_id", "item_id")
+        .distinct()
+    )
+    iv = items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("iv"))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        cands.join(iv, "item_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "item_id",
+            F.round(V.cosine("iv", "qv"), score_decimals).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )

@@ -205,3 +205,109 @@ def q_pad_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(V.as_double("vec64"), F.lit(0.0), lambda a, x: a + x), 6
         ).alias("checksum"),
     )
+
+
+# --- SRP-LSH approximate top-k -------------------------------------------
+
+def _srp_signs_sql() -> str:
+    from ..operators.similarity import srp_signs
+
+    rows = ", ".join(
+        f"({j}, [{', '.join(str(s) for s in sv)}])"
+        for j, sv in enumerate(srp_signs())
+    )
+    return f"signs AS (SELECT * FROM (VALUES {rows}) AS t(j, sv))"
+
+
+SRP_K = 3
+
+
+@register(
+    "q_srp_topk",
+    oracle=f"""
+WITH {_srp_signs_sql()},
+item_bits AS (
+  SELECT e.vec_id AS id, s.j,
+         CASE WHEN list_reduce(
+                list_transform(generate_series(1, 64),
+                               i -> CAST(e.embedding[i] AS DOUBLE) * s.sv[i]),
+                (a, b) -> a + b) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM embeddings e, signs s
+),
+item_bands AS (
+  SELECT id, CAST(j // 4 AS INT) AS band_idx,
+         sum(bit * (1 << (3 - CAST(j % 4 AS INT)))) AS band_val
+  FROM item_bits GROUP BY 1, 2
+),
+query_bands AS (
+  SELECT * FROM item_bands WHERE id < {N_QUERIES}
+),
+cands AS (
+  SELECT DISTINCT q.id AS query_id, i.id AS item_id
+  FROM query_bands q
+  JOIN item_bands i USING (band_idx, band_val)
+  WHERE q.id <> i.id
+),
+scored AS (
+  SELECT c.query_id, c.item_id,
+         round({_cosine('ie.embedding', 'qe.embedding')}, 6) AS score
+  FROM cands c
+  JOIN embeddings ie ON ie.vec_id = c.item_id
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, item_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, item_id) AS rank
+  FROM scored
+)
+SELECT query_id, item_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {SRP_K}
+""",
+)
+def q_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate kNN (signed random projections): 16-bit
+    signatures from deterministic md5-parity hyperplanes, banded 4×4;
+    candidates come from the band equi-join (the cross product never
+    materializes), exact cosine verifies, window keeps top-3 per query.
+    The approximate twin of q_knn_join — same output shape, banding
+    curve governs recall. At 100 TB: signatures are one narrow pass,
+    the candidate join shuffles only (band, id) pairs."""
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return similarity.srp_topk(emb, queries, k=SRP_K)
+
+
+@register(
+    "q_label_centroids",
+    oracle="""
+SELECT label, list(cx ORDER BY pos) AS centroid
+FROM (
+  SELECT e.label, i AS pos, round(avg(CAST(e.embedding[i] AS DOUBLE)), 9) AS cx
+  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS t(i)
+  GROUP BY e.label, i
+)
+GROUP BY label
+""",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector pooling: per-label mean embedding (the centroid table IVF
+    probes, and the doc-from-chunks pooling shape). Implemented the
+    scale-safe way — posexplode to (label, pos, x) rows, hash-agg mean
+    per (label, pos), re-assemble with sort_array(collect_list) — so a
+    100 TB corpus pools with one shuffle of scalar triples, never
+    holding whole vectors in aggregation state. avg is rounded to 9 dp
+    on both engines (order-insensitive parity)."""
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), F.col("x").cast("double"))
+    per_dim = exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("x"), 9).alias("cx")
+    )
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
+        ).alias("centroid")
+    )
