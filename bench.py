@@ -22,15 +22,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline queries: the flagship + the heaviest representatives of each
 # operator family. Grows as families land.
 HEADLINE = [
-    # vector search
+    # vector search (exact + both approximate paths)
     "q_topk_cosine",
     "q_knn_join",
     "q_ivf_topk",
+    "q_srp_topk",
+    "q_label_centroids",
     # relational analytics (TPC-H-style)
     "q_pricing_summary",
     "q_revenue_by_nation",
     "q_top_orders_per_customer",
     "q_running_revenue",
+    "q_grouping_sets",
+    "q_value_percentiles",
     # events / temporal
     "q_asof_purchase_signup",
     "q_sessionize",
@@ -42,7 +46,12 @@ HEADLINE = [
     "q_quality_score",
     # multimodal (Arrow-batched pandas UDF path)
     "q_byte_features",
-    # structured streaming (micro-batch engine end-to-end)
+    # retrieval evaluation (sparse hashed-TF, bucket equi-join)
+    "q_rag_retrieval",
+    # structured streaming (micro-batch engine end-to-end). The custom
+    # stateful query (q_stream_stateful_totals) is excluded: its wall
+    # clock is 4 micro-batches of fixed state-store/python-worker setup,
+    # not data throughput — it stays in the correctness gate.
     "q_stream_tumbling_hourly",
 ]
 

@@ -218,9 +218,14 @@ def srp_bands(
         ).cast("int")
         for j in range(bits)
     ]
+    from pyspark.storagelevel import StorageLevel
+
+    # cache barrier: without it CollapseProject inlines the 16
+    # interpreted signing folds into every band expression (see the
+    # same pattern in operators/dedup.minhash_bands)
     sig = items.select(
         F.col(id_col).alias("id"), F.array(*bit_cols).alias("bits")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     band_vals = F.array(
         *[
             sum(

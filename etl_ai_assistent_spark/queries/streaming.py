@@ -117,9 +117,18 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     events = SP.read_events_stream_split(spark, sf_dir, parts=4)
-    drained = SP.run_to_memory(
-        SP.stateful_user_totals(events), prefix="stateful", mode="update"
-    )
+    # State-store partition count = shuffle partitions × micro-batches;
+    # for a 150-key state, 32 partitions × 4 batches is pure overhead.
+    # Size the stateful shuffle to the key cardinality (on a cluster
+    # this is a per-query tuning knob, not a global).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        drained = SP.run_to_memory(
+            SP.stateful_user_totals(events), prefix="stateful", mode="update"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return drained.groupBy("user_id").agg(
         F.max("cum_events").alias("n_events"),
         F.max("cum_cents").alias("total_cents"),

@@ -1,0 +1,58 @@
+"""Partition-layout evidence: dynamic partition pruning (DPP) fires on
+the partitioned event store, and the S5 QA-JSON source reads with its
+explicit schema."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from etl_ai_assistent_spark import io, schemas
+
+
+def test_dynamic_partition_pruning(spark, sf_small, tmp_path):
+    """Writing the fact table partitioned by its hot join/filter key
+    (SURVEY.md §4 physical-design decision) lets a dim-side filter prune
+    fact partitions at runtime: the scan's plan carries a dynamicpruning
+    expression instead of reading all partitions."""
+    path = str(tmp_path / "events_by_type")
+    io.write_parquet(
+        io.load_events(spark, sf_small),
+        path,
+        partition_by=("event_type",),
+    )
+    fact = spark.read.parquet(path)
+    dim = (
+        io.load_events(spark, sf_small)
+        .select("event_type")
+        .distinct()
+        .withColumn("keep", F.col("event_type").isin("purchase", "signup"))
+        .filter("keep")
+    )
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    joined = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.count() == 2
+
+
+def test_qa_dataset_source_schema(spark, tmp_path):
+    """S5 (make_ragas_dataset.py:61-69): QA JSON loads with the explicit
+    StructType, contexts as array<string>."""
+    data = [
+        {
+            "question": "q1",
+            "answer": "a1",
+            "ground_truth": "g1",
+            "contexts": ["c1", "c2"],
+        },
+        {"question": "q2", "answer": "a2", "ground_truth": "g2", "contexts": []},
+    ]
+    p = tmp_path / "qa.json"
+    p.write_text(json.dumps(data))
+    df = io.read_json_dataset(spark, str(p))
+    assert df.schema == schemas.QA_DATASET
+    rows = {r["question"]: r for r in df.collect()}
+    assert rows["q1"]["contexts"] == ["c1", "c2"]
+    assert rows["q2"]["answer"] == "a2"
