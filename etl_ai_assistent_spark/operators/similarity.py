@@ -282,3 +282,52 @@ def srp_topk(
         .filter(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("int"))
     )
+
+
+# --- strategy chooser ----------------------------------------------------
+
+ANN_EXACT_MAX_ROWS = 10_000_000
+
+
+def ann_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    exact_max_rows: int | None = None,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """The exact-vs-approximate chooser (SURVEY.md §4 'Top-k' row):
+    plain Python planning logic, not a Catalyst rule. Small corpora get
+    the exact brute-force knn_join (broadcast queries, map-side scoring,
+    TakeOrderedAndProject-style rank); past `exact_max_rows` the SRP-LSH
+    banded path takes over so the scored-pair volume stays bounded by
+    the banding curve instead of |items| × |queries|.
+
+    The row-count probe is a metadata-cheap `count()` on the id column —
+    on parquet this is statistics-only. Callers with a known cardinality
+    pass it via exact_max_rows comparisons upstream instead."""
+    limit = exact_max_rows if exact_max_rows is not None else ANN_EXACT_MAX_ROWS
+    n = items.select(id_col).count()
+    if n <= limit:
+        out = knn_join(
+            items,
+            queries,
+            item_vec=vec_col,
+            query_vec=vec_col,
+            item_id=id_col,
+            query_id=id_col,
+            k=k,
+            score_decimals=score_decimals,
+        )
+        return out.withColumn("rank", F.col("rank").cast("int"))
+    return srp_topk(
+        items,
+        queries,
+        vec_col=vec_col,
+        id_col=id_col,
+        k=k,
+        score_decimals=score_decimals,
+    )
