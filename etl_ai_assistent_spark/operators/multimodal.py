@@ -157,17 +157,23 @@ def byte_features(assets: DataFrame, bins: int = 16) -> DataFrame:
 
     width = 256 // bins
 
+    import math
+
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
                 arr = np.frombuffer(content, dtype=np.uint8)
                 hist = np.bincount(arr // width, minlength=bins)[:bins]
+                # round half UP via floor(x*1e6+0.5): python round() is
+                # banker's but DuckDB/Spark round half away — byte means
+                # (int/int with power-of-2 denominators) hit exact ties
+                mean = float(arr.sum()) / max(arr.size, 1)
                 rows.append(
                     (
                         aid,
                         int(arr.size),
-                        round(float(arr.sum()) / max(arr.size, 1), 6),
+                        math.floor(mean * 1e6 + 0.5) / 1e6,
                         [int(x) for x in hist],
                     )
                 )

@@ -133,7 +133,8 @@ WITH codes AS (
 )
 SELECT asset_id,
        CAST(len(c) AS BIGINT) AS n_bytes,
-       round(CAST(list_aggregate(c, 'sum') AS DOUBLE) / greatest(len(c), 1), 6)
+       floor(CAST(list_aggregate(c, 'sum') AS DOUBLE) / greatest(len(c), 1)
+             * 1000000.0 + 0.5) / 1000000.0
          AS mean_byte,
        list_transform(generate_series(0, 15),
                       b -> CAST(len(list_filter(c, x -> x // 16 = b)) AS BIGINT))
