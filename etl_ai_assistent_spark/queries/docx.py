@@ -30,7 +30,9 @@ CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
 
 def _fixture_dir(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"/tmp/spark_graft_docx_{tag}"
+    # v2: fixtures embed media parts (bump when the writer output changes
+    # so stale marker files don't keep old corpora alive)
+    return f"/tmp/spark_graft_docx_{tag}_v2"
 
 
 def docx_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -116,4 +118,39 @@ def q_docx_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_image_paras",
             "table_cells_md5",
         )
+    )
+
+
+@register(
+    "q_docx_media",
+    oracle="""
+SELECT doc_id,
+       'image1.png' AS media_name,
+       CAST(128 AS BIGINT) AS n_bytes,
+       md5(repeat(md5(text), 4)) AS content_md5,
+       '.png' AS ext
+FROM documents
+WHERE doc_id % 7 = 0
+""",
+)
+def q_docx_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3's read side through real bytes: embedded media parts extracted
+    from the OOXML package (word/media/*) by the distributed scan, with
+    extension derivation (reference save_image ext fallback chain,
+    docx_parser.py:130-149). The md5 of the extracted blob must equal
+    what the oracle rebuilds from the source text — any corruption in
+    zip write/read or binary transport breaks it."""
+    corpus = docx_corpus_dir(spark, sf_dir)
+    media = DX.scan_docx_media(spark, os.path.join(corpus, "*.docx"))
+    return media.select(
+        F.regexp_extract("document_name", r"doc_(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "media_name",
+        F.length("content").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+        F.coalesce(
+            F.nullif(F.regexp_extract("media_name", r"(\.[^.]+)$", 1), F.lit("")),
+            F.lit(".bin"),
+        ).alias("ext"),
     )

@@ -96,6 +96,50 @@ def parse_docx_blocks(data: bytes) -> list[tuple]:
     return blocks
 
 
+def parse_docx_media(data: bytes) -> list[tuple[str, bytes]]:
+    """Embedded media parts (word/media/*) as (name, bytes) — the
+    reference's image-blob source (docx_etl.py:138-157 reads these via
+    python-docx image parts; here straight from the OOXML package)."""
+    out: list[tuple[str, bytes]] = []
+    with zipfile.ZipFile(_io.BytesIO(data)) as z:
+        for info in z.infolist():
+            if info.filename.startswith("word/media/"):
+                out.append((info.filename.rsplit("/", 1)[-1], z.read(info)))
+    return sorted(out)
+
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("document_name", T.StringType()),
+        T.StructField("media_name", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def scan_docx_media(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed media scan: one row per embedded media part, binary
+    content as BinaryType (K3's read side)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = path.rsplit("/", 1)[-1]
+                for media_name, blob in parse_docx_media(bytes(content)):
+                    out.append((name, media_name, blob))
+            yield pd.DataFrame(
+                out, columns=["document_name", "media_name", "content"]
+            )
+
+    return files.mapInPandas(parse, schema=MEDIA_SCHEMA)
+
+
 def scan_docx(spark: SparkSession, path_glob: str) -> DataFrame:
     """The distributed DOCX scan: binaryFile source → mapInPandas parse.
     One file = one source row = one parse unit; at 100 TB the file
@@ -170,9 +214,12 @@ def _tbl_xml(rows: list[list[str]]) -> str:
     return f"<w:tbl>{trs}</w:tbl>"
 
 
-def build_docx(blocks_xml: list[str]) -> bytes:
+def build_docx(
+    blocks_xml: list[str], media: dict[str, bytes] | None = None
+) -> bytes:
     """Assemble a minimal valid .docx from pre-rendered block XML
-    fragments (use _p_xml/_tbl_xml)."""
+    fragments (use _p_xml/_tbl_xml), optionally embedding media parts
+    under word/media/."""
     doc = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
@@ -183,6 +230,8 @@ def build_docx(blocks_xml: list[str]) -> bytes:
         z.writestr("[Content_Types].xml", _CONTENT_TYPES)
         z.writestr("_rels/.rels", _RELS)
         z.writestr("word/document.xml", doc)
+        for name, blob in (media or {}).items():
+            z.writestr(f"word/media/{name}", blob)
     return buf.getvalue()
 
 
@@ -193,14 +242,24 @@ def docx_for_document(doc_id: int, text: str, tokens_per_para: int = 10) -> byte
     table and (doc_id % 7 == 0) an embedded image marker on the first
     body paragraph. The SQL oracle reproduces every derived quantity
     from the same arithmetic."""
+    import hashlib
+
     toks = text.split()
     paras = [
         " ".join(toks[i : i + tokens_per_para])
         for i in range(0, len(toks), tokens_per_para)
     ]
     xml = [_p_xml(f"Section {doc_id}", style="Heading 1")]
+    media: dict[str, bytes] = {}
     for j, p in enumerate(paras):
-        xml.append(_p_xml(p, image=(j == 0 and doc_id % 7 == 0)))
+        has_img = j == 0 and doc_id % 7 == 0
+        xml.append(_p_xml(p, image=has_img))
+        if has_img:
+            # deterministic fake image bytes: text's md5 hex repeated 4×
+            # (128 ASCII bytes — lets the SQL oracle rebuild the blob)
+            media["image1.png"] = (
+                hashlib.md5(text.encode()).hexdigest() * 4
+            ).encode()
     if doc_id % 5 == 0:
         xml.append(_p_xml(f"Table {doc_id}: metrics", style="Caption"))
         xml.append(
@@ -211,7 +270,7 @@ def docx_for_document(doc_id: int, text: str, tokens_per_para: int = 10) -> byte
                 ]
             )
         )
-    return build_docx(xml)
+    return build_docx(xml, media=media)
 
 
 def write_corpus(docs: list[tuple[int, str]], out_dir: str) -> None:

@@ -29,9 +29,9 @@ ALLOWED_CROSS = {
 # batch plan string isn't comparable. Excluded from plan lint.
 STREAMING = {"q_stream_tumbling_hourly", "q_stream_sessions", "q_stream_doc_ingest"}
 
-# q_docx_pipeline materializes a 500-file fixture corpus first — slow to
-# plan-lint on every run and join-only; covered by its parity check.
-SLOW = {"q_docx_pipeline"}
+# The docx queries materialize a 500-file fixture corpus first — slow to
+# plan-lint on every run and join-only; covered by their parity checks.
+SLOW = {"q_docx_pipeline", "q_docx_media"}
 
 
 def _plan(spark, name, sf):
