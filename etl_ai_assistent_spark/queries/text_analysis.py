@@ -264,3 +264,101 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tok").alias("max_tokens"),
         )
     )
+
+
+# --- dataset splitting / sampling (training-data pipeline staples) -----------
+
+SPLIT_BUCKET = "CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+
+@register(
+    "q_hash_split",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, lang,
+         CASE WHEN {SPLIT_BUCKET} < 80 THEN 'train'
+              WHEN {SPLIT_BUCKET} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs,
+       count(DISTINCT doc_id) AS n_distinct
+FROM assigned
+GROUP BY split, lang
+""",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by salted md5 bucket
+    of the stable id — the training-data split that survives re-runs,
+    backfills, and engine changes (never rand()). Output: per-(split,
+    lang) counts. A narrow map + one partial-agg shuffle; at 100 TB the
+    split column becomes the write partitioning key."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    assigned = docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("doc_id").alias("n_distinct"),
+    )
+
+
+@register(
+    "q_source_sample",
+    oracle=f"""
+WITH rates AS (
+  SELECT source, count(*) AS n_source,
+         least(1.0, 25.0 / count(*)) AS rate
+  FROM documents GROUP BY source
+),
+sampled AS (
+  SELECT d.doc_id, d.source
+  FROM documents d JOIN rates r ON r.source = d.source
+  WHERE CAST(('0x' || substr(md5('sample|' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+        < CAST(r.rate * 1000000 AS BIGINT)
+)
+SELECT source, count(*) AS n_sampled
+FROM sampled GROUP BY source
+""",
+)
+def q_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rebalancing sample (mixture shaping for training
+    corpora): each source capped at ~25 docs via a deterministic
+    hash-rate filter — rate = min(1, 25/|source|), keep iff
+    md5-bucket(id) < rate·1e6. Broadcast-joined rates, narrow filter;
+    reproducible across runs and engines (no rand(), no sample())."""
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rates = docs.groupBy("source").agg(
+        F.least(F.lit(1.0), F.lit(25.0) / F.count("*")).alias("rate")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    sampled = docs.join(F.broadcast(rates), "source").filter(
+        bucket < (F.col("rate") * 1000000).cast("bigint")
+    )
+    return sampled.groupBy("source").agg(F.count("*").alias("n_sampled"))
