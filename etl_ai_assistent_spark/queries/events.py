@@ -221,3 +221,38 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type")
     )
+
+
+@register(
+    "q_props_json",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(props->>'k' AS BIGINT)) AS min_k,
+       max(CAST(props->>'k' AS BIGINT)) AS max_k,
+       count(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_distinct_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads: the events props column is a JSON
+    string; from_json with an explicit schema (schema-on-read at the
+    ingest boundary only, SURVEY.md §1 schema rule) lifts it to a typed
+    struct that the rest of the plan treats as ordinary columns —
+    filters and aggregates on k are codegen'd, nothing re-parses JSON
+    twice."""
+    e = io.load_events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct("k").alias("n_distinct_k"),
+        )
+    )
