@@ -358,3 +358,85 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         F.col("doc_id"), D.fingerprint("text").alias("fingerprint")
     )
+
+
+# --- pair graph -> duplicate clusters ----------------------------------------
+
+@register(
+    "q_dedup_components",
+    oracle=f"""
+WITH RECURSIVE {_NEAR_CORPUS_SQL},
+{_SHINGLES_CTE},
+sb AS (
+  SELECT id, sh, list_transform(sh, s -> {BUCKET.format(x='s')}) AS sb
+  FROM shingled
+),
+mh AS (
+  SELECT id, sh,
+         list_transform(generate_series(0, {K - 1}),
+           j -> list_min(list_transform(sb,
+                  x -> ((j * 2 + 1) * 1000003 * x + j * 7919 + 1) % 2147483647)))
+           AS m
+  FROM sb
+),
+banded AS (
+  SELECT id, b.band_idx,
+         md5(CAST(m[band_idx * {R} + 1] AS VARCHAR) || ',' ||
+             CAST(m[band_idx * {R} + 2] AS VARCHAR) || ',' ||
+             CAST(m[band_idx * {R} + 3] AS VARCHAR) || ',' ||
+             CAST(m[band_idx * {R} + 4] AS VARCHAR)) AS band_hash
+  FROM mh, (SELECT unnest(generate_series(0, {BANDS - 1})) AS band_idx) b
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c
+  JOIN shingled sa ON sa.id = c.id_a
+  JOIN shingled sb2 ON sb2.id = c.id_b
+  WHERE round(CAST(len(list_intersect(sa.sh, sb2.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.sh, sb2.sh))), 6) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS root FROM edges
+  UNION
+  SELECT e.v AS node, r.root
+  FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS id, min(root) AS component
+FROM reach GROUP BY node
+""",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup story: MinHash+LSH pairs -> transitive closure ->
+    duplicate clusters. Iterative min-label propagation (DataFrame
+    joins, fixpoint detected by a changed-count aggregate; see
+    operators/components.py) against a DuckDB RECURSIVE CTE oracle —
+    the streaming-free analogue of GraphFrames CC. component = min id
+    in the cluster = the dedup keeper."""
+    from ..operators.components import connected_components
+
+    docs = (
+        io.load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < NEAR_LIMIT)
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("id") + 100000).alias("id"),
+            F.concat(F.col("text"), F.lit(" zza zzb zzc zzd")).alias("text"),
+        )
+    )
+    pairs = D.minhash_near_dup_pairs(
+        corpus, text_col="text", id_col="id", k=K, bands=BANDS, threshold=0.5
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return comp.select(F.col("node").alias("id"), "component")

@@ -132,3 +132,19 @@ def test_salted_join_identical_to_plain(spark, sf_small):
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_connected_components_multi_hop(spark):
+    """Transitive closure: chain A-B-C-D collapses to one component even
+    though A-D never pair directly; isolated pair keeps its own."""
+    from etl_ai_assistent_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
