@@ -94,7 +94,9 @@ def split_text_recursive(
         cur_len += extra
     if cur:
         chunks.append(" ".join(cur))
-    return chunks
+    # LangChain strip_whitespace=True semantics: chunks are trimmed and
+    # whitespace-only chunks dropped (found by hypothesis: text=' ')
+    return [c for c in (c.strip() for c in chunks) if c]
 
 
 def recursive_chunks(

@@ -177,3 +177,44 @@ def test_hash_embed_expr_matches_pandas_and_local(spark, sf_small):
         )
         norm = sum(x * x for x in r["e_expr"])
         assert norm == pytest.approx(1.0, abs=1e-9)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        text=st.text(alphabet="ab .\n", max_size=2000),
+        size=st.integers(min_value=20, max_value=400),
+    )
+    def test_recursive_chunker_properties(text, size):
+        """Property-based invariants (SURVEY.md §7 hard-part 2): for any
+        text and chunk size, every chunk fits; non-whitespace text always
+        chunks; every source token whose length fits appears in some
+        chunk; chunks are deterministic."""
+        overlap = size // 3
+        chunks = split_text_recursive(text, size, overlap)
+        assert chunks == split_text_recursive(text, size, overlap)
+        for c in chunks:
+            assert 0 < len(c) <= size
+        if text.strip():
+            assert chunks
+            src_tokens = set(t for t in text.split() if len(t) <= size)
+            out_tokens = set(t for c in chunks for t in c.split())
+            missing = {
+                t
+                for t in src_tokens
+                if t not in out_tokens
+                and not any(t in piece for piece in out_tokens)
+            }
+            assert not missing, missing
+        else:
+            assert chunks == []
