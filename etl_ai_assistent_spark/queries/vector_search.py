@@ -311,3 +311,76 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
         ).alias("centroid")
     )
+
+
+# --- the batch line-vectorizer pipeline (reference vectorize_out.py) -----
+
+_EMB_TOKS = """
+CASE WHEN trim(lower(line)) = '' THEN CAST([] AS VARCHAR[])
+     ELSE string_split_regex(lower(trim(line)), '\\s+') END
+"""
+
+
+def _lines_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """One text line per document (newlines stripped) — the S4 source
+    fixture for the vectorizer pipeline."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = f"/tmp/spark_graft_lines_{tag}.txt"
+    if not os.path.exists(path):
+        docs = io.load_table(spark, sf_dir, "documents").select("text").collect()
+        with open(path, "w", encoding="utf-8") as f:
+            for r in docs:
+                f.write(r["text"].replace("\n", " ").strip() + "\n")
+    return path
+
+
+@register(
+    "q_vectorize_lines",
+    oracle=f"""
+WITH lines AS (
+  SELECT DISTINCT trim(text) AS line FROM documents WHERE trim(text) <> ''
+),
+tok AS (SELECT line, {_EMB_TOKS} AS t FROM lines),
+tf AS (
+  SELECT line, t,
+         list_transform(generate_series(0, 63),
+           g -> CAST(len(list_filter(
+                  list_transform(t, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 64),
+                  b -> b = g)) AS DOUBLE)) AS tf
+  FROM tok
+),
+normed AS (
+  SELECT line, t, tf,
+         sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+                list_transform(tf, x -> x * x)), (a, v) -> a + v)) AS nrm
+  FROM tf
+)
+SELECT md5(line) AS point_id,
+       'hash-64' AS model,
+       len(t) AS n_tokens,
+       CASE WHEN nrm > 0 THEN list_transform(tf, x -> x / nrm) ELSE tf END
+         AS embedding
+FROM normed
+""",
+)
+def q_vectorize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's batch line-vectorizer CLI (vectorize_out.py:41-99)
+    as one declarative pipeline: S4 text-lines source → P3 non-empty
+    filter → G4 hash embedding → P14 deterministic ids → the K5 record
+    shape {id, model, n_tokens, embedding}. Embedding values are
+    BIT-exact vs the oracle (identical double fold order, no rounding
+    anywhere) — the strongest parity statement in the suite. Every stage
+    is a narrow map; embedding N lines never shuffles."""
+    from ..functions import text as TX
+    from ..operators.embedder import hash_embed_expr
+
+    path = _lines_fixture(spark, sf_dir)
+    lines = io.read_text_lines(spark, path).filter(F.col("line") != "").distinct()
+    return lines.select(
+        F.md5("line").alias("point_id"),
+        F.lit("hash-64").alias("model"),
+        F.size(TX.tokens("line")).alias("n_tokens"),
+        hash_embed_expr("line", 64).alias("embedding"),
+    )

@@ -241,3 +241,29 @@ def doc_ingest(docs: DataFrame, chunk_size: int, overlap: int) -> DataFrame:
         F.sum(F.length("chunk_text")).alias("total_chars"),
         F.sum(md5_bucket(F.col("chunk_text"))).alias("checksum"),
     )
+
+
+def stream_to_parquet(
+    df: DataFrame, *, path: str, checkpoint: str, mode: str = "append"
+) -> None:
+    """K4's production sink shape: stream → foreachBatch → batched
+    parquet append. foreachBatch hands each micro-batch to ordinary
+    batch-writer code (the place an external vector-store upsert would
+    batch per partition, reference qdrant_service.py:24-42 — minus its
+    one-HTTP-call-per-chunk anti-pattern). The checkpoint's batch
+    tracking makes the sink effectively exactly-once for deterministic
+    batches: a restarted query does not rewrite committed batch ids.
+    Runs the finite source to completion."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode(mode).parquet(path)
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
