@@ -56,3 +56,21 @@ def test_qa_dataset_source_schema(spark, tmp_path):
     rows = {r["question"]: r for r in df.collect()}
     assert rows["q1"]["contexts"] == ["c1", "c2"]
     assert rows["q2"]["answer"] == "a2"
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Long-lived stores evolve: files written before a column existed
+    must coexist with newer files. mergeSchema unions the schemas; old
+    rows read NULL for the new column (and a filter on it prunes them)."""
+    path = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(1, "a")], "id long, text string"
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(2, "b", "en")], "id long, text string, lang string"
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) == {"id", "text", "lang"}
+    rows = {r["id"]: r["lang"] for r in merged.collect()}
+    assert rows == {1: None, 2: "en"}
+    assert merged.filter("lang = 'en'").count() == 1
