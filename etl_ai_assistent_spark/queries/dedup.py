@@ -300,16 +300,18 @@ _DOT = (
 @register(
     "q_embedding_near_dup",
     oracle=f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round({_DOT.format(a='a.embedding', b='b.embedding')}
-             / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
-                * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6)
-         AS cos
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round({_DOT.format(a='a.embedding', b='b.embedding')}
-            / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
-               * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6)
-      >= {COS_THRESHOLD}
+WITH normed AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_DOT.format(a='a.embedding', b='b.embedding')}
+               / (a.nrm * b.nrm), 6) AS cos
+  FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= {COS_THRESHOLD}
 """,
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,17 +321,26 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster pruning is the candidate generator."""
     from ..functions import vector as V
 
-    emb = io.load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
+    # norms hoisted out of the pair loop: one O(d) pass per vector, not
+    # 3 per pair (matters at n² pairs — both here and in the oracle)
+    normed = io.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.sqrt(V.dot("embedding", "embedding")).alias("nrm"),
     )
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    a = normed.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    b = normed.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
-        "cos", F.round(V.cosine("ea", "eb"), 6)
+        "cos",
+        F.round(V.dot("ea", "eb") / (F.col("na") * F.col("nb")), 6),
     )
     return pairs.filter(F.col("cos") >= COS_THRESHOLD).select(
         "id_a", "id_b", "cos"
