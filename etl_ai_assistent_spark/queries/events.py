@@ -256,3 +256,53 @@ def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("k").alias("n_distinct_k"),
         )
     )
+
+
+@register(
+    "q_sliding_windows",
+    oracle="""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 1000000 AS ts_s,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+),
+assigned AS (
+  -- 2h windows sliding by 1h: each event belongs to exactly 2 windows,
+  -- starting at the two hour-floors in (ts-2h, ts]
+  SELECT event_type, v,
+         (ts_s // 3600 - k) * 3600 AS win_start_s
+  FROM e, (SELECT unnest([0, 1]) AS k)
+)
+SELECT win_start_s, event_type,
+       count(*) AS n,
+       CAST(sum(v) AS DOUBLE) AS total_value
+FROM assigned
+GROUP BY 1, 2
+""",
+)
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2h length, 1h slide) in batch form:
+    F.window assigns each event to its two overlapping windows (an
+    internal explode — row count doubles before the agg, which is why
+    at scale you keep slide/length small). Oracle replays the window
+    assignment with integer hour arithmetic."""
+    e = io.load_events(spark, sf_dir).select(
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts_ts"),
+        "event_type",
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    return (
+        e.groupBy(
+            F.window("ts_ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start_s"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

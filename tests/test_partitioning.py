@@ -74,3 +74,24 @@ def test_schema_evolution_merge(spark, tmp_path):
     rows = {r["id"]: r["lang"] for r in merged.collect()}
     assert rows == {1: None, 2: "en"}
     assert merged.filter("lang = 'en'").count() == 1
+
+
+def test_ivf_store_partition_pruning(spark, sf_small, tmp_path):
+    """The IVF claim (operators/similarity.ivf_topk docstring): with the
+    embedding store written partitioned by cluster id, probing nprobe
+    clusters becomes partition pruning — the scan reads only those
+    partitions' files."""
+    from etl_ai_assistent_spark import io
+
+    emb = io.load_table(spark, sf_small, "embeddings")
+    store = str(tmp_path / "emb_by_label")
+    io.write_parquet(emb, store, partition_by=("label",))
+    stored = spark.read.parquet(store)
+    probed = stored.filter(F.col("label").isin(3, 7))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "label" in plan
+    n_all = emb.count()
+    n_probed = probed.count()
+    assert 0 < n_probed < n_all
+    # exact same rows as filtering the unpartitioned table
+    assert n_probed == emb.filter(F.col("label").isin(3, 7)).count()
