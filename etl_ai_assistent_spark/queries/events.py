@@ -306,3 +306,72 @@ def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "q_moving_value_range",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(sum(CAST(value AS DECIMAL(12,2)))
+              OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS value_24h
+FROM events
+WHERE event_type = 'purchase'
+""",
+)
+def q_moving_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: per-user trailing-24h purchase value at each
+    purchase (frame bounded by the ORDER BY value in seconds, not by row
+    count — the time-decayed feature shape). DECIMAL sum inside the
+    frame keeps the running totals exact in any accumulation order."""
+    e = _events_s(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-86400, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("value_24h"),
+    )
+
+
+@register(
+    "q_event_gaps",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       count(gap_us) AS n_gaps,
+       min(gap_us) AS min_gap_us,
+       max(gap_us) AS max_gap_us,
+       CAST(sum(gap_us) AS BIGINT) AS total_gap_us
+FROM g
+GROUP BY user_id
+""",
+)
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag-based inter-event gap analytics per user (the engagement /
+    anomaly feature): integer µs arithmetic end to end, one shuffle on
+    user_id shared by the window and the aggregation."""
+    e = io.load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts DIV 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = e.select(
+        "user_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+    )
+    return g.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").cast("bigint").alias("total_gap_us"),
+    )
