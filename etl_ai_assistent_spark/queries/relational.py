@@ -455,3 +455,62 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
+
+
+@register(
+    "q_ntile_segments",
+    oracle="""
+WITH t AS (
+  SELECT c_mktsegment,
+         ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+  FROM customer
+)
+SELECT c_mktsegment, CAST(quartile AS INT) AS quartile, count(*) AS n
+FROM t GROUP BY 1, 2
+""",
+)
+def q_ntile_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) wealth quartiles over customers crossed with market
+    segment — the cohort-bucketing window. Deterministic because the
+    ORDER BY carries a unique tie-break key (c_custkey); without it
+    ntile boundaries are engine-dependent."""
+    c = io.load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select("c_mktsegment", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_orders_above_cust_avg",
+    oracle="""
+WITH avgs AS (
+  SELECT o_custkey, avg(CAST(o_totalprice AS DECIMAL(12,2))) AS cavg
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice
+FROM orders o JOIN avgs a ON a.o_custkey = o.o_custkey
+WHERE CAST(o.o_totalprice AS DECIMAL(12,2)) > a.cavg
+""",
+)
+def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each order vs its customer's average
+    order value), written as correlated SQL and decorrelated by Catalyst
+    into the same aggregate+join the oracle states explicitly — the
+    rewrite is the point: no per-row subquery execution ever happens.
+    DECIMAL comparison keeps the boundary exact."""
+    io.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice
+        FROM orders o
+        WHERE CAST(o_totalprice AS DECIMAL(12,2)) > (
+            SELECT avg(CAST(i.o_totalprice AS DECIMAL(12,2)))
+            FROM orders i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
