@@ -451,3 +451,43 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(pairs, src="id_a", dst="id_b")
     return comp.select(F.col("node").alias("id"), "component")
+
+
+@register(
+    "q_dedup_survivors",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+),
+groups AS (
+  SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_key,
+         min(doc_id) AS keeper_id,
+         count(*) AS dup_count
+  FROM corpus
+  GROUP BY 1
+)
+SELECT c.doc_id, g.dup_count
+FROM corpus c JOIN groups g
+  ON g.text_key = md5(regexp_replace(trim(lower(c.text)), '\s+', ' ', 'g'))
+WHERE c.doc_id = g.keeper_id
+""",
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable end of dedup: the surviving corpus. Keepers from
+    the hash-group table semi-joined back to the corpus (broadcastable:
+    the keeper table is one row per DISTINCT text, tiny relative to a
+    duplicate-heavy 100 TB corpus) with each survivor carrying its
+    eliminated-duplicate count."""
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    groups = D.exact_dedup(corpus)
+    keyed = corpus.withColumn("text_key", D.normalized_text_key("text"))
+    return (
+        keyed.join(groups, "text_key")
+        .filter(F.col("doc_id") == F.col("keeper_id"))
+        .select("doc_id", "dup_count")
+    )
