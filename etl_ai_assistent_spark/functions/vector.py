@@ -1,7 +1,15 @@
 """Vector-math column functions — pure built-in Spark SQL expressions.
 
-Everything here stays JVM-side (whole-stage codegen); no Python UDFs in
-the hot path. All arithmetic is done in DOUBLE regardless of the storage
+Everything here stays JVM-side; no Python UDFs in the hot path. NOTE:
+higher-order functions (zip_with/aggregate/transform lambdas) evaluate
+INTERPRETED on the JVM — they are not whole-stage-codegen'd — and
+Catalyst's CollapseProject will re-inline a staged expensive input into
+every lambda use site. When a dot/norm feeds many expressions (LSH
+signing, minhash), persist() the staged column as a barrier (see
+operators/dedup.minhash_bands, operators/similarity.srp_bands); where
+profiling shows the interpreter itself is the bottleneck, the
+Arrow-batched pandas-UDF twin (operators/embedder.hash_embed_pandas) is
+the faster path. All arithmetic is done in DOUBLE regardless of the storage
 type (embeddings are stored ARRAY<FLOAT>; float->double widening is exact)
 and folds left-to-right, which makes results bit-reproducible and lets the
 DuckDB oracle (list_transform + list_reduce, same order, same doubles)
@@ -27,7 +35,8 @@ def as_double(v: Column | str) -> Column:
 def dot(a: Column | str, b: Column | str) -> Column:
     """Elementwise product then left-to-right fold — deterministic order.
 
-    Compiles to ZipWith + ArrayAggregate (codegen'd), no shuffle, no UDF.
+    Compiles to ZipWith + ArrayAggregate (interpreted JVM expressions —
+    see the module docstring), no shuffle, no UDF.
     """
     prod = F.zip_with(as_double(a), as_double(b), lambda x, y: x * y)
     return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)

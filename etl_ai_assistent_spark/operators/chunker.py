@@ -80,7 +80,7 @@ def split_text_recursive(
         extra = len(piece) + (1 if cur else 0)
         if cur and cur_len + extra > chunk_size:
             chunks.append(" ".join(cur))
-            # retain tail pieces as the >=overlap prefix of the next chunk
+            # retain tail pieces as the <=overlap prefix of the next chunk
             tail: list[str] = []
             tail_len = 0
             for p in reversed(cur):
@@ -89,6 +89,13 @@ def split_text_recursive(
                 tail.insert(0, p)
                 tail_len += len(p) + (1 if len(tail) > 1 else 0)
             cur, cur_len = tail, tail_len
+            # the retained tail plus the incoming piece must still fit the
+            # budget: shrink the tail from the front until it does (atomize
+            # guarantees len(piece) <= chunk_size, so this terminates with
+            # the invariant intact even when the tail empties)
+            while cur and cur_len + len(piece) + 1 > chunk_size:
+                dropped = cur.pop(0)
+                cur_len -= len(dropped) + (1 if cur else 0)
             extra = len(piece) + (1 if cur else 0)
         cur.append(piece)
         cur_len += extra

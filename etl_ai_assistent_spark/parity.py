@@ -110,6 +110,18 @@ def check_query(
     if len(spark_pdf) != len(duck_pdf):
         mismatches.append(f"row count differs: {len(spark_pdf)} vs {len(duck_pdf)}")
     if not mismatches:
+        # the driver's value hash is dtype-KIND-sensitive (round 1:
+        # DuckDB HUGEINT sums widened to float64 and hash-mismatched
+        # against Spark's int64 despite equal values, while int32 vs
+        # int64 hashed equal) — compare the pandas dtype kind
+        for c in spark_pdf.columns:
+            sk, dk = spark_pdf[c].dtype.kind, duck_pdf[c].dtype.kind
+            if sk != dk:
+                mismatches.append(
+                    f"col {c}: dtype kind differs "
+                    f"{spark_pdf[c].dtype} vs {duck_pdf[c].dtype}"
+                )
+    if not mismatches:
         for c in spark_pdf.columns:
             sv, dv = spark_pdf[c].tolist(), duck_pdf[c].tolist()
             bad = [

@@ -297,32 +297,58 @@ _DOT = (
 )
 
 
-@register(
-    "q_embedding_near_dup",
-    oracle=f"""
-WITH normed AS (
+def _embedding_near_dup_oracle() -> str:
+    # the SRP hyperplane VALUES table is shared with q_srp_topk's oracle
+    from .vector_search import _srp_signs_sql
+
+    return f"""
+WITH {_srp_signs_sql()},
+item_bits AS (
+  SELECT e.vec_id AS id, s.j,
+         CASE WHEN list_reduce(
+                list_transform(generate_series(1, 64),
+                               i -> CAST(e.embedding[i] AS DOUBLE) * s.sv[i]),
+                (a, b) -> a + b) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM embeddings e, signs s
+),
+item_bands AS (
+  SELECT id, CAST(j // 4 AS INT) AS band_idx,
+         sum(bit * (1 << (3 - CAST(j % 4 AS INT)))) AS band_val
+  FROM item_bits GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM item_bands a
+  JOIN item_bands b USING (band_idx, band_val)
+  WHERE a.id < b.id
+),
+normed AS (
   SELECT vec_id, embedding,
          sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
   FROM embeddings
 ),
 scored AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  SELECT c.id_a, c.id_b,
          round({_DOT.format(a='a.embedding', b='b.embedding')}
                / (a.nrm * b.nrm), 6) AS cos
-  FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+  FROM cands c
+  JOIN normed a ON a.vec_id = c.id_a
+  JOIN normed b ON b.vec_id = c.id_b
 )
 SELECT id_a, id_b, cos FROM scored WHERE cos >= {COS_THRESHOLD}
-""",
-)
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos >= 0.35). Exact self-join
-    here (the embeddings table is dimension-sized); at 100 TB the same
-    verify runs only on IVF/LSH candidates — operators/similarity.py's
-    cluster pruning is the candidate generator."""
+"""
+
+
+def embedding_near_dup_allpairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The exact O(n²) form — NOT registered; tests use it as the
+    small-fixture recall cross-check for the banded plan below."""
     from ..functions import vector as V
 
     # norms hoisted out of the pair loop: one O(d) pass per vector, not
-    # 3 per pair (matters at n² pairs — both here and in the oracle)
+    # 3 per pair
     normed = io.load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
@@ -343,6 +369,58 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(V.dot("ea", "eb") / (F.col("na") * F.col("nb")), 6),
     )
     return pairs.filter(F.col("cos") >= COS_THRESHOLD).select(
+        "id_a", "id_b", "cos"
+    )
+
+
+@register("q_embedding_near_dup", oracle=_embedding_near_dup_oracle())
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.35), candidate-pruned:
+    SRP-LSH banded signatures (operators/similarity.srp_bands) generate
+    candidate pairs via a band equi-join — the all-pairs nested loop
+    never materializes — then exact cosine verifies candidates only.
+    At 100 TB the scored-pair volume is bounded by the banding curve
+    (4 bands × 4 bits here), not |n|²; recall at a given threshold is
+    the standard 1-(1-p^r)^b curve, cross-checked against the exact
+    all-pairs form in tests/test_dedup_family.py. The oracle replays
+    the identical banding, so this is value-exact, not rows-only."""
+    from ..operators.similarity import srp_bands
+
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    bands = srp_bands(emb)  # (id, band_idx, band_val); persists signatures
+    cands = (
+        bands.withColumnRenamed("id", "id_a")
+        .join(bands.withColumnRenamed("id", "id_b"), ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    from ..functions import vector as V
+
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(V.dot("embedding", "embedding")).alias("nrm"),
+    )
+    a = normed.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cos",
+            F.round(V.dot("ea", "eb") / (F.col("na") * F.col("nb")), 6),
+        )
+    )
+    return verified.filter(F.col("cos") >= COS_THRESHOLD).select(
         "id_a", "id_b", "cos"
     )
 

@@ -136,9 +136,10 @@ SELECT asset_id,
        floor(CAST(list_aggregate(c, 'sum') AS DOUBLE) / greatest(len(c), 1)
              * 1000000.0 + 0.5) / 1000000.0
          AS mean_byte,
-       list_transform(generate_series(0, 15),
-                      b -> CAST(len(list_filter(c, x -> x // 16 = b)) AS BIGINT))
-         AS hist
+       array_to_string(list_transform(generate_series(0, 15),
+                       b -> CAST(len(list_filter(c, x -> x // 16 = b)) AS BIGINT)),
+                       ',')
+         AS hist_csv
 FROM codes
 """,
 )
@@ -146,8 +147,17 @@ def q_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level feature extraction (16-bin histogram + mean byte) via
     an Arrow-batched pandas UDF in mapInPandas — the real multimodal
     feature-extract shape. The oracle replays it over codepoints
-    (corpus is pure ASCII, so byte == codepoint)."""
-    return MM.byte_features(_assets(spark, sf_dir), bins=16)
+    (corpus is pure ASCII, so byte == codepoint). The histogram is
+    registered as its exact CSV rendering — integer counts, so the
+    string form is canonical and keeps raw ARRAY columns out of the
+    driver's canonicalizer."""
+    feats = MM.byte_features(_assets(spark, sf_dir), bins=16)
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        "mean_byte",
+        F.array_join("hist", ",").alias("hist_csv"),
+    )
 
 
 @register(

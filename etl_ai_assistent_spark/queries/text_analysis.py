@@ -229,10 +229,11 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT lang, source,
        count(*) AS n_docs,
        round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars_meta,
-       sum(CAST(length(text) <> n_chars AS INT)) AS n_chars_mismatch,
-       sum(len(tok)) AS total_tokens,
-       min(len(tok)) AS min_tokens,
-       max(len(tok)) AS max_tokens
+       CAST(sum(CAST(length(text) <> n_chars AS INT)) AS BIGINT)
+         AS n_chars_mismatch,
+       CAST(sum(len(tok)) AS BIGINT) AS total_tokens,
+       CAST(min(len(tok)) AS BIGINT) AS min_tokens,
+       CAST(max(len(tok)) AS BIGINT) AS max_tokens
 FROM (SELECT lang, source, n_chars, text, {_TOKS} AS tok FROM documents)
 GROUP BY lang, source
 """,
@@ -258,10 +259,10 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("n_chars").cast("double")), 6).alias(
                 "avg_chars_meta"
             ),
-            F.sum("mismatch").alias("n_chars_mismatch"),
-            F.sum("n_tok").alias("total_tokens"),
-            F.min("n_tok").alias("min_tokens"),
-            F.max("n_tok").alias("max_tokens"),
+            F.sum("mismatch").cast("bigint").alias("n_chars_mismatch"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.min("n_tok").cast("bigint").alias("min_tokens"),
+            F.max("n_tok").cast("bigint").alias("max_tokens"),
         )
     )
 

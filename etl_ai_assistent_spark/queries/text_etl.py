@@ -161,9 +161,9 @@ def q_title_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH blocks AS ({_BLOCKS_SQL}),
 staged AS (
-  SELECT *, sum(CASE WHEN is_heading THEN 1 ELSE 0 END)
+  SELECT *, CAST(sum(CASE WHEN is_heading THEN 1 ELSE 0 END)
               OVER (PARTITION BY source ORDER BY block_idx
-                    ROWS UNBOUNDED PRECEDING) AS sec_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sec_id
   FROM blocks
 )
 SELECT source, sec_id,
@@ -267,18 +267,100 @@ def q_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_chunk_recursive")  # no oracle: data-dependent recursion; see tests
+# DuckDB twin of the recursive splitter's greedy merge, valid because
+# the documents corpus satisfies the token-model preconditions (verified
+# at all sfs: no \n/\t/\r, no repeated spaces, max token length 8 <<
+# chunk_size) under which atomize() degenerates to whitespace
+# tokenization and the merge loop becomes a per-doc recurrence over
+# token prefix sums:
+#   chunk covers tokens [t, e], e = max j with joined_len(t, j) <= size
+#   next t = min u in [t, e+1] with joined_len(u, e) <= overlap
+#            AND joined_len(u, e) + sep + len(tok[e+1]) <= size
+# (both predicate sets are upward-closed in their variable, so the
+# max/min are computable as filtered counts over generate_series).
+# pytest cross-checks the full recursive algorithm against this token
+# model on every doc (test_text_operators.py).
+def _e_expr(t: str) -> str:
+    return (
+        f"{t} - 1 + len(list_filter(generate_series({t}, n), "
+        f"j -> ps[CAST(j AS INT)] "
+        f"- (CASE WHEN {t} > 1 THEN ps[CAST({t} AS INT) - 1] ELSE 0 END) "
+        f"+ (j - {t}) <= {CHUNK_SIZE}))"
+    )
+
+
+_L_UE = (
+    "(CASE WHEN u <= e THEN ps[CAST(e AS INT)] "
+    "- (CASE WHEN u > 1 THEN ps[CAST(u AS INT) - 1] ELSE 0 END) "
+    "+ (e - u) ELSE 0 END)"
+)
+
+_RECURSIVE_CHUNKS_ORACLE = f"""
+WITH RECURSIVE
+tokd AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE length(trim(text)) > 0
+),
+tok_rows AS (
+  SELECT doc_id, i, toks[CAST(i AS INT)] AS tok
+  FROM tokd, unnest(generate_series(1, len(toks))) AS u(i)
+),
+pref AS (
+  SELECT doc_id,
+         list(tok ORDER BY i) AS toks,
+         list(ps ORDER BY i) AS ps,
+         count(*) AS n
+  FROM (SELECT doc_id, i, tok,
+               sum(len(tok)) OVER (PARTITION BY doc_id ORDER BY i) AS ps
+        FROM tok_rows)
+  GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, toks, ps, n, 1 AS cidx, CAST(1 AS BIGINT) AS t,
+         {_e_expr('CAST(1 AS BIGINT)')} AS e
+  FROM pref
+  UNION ALL
+  SELECT doc_id, toks, ps, n, cidx + 1, nt AS t,
+         {_e_expr('nt')} AS e
+  FROM (
+    SELECT doc_id, toks, ps, n, cidx, t, e,
+           e + 2 - len(list_filter(generate_series(t, e + 1),
+             u -> {_L_UE} <= {OVERLAP}
+              AND {_L_UE} + (CASE WHEN u <= e THEN 1 ELSE 0 END)
+                  + (ps[CAST(e AS INT) + 1] - ps[CAST(e AS INT)])
+                  <= {CHUNK_SIZE})) AS nt
+    FROM chunks
+    WHERE e < n
+  )
+)
+SELECT doc_id, CAST(cidx - 1 AS INT) AS chunk_idx,
+       array_to_string(toks[CAST(t AS INT):CAST(e AS INT)], ' ') AS chunk_text,
+       CAST(length(array_to_string(toks[CAST(t AS INT):CAST(e AS INT)], ' '))
+            AS BIGINT) AS chunk_len
+FROM chunks
+"""
+
+
+@register("q_chunk_recursive", oracle=_RECURSIVE_CHUNKS_ORACLE)
 def q_chunk_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 faithful recursive splitter (chunk_splitter_service.py:14-23
-    semantics) as a pandas UDF; invariants (length bound, coverage,
-    overlap) are pytest-verified since the algorithm is not
-    SQL-expressible."""
+    semantics) as a pandas UDF, value-checked chunk-for-chunk against a
+    DuckDB recursive-CTE replay of the greedy merge (see
+    _RECURSIVE_CHUNKS_ORACLE above) — every chunk boundary, every
+    overlap-tail retention, and the length bound are oracle-verified,
+    not just pytest invariants."""
     docs = io.load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.posexplode(recursive_chunks("text", CHUNK_SIZE, OVERLAP)).alias(
             "chunk_idx", "chunk_text"
         ),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int"),
+        "chunk_text",
+        F.length("chunk_text").cast("bigint").alias("chunk_len"),
     )
 
 

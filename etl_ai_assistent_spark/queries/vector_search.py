@@ -282,34 +282,30 @@ def q_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_label_centroids",
     oracle="""
-SELECT label, list(cx ORDER BY pos) AS centroid
-FROM (
-  SELECT e.label, i AS pos, round(avg(CAST(e.embedding[i] AS DOUBLE)), 9) AS cx
-  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS t(i)
-  GROUP BY e.label, i
-)
-GROUP BY label
+SELECT e.label, CAST(i AS INT) AS pos,
+       round(avg(CAST(e.embedding[i] AS DOUBLE)), 9) AS cx
+FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS t(i)
+GROUP BY e.label, i
 """,
 )
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector pooling: per-label mean embedding (the centroid table IVF
     probes, and the doc-from-chunks pooling shape). Implemented the
     scale-safe way — posexplode to (label, pos, x) rows, hash-agg mean
-    per (label, pos), re-assemble with sort_array(collect_list) — so a
-    100 TB corpus pools with one shuffle of scalar triples, never
-    holding whole vectors in aggregation state. avg is rounded to 9 dp
-    on both engines (order-insensitive parity)."""
+    per (label, pos) — so a 100 TB corpus pools with one shuffle of
+    scalar triples, never holding whole vectors in aggregation state.
+    The registered result stays in that exploded scalar form (label,
+    pos, cx) — every centroid component is value-checked, and the output
+    carries no raw ARRAY column (the driver's canonicalizer can't sort
+    lists). operators/similarity.centroids re-assembles the vector for
+    in-engine consumers. avg is rounded to 9 dp on both engines
+    (order-insensitive parity)."""
     emb = io.load_table(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("pos0", "x")
-    ).select("label", (F.col("pos0") + 1).alias("pos"), F.col("x").cast("double"))
-    per_dim = exploded.groupBy("label", "pos").agg(
+    ).select("label", (F.col("pos0") + 1).cast("int").alias("pos"), F.col("x").cast("double"))
+    return exploded.groupBy("label", "pos").agg(
         F.round(F.avg("x"), 9).alias("cx")
-    )
-    return per_dim.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
-        ).alias("centroid")
     )
 
 
@@ -327,12 +323,19 @@ def _lines_fixture(spark: SparkSession, sf_dir: str) -> str:
     import os
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = f"/tmp/spark_graft_lines_{tag}.txt"
+    # row count in the name: regenerated testdata under the same sf tag
+    # invalidates the cache (count() on parquet is statistics-only)
+    n = io.load_table(spark, sf_dir, "documents").count()
+    path = f"/tmp/spark_graft_lines_{tag}_{n}.txt"
     if not os.path.exists(path):
         docs = io.load_table(spark, sf_dir, "documents").select("text").collect()
-        with open(path, "w", encoding="utf-8") as f:
+        # write-then-rename so a crash mid-write never leaves a truncated
+        # file that later runs treat as complete
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
             for r in docs:
                 f.write(r["text"].replace("\n", " ").strip() + "\n")
+        os.replace(tmp, path)
     return path
 
 
@@ -359,28 +362,43 @@ normed AS (
 )
 SELECT md5(line) AS point_id,
        'hash-64' AS model,
-       len(t) AS n_tokens,
-       CASE WHEN nrm > 0 THEN list_transform(tf, x -> x / nrm) ELSE tf END
-         AS embedding
-FROM normed
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(i AS INT) AS pos,
+       CASE WHEN nrm > 0 THEN tf[i] / nrm ELSE tf[i] END AS val
+FROM normed, unnest(generate_series(1, 64)) AS u(i)
 """,
 )
 def q_vectorize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's batch line-vectorizer CLI (vectorize_out.py:41-99)
     as one declarative pipeline: S4 text-lines source → P3 non-empty
     filter → G4 hash embedding → P14 deterministic ids → the K5 record
-    shape {id, model, n_tokens, embedding}. Embedding values are
-    BIT-exact vs the oracle (identical double fold order, no rounding
-    anywhere) — the strongest parity statement in the suite. Every stage
-    is a narrow map; embedding N lines never shuffles."""
+    shape {id, model, n_tokens, embedding}. The registered result
+    posexplodes the vector to (point_id, pos, val) scalar rows — every
+    component is value-checked BIT-exactly vs the oracle (identical
+    double fold order, no rounding anywhere; the strongest parity
+    statement in the suite) without putting a raw ARRAY column through
+    the driver's canonicalizer. Every stage is a narrow map; embedding
+    N lines never shuffles."""
     from ..functions import text as TX
     from ..operators.embedder import hash_embed_expr
 
     path = _lines_fixture(spark, sf_dir)
     lines = io.read_text_lines(spark, path).filter(F.col("line") != "").distinct()
-    return lines.select(
+    recs = lines.select(
         F.md5("line").alias("point_id"),
         F.lit("hash-64").alias("model"),
-        F.size(TX.tokens("line")).alias("n_tokens"),
+        F.size(TX.tokens("line")).cast("bigint").alias("n_tokens"),
         hash_embed_expr("line", 64).alias("embedding"),
+    )
+    return recs.select(
+        "point_id",
+        "model",
+        "n_tokens",
+        F.posexplode("embedding").alias("pos0", "val"),
+    ).select(
+        "point_id",
+        "model",
+        "n_tokens",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        "val",
     )

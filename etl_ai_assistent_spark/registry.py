@@ -41,6 +41,50 @@ _QUERY_MODULES = (
 
 _loaded = False
 
+# The driver cross-checks the FIRST 50 registered queries only (round 1:
+# the unchecked 21 were exactly the registration-order tail). Names here
+# are emitted first, so the finite driver window covers (a) queries that
+# have never received a driver verdict and (b) queries whose plan or
+# oracle changed this round; long-green queries rotate to the tail —
+# their round-1 rows already stand. Names not in this list keep module
+# registration order after it.
+DRIVER_FIRST: tuple[str, ...] = (
+    # never driver-checked in round 1
+    "q_stream_tumbling_hourly",
+    "q_stream_sessions",
+    "q_stream_stateful_totals",
+    "q_stream_doc_ingest",
+    "q_docx_pipeline",
+    "q_docx_media",
+    "q_rag_retrieval",
+    "q_rag_eval",
+    "q_asof_purchase_signup",
+    "q_purchases_after_signup",
+    "q_latest_event_per_user",
+    "q_props_json",
+    "q_sliding_windows",
+    "q_moving_value_range",
+    "q_event_gaps",
+    "q_asset_catalog",
+    "q_frame_sample",
+    "q_resize_plan",
+    "q_byte_features",
+    "q_decode_stub",
+    "q_salted_skew_join",
+    # failed or crashed in round 1 — fixed this round, need fresh verdicts
+    "q_sectionize_docs",
+    "q_corpus_profile",
+    "q_label_centroids",
+    "q_vectorize_lines",
+    "q_chunk_recursive",
+    "q_embedding_near_dup",
+)
+
+
+def _ordered(d: dict) -> dict:
+    head = {n: d[n] for n in DRIVER_FIRST if n in d}
+    return head | {n: v for n, v in d.items() if n not in head}
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query (and optionally its DuckDB oracle)."""
@@ -67,9 +111,9 @@ def load_all() -> None:
 
 def queries() -> dict[str, QueryFn]:
     load_all()
-    return dict(QUERIES)
+    return _ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     load_all()
-    return dict(ORACLES)
+    return _ordered(ORACLES)

@@ -117,14 +117,28 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def _docx_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """binaryFile listing with the P15 extension guard (reference
+    app.py:23-24 rejects non-.docx uploads with a 400): an explicit
+    filter on the path, not just the caller's glob, so a directory mixed
+    with .txt/.pdf/temp files never reaches the parser. The filter is a
+    partition-pruning-friendly predicate on the file listing — pushed to
+    the binaryFile source's pathGlobFilter-equivalent position, it never
+    reads the rejected files' bytes."""
+    return (
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .filter(F.col("path").endswith(".docx"))
+        .select("path", "content")
+    )
+
+
 def scan_docx_media(spark: SparkSession, path_glob: str) -> DataFrame:
     """Distributed media scan: one row per embedded media part, binary
     content as BinaryType (K3's read side)."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(path_glob).select(
-        "path", "content"
-    )
+    files = _docx_files(spark, path_glob)
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -147,9 +161,7 @@ def scan_docx(spark: SparkSession, path_glob: str) -> DataFrame:
     once, with no shuffle until a downstream groupBy."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(path_glob).select(
-        "path", "content"
-    )
+    files = _docx_files(spark, path_glob)
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

@@ -83,3 +83,16 @@ def test_sectionizer_reference_semantics(spark):
     assert secs[0]["title"] == "H2"
     assert secs[0]["body"] == "body a body b"
     assert secs[0]["n_paras"] == 2
+
+
+def test_extension_guard_rejects_non_docx(spark, tmp_path):
+    """P15 (reference app.py:23-24): a directory mixed with non-.docx
+    files must contribute only the .docx ones, even when the caller's
+    glob matches everything."""
+    DX.write_corpus([(1, "alpha beta"), (2, "gamma delta")], str(tmp_path))
+    (tmp_path / "notes.txt").write_text("not a document")
+    (tmp_path / "junk.pdf").write_bytes(b"%PDF-1.4 junk")
+    (tmp_path / "doc_9.docx.tmp").write_bytes(b"partial upload")
+    blocks = DX.scan_docx(spark, str(tmp_path / "*"))
+    names = {r["document_name"] for r in blocks.select("document_name").distinct().collect()}
+    assert names == {"doc_1.docx", "doc_2.docx"}

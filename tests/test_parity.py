@@ -29,3 +29,41 @@ def test_every_query_runs_at_smoke_sf(spark, sf_small):
 def test_oracles_have_matching_queries():
     q, o = set(queries()), set(oracle_sql())
     assert o <= q, f"oracles without queries: {o - q}"
+
+
+def test_driver_window_priority_order():
+    """The driver cross-checks only the first 50 registered queries, in
+    iteration order. Queries needing fresh verdicts (never checked, or
+    changed this round) must come first; DRIVER_FIRST must name real
+    queries and fit the window."""
+    from etl_ai_assistent_spark import registry
+
+    names = list(queries())
+    missing = set(registry.DRIVER_FIRST) - set(names)
+    assert not missing, f"DRIVER_FIRST names unknown queries: {missing}"
+    assert len(registry.DRIVER_FIRST) <= 50
+    head = names[: len(registry.DRIVER_FIRST)]
+    assert head == [n for n in registry.DRIVER_FIRST if n in set(names)]
+    # oracle dict must follow the same order for queries that have one
+    o_names = [n for n in oracle_sql()]
+    o_head = [n for n in registry.DRIVER_FIRST if n in set(o_names)]
+    assert o_names[: len(o_head)] == o_head
+
+
+def test_no_complex_columns_in_registered_output(spark, sf_small):
+    """The driver's canonicalizer crashes on list-valued cells (round 1:
+    q_label_centroids / q_vectorize_lines got no verdict at all). Every
+    registered query must emit scalar columns only — re-project arrays
+    to exploded rows or canonical strings before registering."""
+    from pyspark.sql import types as T
+
+    bad = {}
+    for name, fn in queries().items():
+        complex_cols = [
+            f.name
+            for f in fn(spark, sf_small).schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"registered queries with non-scalar output columns: {bad}"

@@ -17,7 +17,6 @@ from etl_ai_assistent_spark.registry import queries
 # loop join (documented all-pairs or inequality-only semantics; each is
 # either dimension-sized or candidate-pruned by construction).
 ALLOWED_CROSS = {
-    "q_embedding_near_dup",  # all-pairs verify on the dim-sized embeddings table
     "q_knn_join",  # brute-force query×corpus scoring (queries side is tiny)
     "q_topk_cosine",  # single query vector vs corpus
     "q_ivf_topk",  # centroid assignment cross (centroid set is tiny)

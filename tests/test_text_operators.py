@@ -36,6 +36,9 @@ from etl_ai_assistent_spark.operators.sectionizer import sectionize
         "para one.\n\npara two is rather longer. " * 40,
         "x" * 2500,  # no separators at all -> hard char split
         "a\nb\nc" + " d" * 800,
+        # regression: a long atom arriving after a full overlap tail used
+        # to be appended without re-checking the budget -> 814-char chunk
+        ("w" * 40 + " ") * 16 + "B" * 650,
     ],
 )
 def test_recursive_chunker_invariants(text):
@@ -69,6 +72,39 @@ def test_recursive_chunker_spark_matches_local(spark, sf_small):
     src = {r["doc_id"]: r["text"] for r in docs.collect()}
     for row in got:
         assert row["chunks"] == split_text_recursive(src[row["doc_id"]], 200, 50)
+
+
+def test_recursive_chunker_budget_after_tail_regression():
+    """Falsifying example from round 1: retained tail + next piece must
+    re-check the chunk_size budget (hypothesis: 'aaaaaaa aaaaaaaaaaaaaa',
+    size=21 produced a 22-char chunk)."""
+    for text, size in [
+        ("aaaaaaa aaaaaaaaaaaaaa", 21),
+        (("w" * 40 + " ") * 16 + "B" * 650, 700),
+    ]:
+        for c in split_text_recursive(text, size, size // 3 if size < 700 else 200):
+            assert 0 < len(c) <= size, (len(c), size)
+
+
+def test_recursive_chunk_oracle_preconditions(spark, sf_small):
+    """The q_chunk_recursive DuckDB oracle replays the merge as a token
+    recurrence, exact only while the corpus is single-space-separated
+    with every token <= chunk_size. Assert those preconditions so a
+    future testdata change fails HERE with a diagnosis instead of as an
+    opaque parity mismatch."""
+    from etl_ai_assistent_spark.queries.text_etl import CHUNK_SIZE
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    bad = docs.filter(
+        F.col("text").rlike("[\n\t\r]")
+        | F.col("text").contains("  ")
+        | (F.trim("text") != F.col("text"))
+    ).count()
+    assert bad == 0
+    max_tok = docs.select(
+        F.max(F.array_max(F.transform(F.split("text", " "), F.length)))
+    ).first()[0]
+    assert max_tok <= CHUNK_SIZE
 
 
 def test_fixed_chunks_empty_text(spark):
@@ -218,3 +254,85 @@ if HAVE_HYPOTHESIS:
             assert not missing, missing
         else:
             assert chunks == []
+
+
+# --- pluggable embedder client seam ------------------------------------------
+
+def _flaky_client_factory(dim, fail_first):
+    """Factory for a client that fails its first `fail_first`
+    embed_batch calls per instance, then delegates to the deterministic
+    hash client — exercises the retry loop without any sleep. Defined
+    INSIDE a function so cloudpickle ships the class by value (the tests
+    module is not importable on executors)."""
+
+    class _FlakyClient:
+        def __init__(self):
+            from etl_ai_assistent_spark.operators.embedder import HashEmbedClient
+
+            self.inner = HashEmbedClient(dim)
+            self.calls = 0
+
+        def embed_batch(self, texts):
+            self.calls += 1
+            if self.calls <= fail_first:
+                raise ConnectionError("transient")
+            return self.inner.embed_batch(texts)
+
+    return _FlakyClient
+
+
+def test_pluggable_embedder_matches_expr(spark, sf_small):
+    from etl_ai_assistent_spark.operators.embedder import (
+        HashEmbedClient,
+        pluggable_embedder,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(30)
+    emb = pluggable_embedder(lambda: HashEmbedClient(32), dim=32, batch_size=7)
+    both = docs.select(
+        "doc_id",
+        emb("text").alias("e_client"),
+        hash_embed_expr("text", 32).alias("e_expr"),
+    ).collect()
+    assert both
+    for r in both:
+        assert r["e_client"] == pytest.approx(r["e_expr"], abs=1e-12)
+
+
+def test_pluggable_embedder_retries_then_succeeds(spark, sf_small):
+    from etl_ai_assistent_spark.operators.embedder import pluggable_embedder
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(5).coalesce(1)
+    cls = _flaky_client_factory(16, fail_first=2)
+    emb = pluggable_embedder(cls, dim=16, batch_size=100, max_retries=3)
+    rows = docs.select(emb("text").alias("e")).collect()
+    assert len(rows) == 5
+    assert all(len(r["e"]) == 16 for r in rows)
+
+
+def test_pluggable_embedder_exhausted_retries_raises(spark, sf_small):
+    from etl_ai_assistent_spark.operators.embedder import pluggable_embedder
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(3).coalesce(1)
+    cls = _flaky_client_factory(16, fail_first=99)
+    emb = pluggable_embedder(cls, dim=16, batch_size=100, max_retries=2)
+    with pytest.raises(Exception):
+        docs.select(emb("text").alias("e")).collect()
+
+
+def test_pluggable_embedder_pad_truncate(spark):
+    from etl_ai_assistent_spark.operators.embedder import pluggable_embedder
+
+    class _ShortLong:  # defined locally: shipped by value via cloudpickle
+        def embed_batch(self, texts):
+            return [[1.0, 2.0] for _ in texts]
+
+    df = spark.createDataFrame([("x",), ("y",)], ["text"])
+    padded = df.select(
+        pluggable_embedder(lambda: _ShortLong(), dim=4)("text").alias("e")
+    ).collect()
+    assert padded[0]["e"] == [1.0, 2.0, 0.0, 0.0]
+    truncated = df.select(
+        pluggable_embedder(lambda: _ShortLong(), dim=1)("text").alias("e")
+    ).collect()
+    assert truncated[0]["e"] == [1.0]
