@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -205,33 +207,42 @@ def srp_bands(
 ) -> DataFrame:
     """(id, band_idx, band_val) LSH bucketing table for cosine: bit j is
     the sign of <v, h_j> (P[bits agree] = 1 - θ/π), grouped into `bands`
-    sub-signatures. Equal band => candidate. The signing pass is `bits`
-    zip_with/fold expressions over literal hyperplanes — one narrow map,
-    no shuffle, no runtime hashing."""
+    sub-signatures. Equal band => candidate.
+
+    The signing pass is an Arrow-batched pandas UDF doing the
+    (rows × dim) · (dim × bits) product as `dim` vectorized
+    accumulation steps IN INDEX ORDER — the identical left-to-right
+    float64 fold the DuckDB oracle's list_reduce performs, so the signs
+    are bit-exact across engines (a blas matmul or np.sum would
+    re-associate the additions and could flip a near-zero sign). This
+    replaced `bits` interpreted zip_with/aggregate fold expressions:
+    ~dim × bits interpreted lambda evals per row became `dim` numpy
+    axpy steps per Arrow batch (~2s → ~50ms on the sf0.1 signing).
+    One narrow map, no shuffle, no runtime hashing."""
+    from pyspark.sql import types as T
+
     signs = srp_signs(bits, dim)
     r = bits // bands
-    bit_cols = [
-        (
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(s) for s in signs[j]]),
-                    lambda x, s: x.cast("double") * s,
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            >= 0
-        ).cast("int")
-        for j in range(bits)
-    ]
+    smat = np.array(signs, dtype=np.float64).T  # (dim, bits)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _sign_bits(s: pd.Series) -> pd.Series:
+        vecs = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in s], dtype=np.float64
+        )
+        acc = np.zeros((len(vecs), smat.shape[1]), dtype=np.float64)
+        for d in range(smat.shape[0]):  # left-to-right fold, oracle order
+            acc += vecs[:, d : d + 1] * smat[d]
+        out = (acc >= 0).astype(np.int32)
+        return pd.Series(list(out))
+
     from pyspark.storagelevel import StorageLevel
 
-    # cache barrier: without it CollapseProject inlines the 16
-    # interpreted signing folds into every band expression (see the
-    # same pattern in operators/dedup.minhash_bands)
+    # cache barrier: the banded table is self-joined (and CollapseProject
+    # would otherwise duplicate the signing into every band expression —
+    # same pattern as operators/dedup.minhash_bands)
     sig = items.select(
-        F.col(id_col).alias("id"), F.array(*bit_cols).alias("bits")
+        F.col(id_col).alias("id"), _sign_bits(F.col(vec_col)).alias("bits")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     band_vals = F.array(
         *[

@@ -342,6 +342,61 @@ def q_moving_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scd2_intervals",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+changes AS (
+  SELECT user_id, event_type, ts_us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS chg_no
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type,
+       ts_us AS valid_from_us,
+       lead(ts_us) OVER (PARTITION BY user_id ORDER BY chg_no) AS valid_to_us,
+       lead(ts_us) OVER (PARTITION BY user_id ORDER BY chg_no) IS NULL
+         AS is_current
+FROM changes
+""",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) interval build from a
+    change stream: collapse each user's event_type runs to change
+    records, then derive [valid_from, valid_to) validity intervals with
+    an open (NULL) end on the current row — the CDC-to-warehouse
+    compaction shape. Two window passes over one user_id shuffle; at
+    100 TB the user_id partitioning is reused by both windows and the
+    output is the dimension table you MERGE into."""
+    e = io.load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts DIV 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    ).withColumn("chg_no", F.row_number().over(w))
+    w2 = Window.partitionBy("user_id").orderBy("chg_no")
+    nxt = F.lead("ts_us").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
     "q_event_gaps",
     oracle="""
 WITH g AS (

@@ -151,6 +151,135 @@ def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TF-IDF variant: same sparse hashed vocabulary, weights scaled by a
+# SMOOTHED RATIONAL idf, idf_b = (N + 1) / (df_b + 1) with df_b = number
+# of docs containing bucket b. Rational rather than the textbook
+# log((N+1)/(df+1)): IEEE division is correctly rounded and therefore
+# bit-identical across engines, while ln() may differ by an ulp between
+# libm builds — and an ulp under the rank rounding is a flaky oracle.
+# Same monotone document-frequency penalty, deterministic parity.
+_TFIDF_CTES = f"""
+{_SCORED_CTES},
+n_docs AS (SELECT count(*) AS n FROM documents),
+df AS (
+  SELECT bucket, CAST(count(*) AS DOUBLE) AS dfb FROM doc_tf GROUP BY bucket
+),
+doc_w AS (
+  SELECT t.doc_id, t.bucket,
+         CAST(t.c AS DOUBLE) * ((n.n + 1.0) / (d.dfb + 1.0)) AS w
+  FROM doc_tf t, n_docs n
+  JOIN df d ON d.bucket = t.bucket
+),
+doc_wnorm AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM doc_w GROUP BY 1
+),
+probe_w AS (
+  SELECT t.probe_id, t.bucket,
+         CAST(t.c AS DOUBLE) * ((n.n + 1.0) / (d.dfb + 1.0)) AS w
+  FROM probe_tf t, n_docs n
+  JOIN df d ON d.bucket = t.bucket
+),
+probe_wnorm AS (
+  SELECT probe_id, sqrt(sum(w * w)) AS nrm FROM probe_w GROUP BY 1
+),
+wdots AS (
+  SELECT p.probe_id, d.doc_id, sum(p.w * d.w) AS dot
+  FROM probe_w p JOIN doc_w d ON p.bucket = d.bucket
+  GROUP BY 1, 2
+),
+wscored AS (
+  SELECT t.probe_id, t.doc_id,
+         round(t.dot / (pn.nrm * dn.nrm), 6) AS cos,
+         row_number() OVER (PARTITION BY t.probe_id
+                            ORDER BY round(t.dot / (pn.nrm * dn.nrm), 6) DESC,
+                                     t.doc_id) AS rank
+  FROM wdots t
+  JOIN probe_wnorm pn ON pn.probe_id = t.probe_id
+  JOIN doc_wnorm dn ON dn.doc_id = t.doc_id
+)
+"""
+
+
+@register(
+    "q_tfidf_retrieval",
+    oracle=f"""
+WITH {_TFIDF_CTES}
+SELECT probe_id, CAST(rank AS INT) AS rank, doc_id, cos
+FROM wscored WHERE rank <= {TOP_K}
+""",
+)
+def q_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 retrieval with TF-IDF weighting: the hashed-TF tables from
+    q_rag_retrieval joined against a corpus-wide document-frequency
+    table (one extra small aggregate, broadcast onto both sides), then
+    the same bucket equi-join dot products. The df table is DIM-sized
+    (64 rows) regardless of corpus size, so the idf join is a broadcast
+    at any scale; everything else keeps q_rag_retrieval's shuffle
+    shape. Rational smoothed idf (see _TFIDF_CTES) for cross-engine
+    bit-parity."""
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = TX.tokens(F.lower(F.col("text")))
+
+    def tf(df: DataFrame, id_out: str, tok_expr) -> DataFrame:
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+            % DIM
+        )
+        return (
+            df.select(F.col("doc_id").alias(id_out), F.explode(tok_expr).alias("tok"))
+            .groupBy(id_out, bucket.alias("bucket"))
+            .agg(F.count("*").alias("c"))
+        )
+
+    doc_tf = tf(docs, "doc_id", toks)
+    probe_tf = tf(
+        docs.filter(F.col("doc_id") < N_PROBES), "probe_id", F.slice(toks, 3, 10)
+    )
+    n_docs = docs.count()  # metadata-cheap on parquet
+    df_tbl = doc_tf.groupBy("bucket").agg(
+        F.count("*").cast("double").alias("dfb")
+    )
+    idf = (F.lit(n_docs + 1.0) / (F.col("dfb") + F.lit(1.0))).alias("idf")
+
+    def weight(tf_df: DataFrame, key: str) -> DataFrame:
+        return (
+            tf_df.join(F.broadcast(df_tbl), "bucket")
+            .select(
+                key,
+                "bucket",
+                (F.col("c").cast("double") * idf).alias("w"),
+            )
+        )
+
+    doc_w = weight(doc_tf, "doc_id")
+    probe_w = weight(probe_tf, "probe_id")
+
+    def wnorm(df: DataFrame, key: str, out: str) -> DataFrame:
+        return df.groupBy(key).agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias(out)
+        )
+
+    doc_norm = wnorm(doc_w, "doc_id", "nrm")
+    probe_norm = wnorm(probe_w, "probe_id", "pnrm")
+    dots = (
+        probe_w.withColumnRenamed("w", "pw")
+        .join(doc_w.withColumnRenamed("w", "dw"), "bucket")
+        .groupBy("probe_id", "doc_id")
+        .agg(F.sum(F.col("pw") * F.col("dw")).alias("dot"))
+    )
+    cos = F.round(F.col("dot") / (F.col("pnrm") * F.col("nrm")), 6)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    ranked = (
+        dots.join(probe_norm, "probe_id")
+        .join(doc_norm, "doc_id")
+        .select("probe_id", "doc_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return ranked.filter(F.col("rank") <= TOP_K).select(
+        "probe_id", F.col("rank").cast("int"), "doc_id", "cos"
+    )
+
+
 @register(
     "q_rag_eval",
     oracle=f"""

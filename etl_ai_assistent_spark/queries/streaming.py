@@ -136,6 +136,37 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_dedup",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY event_type
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication under at-least-once delivery: the fixture
+    replays every event in TWO different micro-batches (4 files, one per
+    trigger, files 2/3 = files 0/1 again), dropDuplicates keeps per-id
+    state in the state store across batches, and a second stateful
+    operator aggregates the deduplicated stream. The oracle is the
+    batch aggregate over the ORIGINAL events — every duplicate the
+    stream delivers must vanish for the totals to match to the cent."""
+    events = SP.read_events_stream_dup(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # two chained stateful ops over a ~9-key output: size the state
+    # shuffle to the data, not the default 32 (per-query knob at scale)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return SP.run_to_memory(
+            SP.stream_dedup_totals(events), prefix="dedup", mode="complete"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@register(
     "q_stream_doc_ingest",
     oracle=f"""
 WITH chunks AS (

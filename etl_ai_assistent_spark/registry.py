@@ -78,6 +78,10 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_vectorize_lines",
     "q_chunk_recursive",
     "q_embedding_near_dup",
+    # new in round 2 — no verdict yet
+    "q_stream_dedup",
+    "q_scd2_intervals",
+    "q_tfidf_retrieval",
 )
 
 

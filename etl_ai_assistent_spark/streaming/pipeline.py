@@ -184,6 +184,71 @@ def read_events_stream_split(
     )
 
 
+def dup_events_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A 4-file landing dir where files 2/3 replay the SAME events as
+    files 0/1 (split by event_id parity, distinct filenames): with
+    maxFilesPerTrigger=1 every duplicate arrives in a LATER micro-batch
+    than its original, so eliminating it requires dedup state that
+    survives across batches — the at-least-once-upstream shape."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/spark_graft_events_dup_{tag}"
+    marker = os.path.join(out, "_complete")
+    if not os.path.exists(marker):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(out, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        part_key = [int(v) % 2 for v in t.column("event_id").to_pylist()]
+        t2 = t.append_column("__part", pa.array(part_key, type=pa.int32()))
+        for i in range(2):
+            sub = t2.filter(pa.compute.equal(t2.column("__part"), i)).drop(
+                ["__part"]
+            )
+            pq.write_table(sub, os.path.join(out, f"part_{i}.parquet"))
+            pq.write_table(sub, os.path.join(out, f"part_{i + 2}.parquet"))
+        open(marker, "w").close()
+    return out
+
+
+def read_events_stream_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan over the duplicated fixture, one file per
+    micro-batch (4 batches, every event arriving exactly twice)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = dup_events_fixture(spark, sf_dir)
+    return (
+        spark.readStream.schema(EVENTS_NS)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(path + "/part_*.parquet")
+    )
+
+
+def stream_dedup_totals(events: DataFrame) -> DataFrame:
+    """Streaming deduplication: dropDuplicates on the stable event id —
+    dedup state in the state store, shuffled on the id — feeding a
+    per-event-type aggregation (two chained stateful operators). Money
+    is integer cents so the post-dedup totals are exact.
+
+    This exact form keeps every seen id in state (correct for any
+    arrival pattern — what the verification gate needs). The
+    production-stream variant is dropDuplicatesWithinWatermark, which
+    bounds the id state by the watermark horizon; same plan shape, the
+    retention knob is the only difference."""
+    return (
+        events.dropDuplicates(["event_id"])
+        .withColumn(
+            "cents",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
+
+
 STATEFUL_OUTPUT = "user_id bigint, cum_events bigint, cum_cents bigint"
 STATEFUL_STATE = "cum_events bigint, cum_cents bigint"
 
