@@ -74,12 +74,19 @@ def _bucket(token: str, dim: int) -> int:
 
 def embed_text(text: str, dim: int = DEFAULT_DIM) -> np.ndarray:
     """Driver-side single-text twin of hash_embed_expr (for tests and
-    ad-hoc query vectors)."""
+    ad-hoc query vectors). BIT-exact against the expression form: the
+    squared-norm accumulates left-to-right (the aggregate/list_reduce
+    fold order both engines use) rather than np.sum's pairwise order —
+    an ulp in the norm would otherwise leak through the division and
+    flake rounded checksums at scale."""
     toks = (text or "").lower().split()
     tf = np.zeros(dim, dtype=np.float64)
     if toks:
         np.add.at(tf, [_bucket(t, dim) for t in toks], 1.0)
-    n = np.sqrt((tf * tf).sum())
+    n2 = 0.0
+    for x in tf:
+        n2 += x * x
+    n = np.sqrt(n2)
     return tf / n if n > 0 else tf
 
 

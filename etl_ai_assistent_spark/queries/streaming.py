@@ -47,6 +47,37 @@ def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_sliding",
+    oracle="""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 1000000 AS ts_s,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+),
+assigned AS (
+  SELECT event_type, v,
+         (ts_s // 3600 - k) * 3600 AS win_start_s
+  FROM e, (SELECT unnest([0, 1]) AS k)
+)
+SELECT win_start_s, event_type,
+       count(*) AS n,
+       CAST(sum(v) AS DOUBLE) AS total_value
+FROM assigned
+GROUP BY 1, 2
+""",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h event-time windows executed by the streaming engine
+    (watermarked state, two windows per event) and drained to
+    completion — the streaming twin of the batch q_sliding_windows,
+    against the same integer-hour replay oracle."""
+    events = SP.read_events_stream(spark, sf_dir)
+    return SP.run_to_memory(
+        SP.sliding_windows(events), prefix="sliding", mode="complete"
+    )
+
+
+@register(
     "q_stream_sessions",
     oracle=f"""
 WITH e AS (

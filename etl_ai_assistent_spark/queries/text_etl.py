@@ -369,9 +369,7 @@ def q_chunk_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBED_DIM = 32
 
 
-@register(
-    "q_hash_embed_profile",
-    oracle=f"""
+_EMBED_PROFILE_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
@@ -403,18 +401,12 @@ SELECT doc_id,
        round(list_reduce(list_transform(generate_series(1, {EMBED_DIM}),
              i -> e[i] * i), (a, b) -> a + b), 6) AS checksum
 FROM emb
-""",
-)
-def q_hash_embed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G4 deterministic feature-hash embedding (replacing the reference's
-    per-chunk Ollama HTTP call, embedder_service.py:4-9) — built-in
-    expressions only, so the whole embedding is oracle-checkable
-    bit-exactly. Emits scalar profiles (nnz/argmax/weighted checksum)
-    rather than the raw vector to keep the comparison canonical."""
-    docs = io.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    emb = docs.select(
-        "doc_id", hash_embed_expr("text", EMBED_DIM).alias("e")
-    )
+"""
+
+
+def _embed_profile(emb: DataFrame) -> DataFrame:
+    """(doc_id, e ARRAY<DOUBLE>) -> the canonical scalar profile
+    (nnz / argmax / weighted checksum) both embed queries emit."""
     idx = F.sequence(F.lit(1), F.lit(EMBED_DIM)).cast("array<double>")
     return emb.select(
         "doc_id",
@@ -429,6 +421,38 @@ def q_hash_embed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("checksum"),
     )
+
+
+@register("q_hash_embed_profile", oracle=_EMBED_PROFILE_ORACLE)
+def q_hash_embed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 deterministic feature-hash embedding (replacing the reference's
+    per-chunk Ollama HTTP call, embedder_service.py:4-9) — built-in
+    expressions only, so the whole embedding is oracle-checkable
+    bit-exactly. Emits scalar profiles (nnz/argmax/weighted checksum)
+    rather than the raw vector to keep the comparison canonical."""
+    docs = io.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return _embed_profile(
+        docs.select("doc_id", hash_embed_expr("text", EMBED_DIM).alias("e"))
+    )
+
+
+@register("q_client_embed_profile", oracle=_EMBED_PROFILE_ORACLE)
+def q_client_embed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pluggable external-model client seam under the driver's gate:
+    the same embedding profile as q_hash_embed_profile, but computed
+    through operators/embedder.pluggable_embedder — batched EmbedClient
+    calls inside an Arrow pandas UDF with retry/pad-truncate — using the
+    deterministic local client. The client path must be bit-identical to
+    the expression path (embed_text accumulates its norm in the same
+    left-to-right fold order), so BOTH share one oracle. Swapping in an
+    HTTP model changes only the client_factory."""
+    from ..operators.embedder import HashEmbedClient, pluggable_embedder
+
+    embed = pluggable_embedder(
+        lambda: HashEmbedClient(EMBED_DIM), dim=EMBED_DIM, batch_size=128
+    )
+    docs = io.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return _embed_profile(docs.select("doc_id", embed("text").alias("e")))
 
 
 # --- P12/P14 + K4: vector-store point records -------------------------------------------

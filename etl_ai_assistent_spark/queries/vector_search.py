@@ -89,9 +89,7 @@ N_QUERIES = 20
 KNN_K = 3
 
 
-@register(
-    "q_knn_join",
-    oracle=f"""
+_KNN_ORACLE = f"""
 WITH queries AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
   WHERE vec_id < {N_QUERIES}
@@ -110,8 +108,10 @@ ranked AS (
 )
 SELECT query_id, item_id, score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {KNN_K}
-""",
-)
+"""
+
+
+@register("q_knn_join", oracle=_KNN_ORACLE)
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force kNN join: top-3 neighbors for each of the first
     20 vectors. The query side is broadcast; scoring is map-side."""
@@ -279,6 +279,20 @@ def q_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_topk(emb, queries, k=SRP_K)
 
 
+@register("q_ann_topk", oracle=_KNN_ORACLE)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-vs-approximate strategy chooser (similarity.ann_topk):
+    below exact_max_rows it must route to the brute-force knn_join —
+    which is what this corpus exercises, so the oracle is exactly
+    q_knn_join's. The SRP branch is separately verified by q_srp_topk;
+    the routing itself (the count() probe and the identical output
+    contract on both branches) is what this query puts under the
+    driver's gate."""
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return similarity.ann_topk(emb, queries, k=KNN_K)
+
+
 @register(
     "q_label_centroids",
     oracle="""
@@ -383,7 +397,18 @@ def q_vectorize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.embedder import hash_embed_expr
 
     path = _lines_fixture(spark, sf_dir)
-    lines = io.read_text_lines(spark, path).filter(F.col("line") != "").distinct()
+    # AQE coalesces the tiny post-distinct shuffle (a few MB) down to ONE
+    # partition — byte-cheap but compute-fatal here, because the
+    # downstream interpreted-HOF embedding then runs on a single task
+    # (observed: minutes at sf0.1 on one core vs seconds across 32). An
+    # explicit user repartition AFTER the distinct is respected by AQE
+    # and spreads the narrow embed; its own shuffle is a few MB.
+    lines = (
+        io.read_text_lines(spark, path)
+        .filter(F.col("line") != "")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     recs = lines.select(
         F.md5("line").alias("point_id"),
         F.lit("hash-64").alias("model"),

@@ -80,8 +80,11 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_embedding_near_dup",
     # new in round 2 — no verdict yet
     "q_stream_dedup",
+    "q_stream_sliding",
     "q_scd2_intervals",
     "q_tfidf_retrieval",
+    "q_ann_topk",
+    "q_client_embed_profile",
 )
 
 

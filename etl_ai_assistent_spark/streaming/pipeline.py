@@ -119,6 +119,29 @@ def tumbling_hourly(events: DataFrame) -> DataFrame:
     # batch twin (q_tumbling_hourly) for exact distincts.
 
 
+def sliding_windows(events: DataFrame) -> DataFrame:
+    """Event-time sliding windows (2h length, 1h slide) with a 1-hour
+    watermark: each event lands in two overlapping windows (the engine's
+    internal explode), state bounded by the watermark. Streaming twin of
+    queries/events.q_sliding_windows."""
+    return (
+        events.withWatermark("ts_ts", "1 hour")
+        .groupBy(F.window("ts_ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start_s"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Native session windows (session_window + watermark): per-user
     sessions merging events closer than `gap`; a new session starts when

@@ -18,6 +18,7 @@ from etl_ai_assistent_spark.registry import queries
 # either dimension-sized or candidate-pruned by construction).
 ALLOWED_CROSS = {
     "q_knn_join",  # brute-force query×corpus scoring (queries side is tiny)
+    "q_ann_topk",  # routes to q_knn_join's exact plan below exact_max_rows
     "q_topk_cosine",  # single query vector vs corpus
     "q_ivf_topk",  # centroid assignment cross (centroid set is tiny)
     "q_rag_retrieval",  # probe×doc bucket join is equi; gold-rank windows
@@ -26,7 +27,14 @@ ALLOWED_CROSS = {
 
 # Streaming memory-sink queries execute eagerly on construction; the
 # batch plan string isn't comparable. Excluded from plan lint.
-STREAMING = {"q_stream_tumbling_hourly", "q_stream_sessions", "q_stream_doc_ingest"}
+STREAMING = {
+    "q_stream_tumbling_hourly",
+    "q_stream_sessions",
+    "q_stream_sliding",
+    "q_stream_stateful_totals",
+    "q_stream_dedup",
+    "q_stream_doc_ingest",
+}
 
 # The docx queries materialize a 500-file fixture corpus first — slow to
 # plan-lint on every run and join-only; covered by their parity checks.

@@ -207,10 +207,10 @@ def test_hash_embed_expr_matches_pandas_and_local(spark, sf_small):
         hash_embed_pandas("text", 32).alias("e_pandas"),
     ).collect()
     for r in both:
-        assert r["e_expr"] == pytest.approx(r["e_pandas"], abs=1e-12)
-        assert r["e_expr"] == pytest.approx(
-            embed_text(r["text"], 32).tolist(), abs=1e-12
-        )
+        # exact, not approx: embed_text's norm fold is left-to-right like
+        # the expression form, so the three paths are bit-identical
+        assert r["e_expr"] == r["e_pandas"]
+        assert r["e_expr"] == embed_text(r["text"], 32).tolist()
         norm = sum(x * x for x in r["e_expr"])
         assert norm == pytest.approx(1.0, abs=1e-9)
 
