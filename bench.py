@@ -50,6 +50,13 @@ HEADLINE = [
     "q_byte_features",
     # retrieval evaluation (sparse hashed-TF, bucket equi-join)
     "q_rag_retrieval",
+    # sketches / physical design / iterative graph (round-2 families).
+    # q_bucketed_join's first run pays the one-time bucketed write; the
+    # min-of-runs reports the steady state a warehouse actually lives in.
+    "q_hll_distinct",
+    "q_histogram_quantiles",
+    "q_bucketed_join",
+    "q_pagerank_nations",
     # structured streaming (micro-batch engine end-to-end). The custom
     # stateful query (q_stream_stateful_totals) is excluded: its wall
     # clock is 4 micro-batches of fixed state-store/python-worker setup,

@@ -8,6 +8,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import io
+from ..functions import text as TX
+from ..operators import sketch as SK
 from ..operators.skew import salted_join
 from ..registry import register
 
@@ -42,4 +44,313 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("type_tag").agg(
         F.count("*").alias("n"),
         F.sum("v").cast("double").alias("total_value"),
+    )
+
+
+# --- distributed sketches (operators/sketch.py) -----------------------------------------
+
+# DuckDB twins of the sketch hash primitives (same md5-slice family as
+# text_analysis.SPLIT_BUCKET).
+_HLL_H = "md5('hll|' || CAST(o_custkey AS VARCHAR))"
+_HLL_REGS = f"""
+regs AS (
+  SELECT o_orderpriority, register, max(rho) AS max_rho
+  FROM (
+    SELECT o_orderpriority,
+           CAST(CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS INT) AS register,
+           CAST(CASE WHEN CAST(('0x' || substr(h, 3, 8)) AS BIGINT) = 0 THEN 33
+                     ELSE 33 - length(bin(CAST(('0x' || substr(h, 3, 8)) AS BIGINT)))
+                END AS INT) AS rho
+    FROM (SELECT o_orderpriority, {_HLL_H} AS h FROM orders)
+  )
+  GROUP BY 1, 2
+)
+"""
+
+
+@register(
+    "q_hll_registers",
+    oracle=f"""
+WITH {_HLL_REGS}
+SELECT o_orderpriority, register, CAST(max_rho AS INT) AS max_rho
+FROM regs
+""",
+)
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register state for distinct-customer counting per
+    order priority — the MERGEABLE sketch itself (union + re-max rolls
+    per-partition/per-day sketches up without re-reading keys). One
+    narrow hash map then groupBy(priority, register).max: partial-max
+    combines map-side, so the shuffle carries <= 5*256 rows at ANY input
+    scale — the whole point of sketching 100 TB. All-integer output,
+    bit-exact vs the oracle's identical md5-register construction."""
+    orders = io.load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey"
+    )
+    regs = SK.hll_registers(orders, "o_custkey", ["o_orderpriority"])
+    return regs.withColumn("max_rho", F.col("max_rho").cast("int"))
+
+
+@register(
+    "q_hll_distinct",
+    oracle=f"""
+WITH {_HLL_REGS},
+est AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS filled,
+         round(CAST({SK.ALPHA_256!r} AS DOUBLE) * 65536.0 /
+               (sum(1.0 / CAST(CAST(1 AS BIGINT) << max_rho AS DOUBLE))
+                + (256 - count(*)) * 1.0), 6) AS hll_estimate
+  FROM regs GROUP BY 1
+),
+exact AS (
+  SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+  FROM orders GROUP BY 1
+)
+SELECT e.o_orderpriority, e.filled, e.hll_estimate, x.n_exact,
+       CAST(floor(abs(e.hll_estimate - x.n_exact) * 1000000.0 / x.n_exact + 0.5)
+            AS BIGINT) AS err_ppm
+FROM est e JOIN exact x USING (o_orderpriority)
+""",
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-customer estimate per order priority next to the
+    exact count and the relative error in ppm. The 2^-rho register sum
+    is EXACT in doubles (<=256 powers of two spanning 33 bits fit a
+    53-bit mantissa), so the only inexact step is the final alpha*m^2/S
+    division — performed identically by both engines from one shared
+    literal, then rounded to 6 dp. At ~1300 true distincts per group
+    (sf0.01) the m=256 raw estimate lands within a few percent — and the
+    exact side is the expensive plan (count DISTINCT = full key shuffle)
+    that the sketch replaces at 100 TB."""
+    orders = io.load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey"
+    )
+    regs = SK.hll_registers(orders, "o_custkey", ["o_orderpriority"])
+    est = SK.hll_estimate(regs, ["o_orderpriority"])
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("n_exact")
+    )
+    return est.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "filled",
+        "hll_estimate",
+        "n_exact",
+        F.floor(
+            F.abs(F.col("hll_estimate") - F.col("n_exact"))
+            * F.lit(1000000.0)
+            / F.col("n_exact")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("err_ppm"),
+    )
+
+
+_CMS_TOKS = """
+tok1 AS (
+  SELECT unnest(tok_list) AS token
+  FROM (SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(lower(trim(text)), '\\s+') END AS tok_list
+        FROM documents)
+)
+"""
+
+
+@register(
+    "q_countmin_heavy",
+    oracle=f"""
+WITH {_CMS_TOKS},
+cells AS (
+  SELECT i.k AS row,
+         CAST(('0x' || substr(md5('cms' || CAST(i.k AS VARCHAR) || '|' || token), 1, 8))
+              AS BIGINT) % 1024 AS col
+  FROM tok1, (SELECT unnest([0, 1, 2, 3]) AS k) i
+),
+sketch AS (
+  SELECT row, col, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2
+),
+exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_n FROM tok1 GROUP BY 1
+),
+probes AS (
+  SELECT e.token, e.exact_n, i.k AS row,
+         CAST(('0x' || substr(md5('cms' || CAST(i.k AS VARCHAR) || '|' || e.token), 1, 8))
+              AS BIGINT) % 1024 AS col
+  FROM exact e, (SELECT unnest([0, 1, 2, 3]) AS k) i
+)
+SELECT p.token, p.exact_n, min(s.cnt) AS cms_est,
+       min(s.cnt) - p.exact_n AS overcount
+FROM probes p JOIN sketch s USING (row, col)
+GROUP BY 1, 2
+""",
+)
+def q_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch over the document token stream, read
+    back for every distinct token next to its exact count. The 4x1024
+    counter grid partial-aggs map-side (shuffle bounded by 4096 cells,
+    never corpus size); point estimates are one broadcast equi-join of
+    token probes against the grid + a min per token. `overcount` >= 0
+    by construction (CMS never under-counts) — the oracle replays the
+    identical deterministic grid, so even collision cells match
+    bit-for-bit."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(TX.tokens("text")).alias("token"))
+    grid = SK.cms_build(tokens, "token")
+    exact = tokens.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("exact_n")
+    )
+    est = SK.cms_point_estimates(grid, exact, "token")
+    return est.join(exact, "token").select(
+        "token",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+# --- bucketed co-located join (operators/bucketing.py) ----------------------------------
+
+@register(
+    "q_bucketed_join",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+""",
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join + per-order rollup over tables bucketed on the
+    join key: orders and lineitem are written bucketBy(16, orderkey)
+    once, then BOTH the join and the groupBy(o_orderkey) reuse the
+    on-disk hash layout — the executed plan has ZERO shuffle exchanges
+    (asserted by tests/test_partitioning.py::test_bucketed_join_no_exchange).
+    At 100 TB this is the difference between re-shuffling both fact
+    tables nightly and reading co-located buckets. The oracle is the
+    plain unbucketed join — physical design must not change a row."""
+    from ..operators.bucketing import bucketed_table
+
+    o = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    return (
+        o.select("o_orderkey", "o_orderpriority")
+        .join(li.select("l_orderkey", "l_extendedprice"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# --- histogram quantile estimation ------------------------------------------------------
+
+_HIST_QS = (0.5, 0.95, 0.99)
+_HIST_BINS = 1000
+
+
+@register(
+    "q_histogram_quantiles",
+    oracle=f"""
+WITH x AS (SELECT l_extendedprice AS x FROM lineitem),
+s AS (SELECT min(x) AS mn, max(x) AS mx, CAST(count(*) AS BIGINT) AS n FROM x),
+b AS (
+  SELECT CAST(least(floor((x - mn) * {_HIST_BINS}.0 / (mx - mn)), {_HIST_BINS - 1})
+              AS INT) AS bin
+  FROM x, s
+),
+h AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+c AS (SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM h),
+qs AS (SELECT unnest([{", ".join(f"CAST({q} AS DOUBLE)" for q in _HIST_QS)}]) AS q),
+pick AS (
+  SELECT q, min(bin) AS bin
+  FROM qs, c, s
+  WHERE c.cum >= ceil(q * s.n)
+  GROUP BY q
+),
+ex AS (
+  {" UNION ALL ".join(f"SELECT CAST({q} AS DOUBLE) AS q, round(quantile_cont(x, {q}), 6) AS exact_p FROM x" for q in _HIST_QS)}
+)
+SELECT p.q,
+       round(s.mn + (p.bin + 0.5) * (s.mx - s.mn) / {_HIST_BINS}.0, 6) AS hist_p,
+       ex.exact_p
+FROM pick p, s
+JOIN ex ON ex.q = p.q
+""",
+)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a fixed 1000-bin equi-width histogram
+    next to the exact interpolated percentile. The histogram is the
+    scale path: groupBy(bin) partial-aggs map-side (shuffle bounded by
+    the bin count, never row count) and histograms MERGE across
+    partitions/days — exact percentiles need a full sort of 100 TB.
+    Estimate = midpoint of the first bin whose cumulative count reaches
+    ceil(q*n); every float step (bin assignment, midpoint) is the same
+    left-associative expression on both engines, so even collision bins
+    match bit-for-bit."""
+    x = io.load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    s = x.agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count("*").cast("bigint").alias("n"),
+        *[
+            F.round(F.expr(f"percentile(x, {q})"), 6).alias(f"p{i}")
+            for i, q in enumerate(_HIST_QS)
+        ],
+    )
+    b = x.crossJoin(F.broadcast(s.select("mn", "mx"))).select(
+        F.least(
+            F.floor((F.col("x") - F.col("mn")) * F.lit(float(_HIST_BINS)) / (F.col("mx") - F.col("mn"))),
+            F.lit(_HIST_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    h = b.groupBy("bin").agg(F.count("*").cast("bigint").alias("cnt"))
+    from pyspark.sql.window import Window
+
+    c = h.select(
+        "bin",
+        F.sum("cnt").over(Window.orderBy("bin")).cast("bigint").alias("cum"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in _HIST_QS])).alias("q")
+    )
+    pick = (
+        qs.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(s.select("n")))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    ex = s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"), F.col(f"p{i}").alias("exact_p")
+                    )
+                    for i, q in enumerate(_HIST_QS)
+                ]
+            )
+        ).alias("e")
+    ).select(F.col("e.q").alias("q"), F.col("e.exact_p").alias("exact_p"))
+    return (
+        pick.crossJoin(F.broadcast(s.select("mn", "mx")))
+        .select(
+            "q",
+            F.round(
+                F.col("mn")
+                + (F.col("bin") + F.lit(0.5)) * (F.col("mx") - F.col("mn")) / F.lit(float(_HIST_BINS)),
+                6,
+            ).alias("hist_p"),
+        )
+        .join(ex, "q")
     )

@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "etl_ai_assistent_spark.queries.docx",
     "etl_ai_assistent_spark.queries.rag",
     "etl_ai_assistent_spark.queries.scale",
+    "etl_ai_assistent_spark.queries.graph",
 )
 
 _loaded = False
@@ -85,6 +86,12 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_tfidf_retrieval",
     "q_ann_topk",
     "q_client_embed_profile",
+    "q_hll_registers",
+    "q_hll_distinct",
+    "q_countmin_heavy",
+    "q_bucketed_join",
+    "q_pagerank_nations",
+    "q_histogram_quantiles",
 )
 
 

@@ -18,6 +18,8 @@ from etl_ai_assistent_spark.registry import queries
 # either dimension-sized or candidate-pruned by construction).
 ALLOWED_CROSS = {
     "q_knn_join",  # brute-force query×corpus scoring (queries side is tiny)
+    "q_histogram_quantiles",  # 3-quantile probe × 1000-bin histogram, both broadcast-tiny
+    "q_pagerank_nations",  # scalar-count subquery into the 25-node rank init
     "q_ann_topk",  # routes to q_knn_join's exact plan below exact_max_rows
     "q_topk_cosine",  # single query vector vs corpus
     "q_ivf_topk",  # centroid assignment cross (centroid set is tiny)
