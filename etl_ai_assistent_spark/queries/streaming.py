@@ -225,3 +225,29 @@ def q_stream_doc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.run_to_memory(
         SP.doc_ingest(docs, CHUNK_SIZE, OVERLAP), prefix="doc_ingest", mode="complete"
     )
+
+
+@register(
+    "q_stream_join",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, value FROM events
+)
+SELECT s.user_id, s.us AS signup_us, p.us AS purchase_us,
+       CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS purchase_cents
+FROM e s JOIN e p ON s.user_id = p.user_id
+WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+  AND p.us >= s.us AND p.us < s.us + 86400000000
+""",
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (signups x purchases within 24h per
+    user) executed by the streaming engine over a 4-micro-batch replay —
+    join state crosses batch boundaries, watermarks bound it. Append
+    mode: inner interval joins emit exactly the batch-join result, which
+    is what the replayed-batch oracle checks row-for-row."""
+    return SP.run_to_memory(
+        SP.stream_stream_purchase_join(spark, sf_dir),
+        prefix="ssjoin",
+        mode="append",
+    )

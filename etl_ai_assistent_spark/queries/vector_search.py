@@ -222,9 +222,7 @@ def _srp_signs_sql() -> str:
 SRP_K = 3
 
 
-@register(
-    "q_srp_topk",
-    oracle=f"""
+_SRP_ORACLE = f"""
 WITH {_srp_signs_sql()},
 item_bits AS (
   SELECT e.vec_id AS id, s.j,
@@ -264,8 +262,10 @@ ranked AS (
 )
 SELECT query_id, item_id, score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {SRP_K}
-""",
-)
+"""
+
+
+@register("q_srp_topk", oracle=_SRP_ORACLE)
 def q_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate kNN (signed random projections): 16-bit
     signatures from deterministic md5-parity hyperplanes, banded 4×4;
@@ -426,4 +426,142 @@ def q_vectorize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.col("pos0") + 1).cast("int").alias("pos"),
         "val",
+    )
+
+
+@register(
+    "q_int8_quantize",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_aggregate(v, 'min') AS mn,
+         list_aggregate(v, 'max') AS mx
+  FROM e
+),
+q AS (
+  SELECT vec_id, v, mn, mx,
+         list_transform(v, x ->
+           CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INT)) AS codes
+  FROM s
+)
+SELECT vec_id,
+       CAST(len(v) AS INT) AS n_dims,
+       round(mn, 6) AS qmin,
+       round(mx, 6) AS qmax,
+       CAST(list_reduce(list_transform(generate_series(1, len(codes)),
+              i -> CAST(codes[i] AS BIGINT) * i), (a, b) -> a + b) AS BIGINT)
+         AS code_cksum,
+       round(list_reduce(list_transform(generate_series(1, len(v)),
+              i -> abs(v[i] - (mn + codes[i] * ((mx - mn) / 255.0)))),
+              (a, b) -> greatest(a, b)), 6) AS max_abs_err
+FROM q
+""",
+)
+def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding store (the vector-DB
+    compression staple: 4x smaller than float32, cheap SIMD distance):
+    per-vector [min, max] affine-mapped to codes 0..255, plus the
+    reconstruction-error audit a quantized index ships with. Narrow
+    per-row map — no shuffle at all; at 100 TB this runs as a pure
+    scan-transform-write alongside the parquet rewrite. Quantization and
+    error fold are the same left-to-right double expressions on both
+    engines (position-weighted integer code checksum pins every code
+    exactly; max-of-abs is order-insensitive), so parity is bit-level."""
+    from ..functions import vector as VX
+
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    v = VX.as_double("embedding")
+    mn = F.array_min(v)
+    mx = F.array_max(v)
+    codes = F.transform(
+        v,
+        lambda x: F.floor((x - mn) * F.lit(255.0) / (mx - mn) + F.lit(0.5)).cast(
+            "int"
+        ),
+    )
+    scale = (mx - mn) / F.lit(255.0)
+    base = emb.select(
+        "vec_id",
+        v.alias("v"),
+        mn.alias("mn"),
+        mx.alias("mx"),
+        codes.alias("codes"),
+    )
+    idx = F.sequence(F.lit(1), F.size("codes"))
+    return base.select(
+        "vec_id",
+        F.size("v").cast("int").alias("n_dims"),
+        F.round("mn", 6).alias("qmin"),
+        F.round("mx", 6).alias("qmax"),
+        F.aggregate(
+            F.zip_with(
+                F.col("codes").cast("array<bigint>"),
+                idx.cast("array<bigint>"),
+                lambda c, i: c * i,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, b: a + b,
+        ).alias("code_cksum"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.col("codes"),
+                    lambda x, q: F.abs(
+                        x - (F.col("mn") + q * ((F.col("mx") - F.col("mn")) / F.lit(255.0)))
+                    ),
+                ),
+                F.lit(0.0),
+                lambda a, e: F.greatest(a, e),
+            ),
+            6,
+        ).alias("max_abs_err"),
+    )
+
+
+@register(
+    "q_ann_recall",
+    oracle=f"""
+WITH exact_k AS (SELECT query_id, item_id FROM ({_KNN_ORACLE.strip()})),
+srp_k AS (SELECT query_id, item_id FROM ({_SRP_ORACLE.strip()})),
+hits AS (
+  SELECT e.query_id, CAST(count(s.item_id) AS BIGINT) AS n_hits
+  FROM exact_k e LEFT JOIN srp_k s
+    ON e.query_id = s.query_id AND e.item_id = s.item_id
+  GROUP BY 1
+)
+SELECT query_id, n_hits,
+       CAST((1000000 * n_hits) // {KNN_K} AS BIGINT) AS recall_ppm
+FROM hits
+""",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the SRP-LSH index against exact brute-force
+    kNN — the evaluation loop every production ANN deployment runs
+    before trusting an approximate index. Per query: how many of the
+    exact top-{KNN_K} the LSH candidates recovered, as an exact integer
+    ppm (no floats anywhere). Both sides are the engine's own verified
+    operators; at 100 TB this runs on a sampled query set while the
+    banding parameters are tuned."""
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = similarity.knn_join(emb, queries, k=KNN_K).select("query_id", "item_id")
+    srp = (
+        similarity.srp_topk(emb, queries, k=SRP_K)
+        .select("query_id", "item_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(srp, ["query_id", "item_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").cast("bigint").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"(1000000 * n_hits) div {KNN_K}").cast("bigint").alias("recall_ppm"),
+        )
     )

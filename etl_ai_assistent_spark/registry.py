@@ -92,6 +92,9 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_bucketed_join",
     "q_pagerank_nations",
     "q_histogram_quantiles",
+    "q_stream_join",
+    "q_int8_quantize",
+    "q_ann_recall",
 )
 
 

@@ -355,3 +355,59 @@ def stream_to_parquet(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_stream_purchase_join(
+    spark: SparkSession, sf_dir: str, watermark: str = "60 days"
+) -> DataFrame:
+    """Stream-stream interval join: the signup stream joined to the
+    purchase stream per user, keeping purchases inside [signup, signup +
+    24h). Both sides are REAL streaming sources over the 4-file split
+    fixture (maxFilesPerTrigger=1), so matches routinely pair rows from
+    DIFFERENT micro-batches — the join state store is doing real work.
+
+    Watermarks + the event-time range predicate are what BOUND that
+    state: each side can evict rows older than (max event time -
+    watermark - range). The fixture splits by event_id hash, not time,
+    so every micro-batch spans the whole month and a short watermark
+    would *drop* late rows mid-replay — the 60-day setting covers the
+    fixture's 30-day span, trading state size for zero drops, which is
+    exactly the knob a production deployment tunes the other way."""
+    def _src() -> DataFrame:
+        return read_events_stream_split(spark, sf_dir).withColumn(
+            "ts_ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+
+    signups = (
+        _src()
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"), F.col("ts_ts").alias("s_ts")
+        )
+        .withWatermark("s_ts", watermark)
+    )
+    purchases = (
+        _src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts_ts").alias("p_ts"),
+            F.col("value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = signups.join(
+        purchases,
+        F.expr(
+            "s_user = p_user AND p_ts >= s_ts"
+            " AND p_ts < s_ts + INTERVAL 24 HOURS"
+        ),
+    )
+    return joined.select(
+        F.col("s_user").alias("user_id"),
+        F.unix_micros("s_ts").alias("signup_us"),
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("purchase_cents"),
+    )

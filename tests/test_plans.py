@@ -21,6 +21,7 @@ ALLOWED_CROSS = {
     "q_histogram_quantiles",  # 3-quantile probe × 1000-bin histogram, both broadcast-tiny
     "q_pagerank_nations",  # scalar-count subquery into the 25-node rank init
     "q_ann_topk",  # routes to q_knn_join's exact plan below exact_max_rows
+    "q_ann_recall",  # embeds q_knn_join's exact side as the recall baseline
     "q_topk_cosine",  # single query vector vs corpus
     "q_ivf_topk",  # centroid assignment cross (centroid set is tiny)
     "q_rag_retrieval",  # probe×doc bucket join is equi; gold-rank windows
@@ -35,6 +36,7 @@ STREAMING = {
     "q_stream_sliding",
     "q_stream_stateful_totals",
     "q_stream_dedup",
+    "q_stream_join",
     "q_stream_doc_ingest",
 }
 
