@@ -430,3 +430,61 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").alias("max_gap_us"),
         F.sum("gap_us").cast("bigint").alias("total_gap_us"),
     )
+
+
+@register(
+    "q_value_anomalies",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+              AS DOUBLE) AS s2
+  FROM events GROUP BY 1
+),
+mom AS (
+  SELECT event_type, n, s / n AS mu,
+         sqrt(s2 / n - (s / n) * (s / n)) AS sigma
+  FROM stats
+)
+SELECT e.event_id, e.event_type,
+       CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS value_cents,
+       round((e.value - m.mu) / m.sigma, 6) AS z
+FROM events e JOIN mom m ON e.event_type = m.event_type
+WHERE abs((e.value - m.mu) / m.sigma) > 3.0
+""",
+)
+def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 3) — the monitoring query
+    a pipeline runs over every metric stream. Moments come from
+    DECIMAL-exact sums (order-free, so bit-identical on any partitioning),
+    widened to DOUBLE once; mean/sigma/z are then the same IEEE
+    expressions on both engines. Two-pass shape: a 5-row broadcast of
+    per-type moments back onto the fact scan — at 100 TB that's one
+    partial-agg shuffle plus a narrow filtered map, no sort anywhere."""
+    e = io.load_events(spark, sf_dir)
+    dec = F.col("value").cast("decimal(12,2)")
+    stats = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    mom = stats.select(
+        "event_type",
+        (F.col("s") / F.col("n")).alias("mu"),
+        F.sqrt(
+            F.col("s2") / F.col("n") - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+        ).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(mom), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("value_cents"),
+            F.round(z, 6).alias("z"),
+        )
+    )

@@ -87,30 +87,35 @@ scored AS (
 """
 
 
+def _tf(df: DataFrame, id_out: str, tok_expr) -> DataFrame:
+    """Sparse hashed-TF: (id, bucket, count). Exact in doubles later on
+    because every partial product is a small integer."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+        % DIM
+    )
+    return (
+        df.select(F.col("doc_id").alias(id_out), F.explode(tok_expr).alias("tok"))
+        .groupBy(id_out, bucket.alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def _norm(df: DataFrame, key: str) -> DataFrame:
+    return df.groupBy(key).agg(
+        F.sqrt(F.sum((F.col("c") * F.col("c")).cast("double"))).alias("nrm")
+    )
+
+
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = TX.tokens(F.lower(F.col("text")))
-
-    def tf(df: DataFrame, id_out: str, tok_expr) -> DataFrame:
-        bucket = (
-            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
-            % DIM
-        )
-        return (
-            df.select(F.col("doc_id").alias(id_out), F.explode(tok_expr).alias("tok"))
-            .groupBy(id_out, bucket.alias("bucket"))
-            .agg(F.count("*").alias("c"))
-        )
+    tf, norm = _tf, _norm
 
     doc_tf = tf(docs, "doc_id", toks)
     probe_tf = tf(
         docs.filter(F.col("doc_id") < N_PROBES), "probe_id", F.slice(toks, 3, 10)
     )
-
-    def norm(df: DataFrame, key: str) -> DataFrame:
-        return df.groupBy(key).agg(
-            F.sqrt(F.sum((F.col("c") * F.col("c")).cast("double"))).alias("nrm")
-        )
 
     doc_norm = norm(doc_tf, "doc_id")
     probe_norm = norm(probe_tf, "probe_id").withColumnRenamed("nrm", "pnrm")
@@ -311,4 +316,98 @@ def q_rag_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).cast("bigint").alias("n_hits"),
         (F.sum(hit).cast("double") / F.count("*")).alias("hit_rate"),
         F.round(F.avg(F.lit(1.0) / F.col("gold_rank")), 6).alias("mrr"),
+    )
+
+
+RERANK_CAND = 20
+RERANK_K = 5
+
+
+@register(
+    "q_rag_rerank",
+    oracle=f"""
+WITH {_SCORED_CTES},
+cands AS (SELECT probe_id, doc_id, cos AS cos1 FROM scored WHERE rank <= {RERANK_CAND}),
+pair_dots AS (
+  SELECT c.probe_id, c.doc_id, sum(CAST(p.c * d.c AS DOUBLE)) AS dot2
+  FROM cands c
+  JOIN doc_tf p ON p.doc_id = c.probe_id
+  JOIN doc_tf d ON d.doc_id = c.doc_id AND d.bucket = p.bucket
+  GROUP BY 1, 2
+),
+rer AS (
+  SELECT c.probe_id, c.doc_id, c.cos1,
+         round(COALESCE(pd.dot2, CAST(0 AS DOUBLE)) / (pn.nrm * dn.nrm), 6) AS cos2
+  FROM cands c
+  LEFT JOIN pair_dots pd ON pd.probe_id = c.probe_id AND pd.doc_id = c.doc_id
+  JOIN doc_norm pn ON pn.doc_id = c.probe_id
+  JOIN doc_norm dn ON dn.doc_id = c.doc_id
+),
+rr AS (
+  SELECT probe_id, doc_id, cos1, cos2,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos2 DESC, doc_id) AS rank2
+  FROM rer
+)
+SELECT probe_id, CAST(rank2 AS INT) AS rank2, doc_id, cos2, cos1
+FROM rr WHERE rank2 <= {RERANK_K}
+""",
+)
+def q_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade retrieval (the production RAG shape): the cheap sparse
+    probe-span stage recalls top-{RERANK_CAND} candidates, then an
+    expensive second stage — full-document TF cosine — rescores ONLY
+    those candidate pairs and keeps top-{RERANK_K}. The rerank join
+    touches |probes|x{RERANK_CAND} pairs, never the corpus: that bound
+    is the whole economics of cascades at 100 TB (stage-2 cost is
+    per-candidate, not per-document). Candidate pairs sharing no hash
+    bucket keep cos2 = 0 via the left join (both engines). All partial
+    products are small-integer doubles, so every sum is exact and the
+    two-stage ranking is bit-deterministic."""
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = TX.tokens(F.lower(F.col("text")))
+    cands = (
+        _scored(spark, sf_dir)
+        .filter(F.col("rank") <= RERANK_CAND)
+        .select("probe_id", "doc_id", F.col("cos").alias("cos1"))
+    )
+    doc_tf = _tf(docs, "doc_id", toks)
+    doc_norm = _norm(doc_tf, "doc_id")
+    pair_dots = (
+        cands.select("probe_id", "doc_id")
+        .join(
+            doc_tf.withColumnRenamed("doc_id", "probe_id").withColumnRenamed(
+                "c", "pc"
+            ),
+            "probe_id",
+        )
+        .join(doc_tf.withColumnRenamed("c", "dc"), ["doc_id", "bucket"])
+        .groupBy("probe_id", "doc_id")
+        .agg(F.sum((F.col("pc") * F.col("dc")).cast("double")).alias("dot2"))
+    )
+    rer = (
+        cands.join(pair_dots, ["probe_id", "doc_id"], "left")
+        .join(
+            doc_norm.withColumnRenamed("doc_id", "probe_id").withColumnRenamed(
+                "nrm", "pnrm"
+            ),
+            "probe_id",
+        )
+        .join(doc_norm, "doc_id")
+        .select(
+            "probe_id",
+            "doc_id",
+            "cos1",
+            F.round(
+                F.coalesce(F.col("dot2"), F.lit(0.0))
+                / (F.col("pnrm") * F.col("nrm")),
+                6,
+            ).alias("cos2"),
+        )
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(F.desc("cos2"), F.asc("doc_id"))
+    return (
+        rer.withColumn("rank2", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank2") <= RERANK_K)
+        .select("probe_id", "rank2", "doc_id", "cos2", "cos1")
     )

@@ -95,6 +95,8 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_stream_join",
     "q_int8_quantize",
     "q_ann_recall",
+    "q_rag_rerank",
+    "q_value_anomalies",
 )
 
 
