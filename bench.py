@@ -57,6 +57,9 @@ HEADLINE = [
     "q_histogram_quantiles",
     "q_bucketed_join",
     "q_pagerank_nations",
+    # behavioral / cascade retrieval (round-2)
+    "q_event_funnel",
+    "q_rag_rerank",
     # structured streaming (micro-batch engine end-to-end). The custom
     # stateful query (q_stream_stateful_totals) is excluded: its wall
     # clock is 4 micro-batches of fixed state-store/python-worker setup,

@@ -488,3 +488,206 @@ def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("z"),
         )
     )
+
+
+@register(
+    "q_event_funnel",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+s AS (
+  SELECT user_id, min(us) AS t_signup FROM e
+  WHERE event_type = 'signup' GROUP BY 1
+),
+v AS (
+  SELECT e.user_id, min(e.us) AS t_view
+  FROM e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'view' AND e.us >= s.t_signup
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.us) AS t_purchase
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.us >= v.t_view
+  GROUP BY 1
+)
+SELECT s.user_id,
+       CAST(1 + CAST(v.user_id IS NOT NULL AS INT)
+              + CAST(p.user_id IS NOT NULL AS INT) AS INT) AS stage,
+       s.t_signup,
+       v.t_view,
+       p.t_purchase
+FROM s LEFT JOIN v ON s.user_id = v.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+""",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup -> first view after it -> first purchase
+    after that) per user, with the stage reached and the stage
+    timestamps in integer µs. Three stage aggregations, each a
+    partial-agg'd min keyed on user — the standard behavioral-analytics
+    query, expressed so each stage only scans its event-type slice
+    (predicate pushed to the parquet scan) and shuffles user-keyed
+    minima, never raw event rows twice."""
+    e = io.load_events(spark, sf_dir).select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("us")
+    )
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_signup"))
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("us") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("us") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    return (
+        s.join(v, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("t_view").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            )
+            .cast("int")
+            .alias("stage"),
+            "t_signup",
+            "t_view",
+            "t_purchase",
+        )
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 // 7 AS week FROM events
+),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT e.user_id, c.cohort_week,
+         e.week - c.cohort_week AS week_offset
+  FROM e JOIN cohort c ON e.user_id = c.user_id
+)
+SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM activity GROUP BY 1, 2
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted once per (cohort, week-offset) they were active in. All
+    integer week arithmetic from µs epochs. Two user-keyed aggregations
+    plus a distinct — each partial-aggregated map-side; the output is
+    cohorts x offsets rows regardless of event volume, the shape that
+    lets a 100 TB events table produce a dashboard-sized result without
+    ever wide-shuffling raw rows."""
+    e = io.load_events(spark, sf_dir).select(
+        "user_id",
+        F.expr("ts DIV 1000 DIV 86400000000 DIV 7").alias("week"),
+    )
+    cohort = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = (
+        e.join(cohort, "user_id")
+        .select("user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+
+
+@register(
+    "q_group_regression",
+    oracle="""
+WITH base AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS hour_abs,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+origin AS (SELECT min(hour_abs) AS h0 FROM base),
+xy AS (
+  SELECT event_type, b.hour_abs - o.h0 AS x, cents AS y
+  FROM base b, origin o
+),
+sums AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY 1
+),
+fit AS (
+  SELECT event_type, n, sx, sy,
+         CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT)
+           AS slope_ppm
+  FROM sums
+)
+SELECT event_type, n,
+       slope_ppm AS slope_ppm_cents_per_hour,
+       CAST((1000000 * sy - slope_ppm * sx) // (1000000 * n) AS BIGINT)
+         AS intercept_cents
+FROM fit
+""",
+)
+def q_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-group OLS (value-cents vs hours-since-start):
+    slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) computed ENTIRELY in 64-bit
+    integers (x rebased to the corpus origin keeps every moment far from
+    overflow; slope emitted in ppm). This is distributed model fitting
+    as pure partial-agg sums — the five sufficient statistics combine
+    map-side and merge associatively, so fitting 100 TB is one bounded
+    shuffle of 5 numbers per group, no iteration, no solver."""
+    base = io.load_events(spark, sf_dir).select(
+        "event_type",
+        F.expr("ts DIV 1000 DIV 3600000000").alias("hour_abs"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    origin = base.agg(F.min("hour_abs").alias("h0"))
+    xy = base.crossJoin(F.broadcast(origin)).select(
+        "event_type",
+        (F.col("hour_abs") - F.col("h0")).alias("x"),
+        F.col("cents").alias("y"),
+    )
+    sums = xy.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    fit = sums.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        F.expr("(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)")
+        .cast("bigint")
+        .alias("slope_ppm"),
+    )
+    return fit.select(
+        "event_type",
+        "n",
+        F.col("slope_ppm").alias("slope_ppm_cents_per_hour"),
+        F.expr("(1000000 * sy - slope_ppm * sx) div (1000000 * n)")
+        .cast("bigint")
+        .alias("intercept_cents"),
+    )

@@ -97,6 +97,9 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_ann_recall",
     "q_rag_rerank",
     "q_value_anomalies",
+    "q_event_funnel",
+    "q_cohort_retention",
+    "q_group_regression",
 )
 
 
