@@ -108,14 +108,20 @@ def main() -> None:
     # contention; the minimum is the reproducible cost of the plan.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
+        # Fail-soft: one broken query must never zero the whole round's
+        # perf signal — record the error and keep timing the rest.
         best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = qs[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = qs[name](spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — report, don't crash
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     out = {
         "metric": "headline_query_total",
@@ -125,6 +131,8 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "runs_per_query": runs,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
 

@@ -24,18 +24,103 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scan the events table. Its `ts` is nanosecond-precision parquet,
-    which Spark's timestamp type (microseconds) cannot hold — so it is
-    read as epoch-nanos BIGINT (exact; also sidesteps ns-vs-us truncation
-    drift against the DuckDB oracle, which reads full nanos). Queries
-    derive epoch seconds via integer division.
+# Plausible epoch-µs range for event timestamps (2000-01-01 .. 2100-01-01).
+# A unit mix-up (ns read as µs, µs read as ns, s read as µs) lands orders
+# of magnitude outside this band, so the loader can fail LOUDLY instead of
+# silently shrinking or inflating every timestamp 1000x.
+TS_US_MIN = 946_684_800_000_000
+TS_US_MAX = 4_102_444_800_000_000
 
-    The conf is set here (runtime-settable) because the driver passes its
-    own SparkSession that won't have it in the builder.
+
+def ts_us_col(ts_dtype: str):
+    """Column expression normalizing an events `ts` of any physical type
+    the generator has shipped (int64 epoch-nanos, timestamp[us] NTZ or
+    UTC-adjusted) to canonical epoch-microseconds BIGINT. The DuckDB
+    oracle's `epoch_us(ts)` agrees with every branch: for legacy ns
+    parquet DuckDB truncates to µs exactly like `ts DIV 1000`, and for µs
+    parquet both read the stored integer unchanged."""
+    if ts_dtype == "bigint":  # legacy: int64 epoch-nanos read via nanosAsLong
+        return F.expr("ts DIV 1000")
+    if ts_dtype == "timestamp_ntz":
+        # Wall-clock-as-UTC epoch µs, independent of the session timezone.
+        return F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    if ts_dtype == "timestamp":
+        return F.unix_micros("ts")
+    raise TypeError(f"events.ts has unsupported dtype {ts_dtype!r}")
+
+
+_TS_SANITY_OK: set[str] = set()
+
+
+def assert_ts_unit_sane(path: str) -> None:
+    """Footer-only (no data scan) sanity check that the min/max of the
+    events `ts` column normalizes into a plausible epoch-µs band. Guards
+    against the silent-corruption mode where a re-typed testdata column
+    is decoded with the wrong unit. Cached per path; cheap (~ms)."""
+    if path in _TS_SANITY_OK:
+        return
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    field = pf.schema_arrow.field("ts")
+    lo = hi = None
+    for rg in range(pf.metadata.num_row_groups):
+        col = pf.metadata.row_group(rg).column(
+            [f.name for f in pf.schema_arrow].index("ts")
+        )
+        st = col.statistics
+        if st is None or not st.has_min_max:
+            return  # no stats — nothing to check
+        mn, mx = st.min, st.max
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    if lo is None:
+        return
+    unit = getattr(field.type, "unit", None)
+    scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}.get(unit, None)
+    if isinstance(lo, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=lo.tzinfo)
+        lo_us = int((lo - epoch).total_seconds() * 1_000_000)
+        hi_us = int((hi - epoch).total_seconds() * 1_000_000)
+    elif unit == "ns" or scale is None:  # int64 nanos (legacy) or raw int
+        lo_us, hi_us = int(lo) // 1000, int(hi) // 1000
+    else:
+        lo_us, hi_us = int(lo) * scale, int(hi) * scale
+    if not (TS_US_MIN <= lo_us <= hi_us <= TS_US_MAX):
+        raise AssertionError(
+            f"events ts unit sanity failed for {path}: normalized range "
+            f"[{lo_us}, {hi_us}] µs is outside [{TS_US_MIN}, {TS_US_MAX}] — "
+            "the physical type/unit of `ts` changed; update io.ts_us_col"
+        )
+    _TS_SANITY_OK.add(path)
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the events table, normalizing `ts` (whatever physical type the
+    generator shipped — int64 epoch-nanos or timestamp[us]) to ONE
+    canonical `ts_us` epoch-microseconds BIGINT column that every
+    downstream query consumes. Raw `ts` is dropped so no query can
+    accidentally re-derive with the wrong unit.
+
+    The nanosAsLong conf is set here (runtime-settable) because the
+    driver passes its own SparkSession that won't have it in the builder;
+    it only affects ns-precision columns, harmless otherwise.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return load_table(spark, sf_dir, "events")
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        assert_ts_unit_sane(path)
+    except (OSError, KeyError, ValueError):
+        pass  # multi-file/remote layout — the dtype dispatch still applies
+    df = load_table(spark, sf_dir, "events")
+    ts_us = ts_us_col(dict(df.dtypes)["ts"]).cast("bigint").alias("ts_us")
+    return df.select(
+        *[ts_us if c == "ts" else F.col(c) for c in df.columns]
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

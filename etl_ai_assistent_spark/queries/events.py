@@ -1,9 +1,10 @@
 """Event-stream queries in batch form (SURVEY.md §2.6 ● Streaming).
 
-`events.ts` is nanosecond parquet; the engine reads it as epoch-nanos
-BIGINT (io.load_events) — exact on both engines, no µs-truncation drift.
-Queries work in epoch seconds (`ts DIV 1e9`) or raw nanos; outputs never
-carry a raw nanosecond timestamp column.
+`io.load_events` normalizes `events.ts` (whatever physical type the
+generator shipped — int64 epoch-nanos or timestamp[us]) to ONE canonical
+`ts_us` epoch-microseconds BIGINT column — exact on both engines, in
+lock-step with the DuckDB oracle's `epoch_us(ts)`. Queries derive epoch
+seconds/hours/weeks from `ts_us` by integer division only.
 
 The streaming twins (Structured Streaming with watermarks) live in
 streaming/pipeline.py; these batch forms define the oracle-checked
@@ -21,12 +22,11 @@ from ..operators.sessionize import sessionize
 from ..registry import register
 
 SESSION_GAP_S = 1800
-NS = 1_000_000_000
 
 
 def _events_s(spark: SparkSession, sf_dir: str) -> DataFrame:
     return io.load_events(spark, sf_dir).withColumn(
-        "ts_s", F.expr(f"ts DIV {NS}")
+        "ts_s", F.expr("ts_us DIV 1000000")
     )
 
 
@@ -124,15 +124,13 @@ def q_asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     no range explosion; operators/asof.py). Oracle is DuckDB's native
     ASOF JOIN."""
     e = io.load_events(spark, sf_dir)
-    # DuckDB reads the ns parquet as µs TIMESTAMP (truncating), so both
-    # sides work in µs: ts DIV 1000 floors exactly like epoch_us(ts).
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.expr("ts DIV 1000").alias("ts_us")
+        "event_id", "user_id", "ts_us"
     )
     signups = e.filter(F.col("event_type") == "signup").select(
         F.col("event_id").alias("signup_event_id"),
         "user_id",
-        F.expr("ts DIV 1000").alias("signup_ts_us"),
+        F.col("ts_us").alias("signup_ts_us"),
     )
     out = asof_join(
         purchases, signups, on="user_id", left_ts="ts_us", right_ts="signup_ts_us",
@@ -179,11 +177,11 @@ def q_purchases_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = e.filter(F.col("event_type") == "signup").select(
         F.col("event_id").alias("signup_event_id"),
         "user_id",
-        F.expr("ts DIV 1000").alias("s_us"),
+        F.col("ts_us").alias("s_us"),
     )
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user_id"),
-        F.expr("ts DIV 1000").alias("p_us"),
+        F.col("ts_us").alias("p_us"),
         F.col("value").cast("decimal(12,2)").alias("v"),
     )
     joined = s.join(
@@ -215,7 +213,7 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key desc sort. At scale this is the dedup-by-key primitive for
     upsert streams."""
     e = io.load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
     return (
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -287,7 +285,7 @@ def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale you keep slide/length small). Oracle replays the window
     assignment with integer hour arithmetic."""
     e = io.load_events(spark, sf_dir).select(
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts_ts"),
+        F.timestamp_micros(F.col("ts_us")).alias("ts_ts"),
         "event_type",
         F.col("value").cast("decimal(12,2)").alias("v"),
     )
@@ -373,7 +371,7 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction shape. Two window passes over one user_id shuffle; at
     100 TB the user_id partitioning is reused by both windows and the
     output is the dimension table you MERGE into."""
-    e = io.load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts DIV 1000"))
+    e = io.load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     ordered = e.select(
         "user_id",
@@ -418,7 +416,7 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag-based inter-event gap analytics per user (the engagement /
     anomaly feature): integer µs arithmetic end to end, one shuffle on
     user_id shared by the window and the aggregation."""
-    e = io.load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts DIV 1000"))
+    e = io.load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     g = e.select(
         "user_id",
@@ -531,7 +529,7 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (predicate pushed to the parquet scan) and shuffles user-keyed
     minima, never raw event rows twice."""
     e = io.load_events(spark, sf_dir).select(
-        "user_id", "event_type", F.expr("ts DIV 1000").alias("us")
+        "user_id", "event_type", F.col("ts_us").alias("us")
     )
     s = (
         e.filter(F.col("event_type") == "signup")
@@ -599,7 +597,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever wide-shuffling raw rows."""
     e = io.load_events(spark, sf_dir).select(
         "user_id",
-        F.expr("ts DIV 1000 DIV 86400000000 DIV 7").alias("week"),
+        F.expr("ts_us DIV 86400000000 DIV 7").alias("week"),
     )
     cohort = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     activity = (
@@ -658,7 +656,7 @@ def q_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of 5 numbers per group, no iteration, no solver."""
     base = io.load_events(spark, sf_dir).select(
         "event_type",
-        F.expr("ts DIV 1000 DIV 3600000000").alias("hour_abs"),
+        F.expr("ts_us DIV 3600000000").alias("hour_abs"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
     origin = base.agg(F.min("hour_abs").alias("h0"))

@@ -10,14 +10,17 @@ made deterministic:
 
 - probes are derived from the corpus itself (a mid-document token span;
   the generated-testset idea of make_ragas_test.py:95-132, determinized);
-- the embedding is the hashed-TF model (operators/embedder.py), computed
-  here in its SPARSE form: explode token buckets → TF weights →
-  equi-join probe×doc on bucket → grouped dot products. Identical
-  cosines to the dense array form, but expressed as hash joins +
-  aggregations — whole-stage-codegen'd, shuffle-partitioned on the
-  bucket key, and the design that scales to 100 TB corpora (the dense
-  cross-join never materializes; only bucket-colocated partial products
-  shuffle).
+- retrieval is sparse TF cosine over an INVERTED INDEX: explode tokens →
+  32-bit token hash → TF weights → equi-join probe×doc on the exact
+  token hash → grouped dot products. The join key is token-resolution
+  (not a coarse bucket), so a probe term only meets its posting list —
+  candidate volume is Σ posting lengths, not |probes|×|docs|. The tiny
+  probe TF side is broadcast explicitly. On a real-text corpus a
+  document-frequency cut (drop df > ~20% stopword-grade terms from both
+  vectors, both engines) bounds the longest posting list; the synthetic
+  testdata vocabulary is 31 tokens with ~80% df each, so a fixed cut
+  degenerates retrieval there — instead TF-IDF (q_tfidf_retrieval)
+  carries the continuous version of that down-weighting.
 
 Metric parity: cosines are rounded to 6 dp on both engines before
 ranking, and ranking ties break on doc_id — so ranks are deterministic
@@ -33,7 +36,6 @@ from .. import io
 from ..functions import text as TX
 from ..registry import register
 
-DIM = 64
 N_PROBES = 150
 TOP_K = 5
 
@@ -42,15 +44,16 @@ CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
      ELSE string_split_regex(lower(trim(text)), '\\s+') END
 """
 
-# Shared SQL scaffold: sparse TF tables for corpus and probes, grouped
-# dot products, rounded cosine, deterministic rank.
+# Shared SQL scaffold: inverted-index TF tables (exact 32-bit token
+# hash key) for corpus and probes, posting-list equi-join dot products,
+# rounded cosine, deterministic rank.
 _SCORED_CTES = f"""
 doc_tok AS (
   SELECT doc_id, unnest({_TOKS}) AS tok
   FROM (SELECT doc_id, text FROM documents)
 ),
 doc_tf AS (
-  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {DIM} AS bucket,
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS tok_h,
          count(*) AS c
   FROM doc_tok GROUP BY 1, 2
 ),
@@ -62,7 +65,7 @@ probe_tok AS (
   FROM (SELECT doc_id, {_TOKS} AS tok FROM documents WHERE doc_id < {N_PROBES})
 ),
 probe_tf AS (
-  SELECT probe_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {DIM} AS bucket,
+  SELECT probe_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS tok_h,
          count(*) AS c
   FROM probe_tok GROUP BY 1, 2
 ),
@@ -71,7 +74,7 @@ probe_norm AS (
 ),
 dots AS (
   SELECT p.probe_id, d.doc_id, sum(CAST(p.c * d.c AS DOUBLE)) AS dot
-  FROM probe_tf p JOIN doc_tf d ON p.bucket = d.bucket
+  FROM probe_tf p JOIN doc_tf d ON p.tok_h = d.tok_h
   GROUP BY 1, 2
 ),
 scored AS (
@@ -87,16 +90,18 @@ scored AS (
 """
 
 
-def _tf(df: DataFrame, id_out: str, tok_expr) -> DataFrame:
-    """Sparse hashed-TF: (id, bucket, count). Exact in doubles later on
-    because every partial product is a small integer."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
-        % DIM
-    )
+def _tok_h():
+    """Exact 32-bit token hash (md5 prefix) — the inverted-index join
+    key. Identical arithmetic on DuckDB ('0x'||substr(md5,1,8) cast)."""
+    return F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+
+
+def _tf_all(df: DataFrame, id_out: str, tok_expr) -> DataFrame:
+    """Sparse TF at token resolution: (id, tok_h, count). Exact in
+    doubles later on because every partial product is a small integer."""
     return (
         df.select(F.col("doc_id").alias(id_out), F.explode(tok_expr).alias("tok"))
-        .groupBy(id_out, bucket.alias("bucket"))
+        .groupBy(id_out, _tok_h().alias("tok_h"))
         .agg(F.count("*").alias("c"))
     )
 
@@ -107,29 +112,42 @@ def _norm(df: DataFrame, key: str) -> DataFrame:
     )
 
 
-def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_probe_tf(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Inverted-index TF tables for corpus and probes, keyed on the
+    exact token hash."""
     docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = TX.tokens(F.lower(F.col("text")))
-    tf, norm = _tf, _norm
-
-    doc_tf = tf(docs, "doc_id", toks)
-    probe_tf = tf(
+    doc_tf = _tf_all(docs, "doc_id", toks)
+    probe_tf = _tf_all(
         docs.filter(F.col("doc_id") < N_PROBES), "probe_id", F.slice(toks, 3, 10)
     )
+    return doc_tf, probe_tf
 
-    doc_norm = norm(doc_tf, "doc_id")
-    probe_norm = norm(probe_tf, "probe_id").withColumnRenamed("nrm", "pnrm")
 
+def _scored(
+    spark: SparkSession,
+    sf_dir: str,
+    tf_pair: "tuple[DataFrame, DataFrame] | None" = None,
+) -> DataFrame:
+    doc_tf, probe_tf = tf_pair if tf_pair is not None else _doc_probe_tf(spark, sf_dir)
+
+    doc_norm = _norm(doc_tf, "doc_id")
+    probe_norm = _norm(probe_tf, "probe_id").withColumnRenamed("nrm", "pnrm")
+
+    # Probe TF is bounded by N_PROBES × span length — broadcast it so the
+    # posting-list join never shuffles the corpus-sized index side.
     dots = (
-        probe_tf.withColumnRenamed("c", "pc")
-        .join(doc_tf.withColumnRenamed("c", "dc"), "bucket")
+        F.broadcast(probe_tf.withColumnRenamed("c", "pc"))
+        .join(doc_tf.withColumnRenamed("c", "dc"), "tok_h")
         .groupBy("probe_id", "doc_id")
         .agg(F.sum((F.col("pc") * F.col("dc")).cast("double")).alias("dot"))
     )
     cos = F.round(F.col("dot") / (F.col("pnrm") * F.col("nrm")), 6)
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("doc_id"))
     return (
-        dots.join(probe_norm, "probe_id")
+        dots.join(F.broadcast(probe_norm), "probe_id")
         .join(doc_norm, "doc_id")
         .select("probe_id", "doc_id", cos.alias("cos"))
         .withColumn("rank", F.row_number().over(w))
@@ -145,20 +163,20 @@ FROM scored WHERE rank <= {TOP_K}
 """,
 )
 def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 sparse hashed-TF retrieval for every derived probe — the
-    reference retrieval query (test.out.py:14-19) run as an all-probes
-    batch. Dot products come from a bucket equi-join, never a dense
-    cross join; ranking is TakeOrderedAndProject-per-key via
-    row_number + filter."""
+    """Top-5 sparse TF retrieval for every derived probe — the reference
+    retrieval query (test.out.py:14-19) run as an all-probes batch. Dot
+    products come from a posting-list equi-join on the exact token hash
+    (broadcast probe side), never a dense cross join; ranking is
+    row_number + filter per probe."""
     s = _scored(spark, sf_dir)
     return s.filter(F.col("rank") <= TOP_K).select(
         "probe_id", F.col("rank").cast("int"), "doc_id", "cos"
     )
 
 
-# TF-IDF variant: same sparse hashed vocabulary, weights scaled by a
-# SMOOTHED RATIONAL idf, idf_b = (N + 1) / (df_b + 1) with df_b = number
-# of docs containing bucket b. Rational rather than the textbook
+# TF-IDF variant: same inverted index, weights scaled by a
+# SMOOTHED RATIONAL idf, idf_t = (N + 1) / (df_t + 1) with df_t = number
+# of docs containing token t. Rational rather than the textbook
 # log((N+1)/(df+1)): IEEE division is correctly rounded and therefore
 # bit-identical across engines, while ln() may differ by an ulp between
 # libm builds — and an ulp under the rank rounding is a flaky oracle.
@@ -167,29 +185,29 @@ _TFIDF_CTES = f"""
 {_SCORED_CTES},
 n_docs AS (SELECT count(*) AS n FROM documents),
 df AS (
-  SELECT bucket, CAST(count(*) AS DOUBLE) AS dfb FROM doc_tf GROUP BY bucket
+  SELECT tok_h, CAST(count(*) AS DOUBLE) AS dfb FROM doc_tf GROUP BY tok_h
 ),
 doc_w AS (
-  SELECT t.doc_id, t.bucket,
+  SELECT t.doc_id, t.tok_h,
          CAST(t.c AS DOUBLE) * ((n.n + 1.0) / (d.dfb + 1.0)) AS w
   FROM doc_tf t, n_docs n
-  JOIN df d ON d.bucket = t.bucket
+  JOIN df d ON d.tok_h = t.tok_h
 ),
 doc_wnorm AS (
   SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM doc_w GROUP BY 1
 ),
 probe_w AS (
-  SELECT t.probe_id, t.bucket,
+  SELECT t.probe_id, t.tok_h,
          CAST(t.c AS DOUBLE) * ((n.n + 1.0) / (d.dfb + 1.0)) AS w
   FROM probe_tf t, n_docs n
-  JOIN df d ON d.bucket = t.bucket
+  JOIN df d ON d.tok_h = t.tok_h
 ),
 probe_wnorm AS (
   SELECT probe_id, sqrt(sum(w * w)) AS nrm FROM probe_w GROUP BY 1
 ),
 wdots AS (
   SELECT p.probe_id, d.doc_id, sum(p.w * d.w) AS dot
-  FROM probe_w p JOIN doc_w d ON p.bucket = d.bucket
+  FROM probe_w p JOIN doc_w d ON p.tok_h = d.tok_h
   GROUP BY 1, 2
 ),
 wscored AS (
@@ -214,46 +232,27 @@ FROM wscored WHERE rank <= {TOP_K}
 """,
 )
 def q_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 retrieval with TF-IDF weighting: the hashed-TF tables from
-    q_rag_retrieval joined against a corpus-wide document-frequency
-    table (one extra small aggregate, broadcast onto both sides), then
-    the same bucket equi-join dot products. The df table is DIM-sized
-    (64 rows) regardless of corpus size, so the idf join is a broadcast
-    at any scale; everything else keeps q_rag_retrieval's shuffle
-    shape. Rational smoothed idf (see _TFIDF_CTES) for cross-engine
-    bit-parity."""
-    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = TX.tokens(F.lower(F.col("text")))
-
-    def tf(df: DataFrame, id_out: str, tok_expr) -> DataFrame:
-        bucket = (
-            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
-            % DIM
-        )
-        return (
-            df.select(F.col("doc_id").alias(id_out), F.explode(tok_expr).alias("tok"))
-            .groupBy(id_out, bucket.alias("bucket"))
-            .agg(F.count("*").alias("c"))
-        )
-
-    doc_tf = tf(docs, "doc_id", toks)
-    probe_tf = tf(
-        docs.filter(F.col("doc_id") < N_PROBES), "probe_id", F.slice(toks, 3, 10)
-    )
-    n_docs = docs.count()  # metadata-cheap on parquet
-    df_tbl = doc_tf.groupBy("bucket").agg(
+    """Top-5 retrieval with TF-IDF weighting: the inverted-index TF
+    tables from q_rag_retrieval joined against a per-token
+    document-frequency table (one extra aggregate over the index —
+    vocabulary-sized, sublinear in corpus, joined on the same tok_h
+    key), then the same posting-list equi-join dot products with the
+    probe side broadcast. The idf is also the continuous stopword
+    down-weighting that replaces a hard df cut on this corpus (31-token
+    vocabulary, ~80% df — see module docstring). Rational smoothed idf
+    (see _TFIDF_CTES) for cross-engine bit-parity."""
+    doc_tf, probe_tf = _doc_probe_tf(spark, sf_dir)
+    n_docs = io.load_table(spark, sf_dir, "documents").count()
+    df_tbl = doc_tf.groupBy("tok_h").agg(
         F.count("*").cast("double").alias("dfb")
     )
     idf = (F.lit(n_docs + 1.0) / (F.col("dfb") + F.lit(1.0))).alias("idf")
 
     def weight(tf_df: DataFrame, key: str) -> DataFrame:
-        return (
-            tf_df.join(F.broadcast(df_tbl), "bucket")
-            .select(
-                key,
-                "bucket",
-                (F.col("c").cast("double") * idf).alias("w"),
-            )
+        return tf_df.join(df_tbl, "tok_h").select(
+            key,
+            "tok_h",
+            (F.col("c").cast("double") * idf).alias("w"),
         )
 
     doc_w = weight(doc_tf, "doc_id")
@@ -267,15 +266,15 @@ def q_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_norm = wnorm(doc_w, "doc_id", "nrm")
     probe_norm = wnorm(probe_w, "probe_id", "pnrm")
     dots = (
-        probe_w.withColumnRenamed("w", "pw")
-        .join(doc_w.withColumnRenamed("w", "dw"), "bucket")
+        F.broadcast(probe_w.withColumnRenamed("w", "pw"))
+        .join(doc_w.withColumnRenamed("w", "dw"), "tok_h")
         .groupBy("probe_id", "doc_id")
         .agg(F.sum(F.col("pw") * F.col("dw")).alias("dot"))
     )
     cos = F.round(F.col("dot") / (F.col("pnrm") * F.col("nrm")), 6)
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("doc_id"))
     ranked = (
-        dots.join(probe_norm, "probe_id")
+        dots.join(F.broadcast(probe_norm), "probe_id")
         .join(doc_norm, "doc_id")
         .select("probe_id", "doc_id", cos.alias("cos"))
         .withColumn("rank", F.row_number().over(w))
@@ -332,7 +331,7 @@ pair_dots AS (
   SELECT c.probe_id, c.doc_id, sum(CAST(p.c * d.c AS DOUBLE)) AS dot2
   FROM cands c
   JOIN doc_tf p ON p.doc_id = c.probe_id
-  JOIN doc_tf d ON d.doc_id = c.doc_id AND d.bucket = p.bucket
+  JOIN doc_tf d ON d.doc_id = c.doc_id AND d.tok_h = p.tok_h
   GROUP BY 1, 2
 ),
 rer AS (
@@ -360,18 +359,19 @@ def q_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     those candidate pairs and keeps top-{RERANK_K}. The rerank join
     touches |probes|x{RERANK_CAND} pairs, never the corpus: that bound
     is the whole economics of cascades at 100 TB (stage-2 cost is
-    per-candidate, not per-document). Candidate pairs sharing no hash
-    bucket keep cos2 = 0 via the left join (both engines). All partial
-    products are small-integer doubles, so every sum is exact and the
-    two-stage ranking is bit-deterministic."""
-    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = TX.tokens(F.lower(F.col("text")))
+    per-candidate, not per-document). Candidate pairs sharing no
+    common token keep cos2 = 0 via the left join (both engines).
+    All partial products are small-integer doubles, so every sum is
+    exact and the two-stage ranking is bit-deterministic."""
+    # Build the inverted index ONCE and share it between stage 1 and
+    # stage 2: identical subplans let Spark reuse the index-build
+    # exchange instead of re-scanning and re-hashing the corpus.
+    doc_tf, probe_tf = _doc_probe_tf(spark, sf_dir)
     cands = (
-        _scored(spark, sf_dir)
+        _scored(spark, sf_dir, tf_pair=(doc_tf, probe_tf))
         .filter(F.col("rank") <= RERANK_CAND)
         .select("probe_id", "doc_id", F.col("cos").alias("cos1"))
     )
-    doc_tf = _tf(docs, "doc_id", toks)
     doc_norm = _norm(doc_tf, "doc_id")
     pair_dots = (
         cands.select("probe_id", "doc_id")
@@ -381,7 +381,7 @@ def q_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "probe_id",
         )
-        .join(doc_tf.withColumnRenamed("c", "dc"), ["doc_id", "bucket"])
+        .join(doc_tf.withColumnRenamed("c", "dc"), ["doc_id", "tok_h"])
         .groupBy("probe_id", "doc_id")
         .agg(F.sum((F.col("pc") * F.col("dc")).cast("double")).alias("dot2"))
     )

@@ -346,7 +346,7 @@ def q_except_event_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     set ops): hours that saw purchases but no errors. Spark plans it as
     a distinct left-anti."""
     e = io.load_events(spark, sf_dir).withColumn(
-        "hour_id", F.expr("(ts DIV 1000000000) DIV 3600")
+        "hour_id", F.expr("(ts_us DIV 1000000) DIV 3600")
     )
     purchases = e.filter(F.col("event_type") == "purchase").select("hour_id")
     errors = e.filter(F.col("event_type") == "error").select("hour_id")

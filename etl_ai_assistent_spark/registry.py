@@ -42,64 +42,70 @@ _QUERY_MODULES = (
 
 _loaded = False
 
-# The driver cross-checks the FIRST 50 registered queries only (round 1:
-# the unchecked 21 were exactly the registration-order tail). Names here
-# are emitted first, so the finite driver window covers (a) queries that
-# have never received a driver verdict and (b) queries whose plan or
-# oracle changed this round; long-green queries rotate to the tail —
-# their round-1 rows already stand. Names not in this list keep module
-# registration order after it.
+# The driver cross-checks the FIRST 50 registered queries only. Names
+# here are emitted first, so the finite driver window covers (a) queries
+# fixed or changed this round (fresh verdicts needed) and (b) queries
+# whose most recent driver verdict is oldest; long-green recently-checked
+# queries rotate to the tail — their prior rows stand. Names not in this
+# list keep module registration order after it.
 DRIVER_FIRST: tuple[str, ...] = (
-    # never driver-checked in round 1
-    "q_stream_tumbling_hourly",
-    "q_stream_sessions",
-    "q_stream_stateful_totals",
-    "q_stream_doc_ingest",
-    "q_docx_pipeline",
-    "q_docx_media",
-    "q_rag_retrieval",
-    "q_rag_eval",
+    # broken by the round-3 events.ts re-type (timestamp[us]) — fixed in
+    # round 4 by the canonical ts_us normalization; need fresh verdicts
     "q_asof_purchase_signup",
     "q_purchases_after_signup",
-    "q_latest_event_per_user",
-    "q_props_json",
     "q_sliding_windows",
     "q_moving_value_range",
     "q_event_gaps",
-    "q_asset_catalog",
-    "q_frame_sample",
-    "q_resize_plan",
-    "q_byte_features",
-    "q_decode_stub",
-    "q_salted_skew_join",
-    # failed or crashed in round 1 — fixed this round, need fresh verdicts
-    "q_sectionize_docs",
-    "q_corpus_profile",
-    "q_label_centroids",
-    "q_vectorize_lines",
-    "q_chunk_recursive",
-    "q_embedding_near_dup",
-    # new in round 2 — no verdict yet
-    "q_stream_dedup",
-    "q_stream_sliding",
     "q_scd2_intervals",
-    "q_tfidf_retrieval",
-    "q_ann_topk",
-    "q_client_embed_profile",
-    "q_hll_registers",
-    "q_hll_distinct",
-    "q_countmin_heavy",
-    "q_bucketed_join",
-    "q_pagerank_nations",
-    "q_histogram_quantiles",
-    "q_stream_join",
-    "q_int8_quantize",
-    "q_ann_recall",
-    "q_rag_rerank",
-    "q_value_anomalies",
     "q_event_funnel",
     "q_cohort_retention",
     "q_group_regression",
+    "q_stream_tumbling_hourly",
+    "q_stream_sessions",
+    "q_stream_sliding",
+    "q_stream_join",
+    # same break, but rotated out of the round-3 window (invisible fails)
+    "q_sessionize",
+    "q_tumbling_hourly",
+    "q_except_event_hours",
+    # ported to ts_us this round — confirm no regression
+    "q_latest_event_per_user",
+    # retrieval re-based on the df-cut token-hash inverted index this
+    # round (semantics changed with the oracle in lock-step) — recheck
+    "q_rag_retrieval",
+    "q_rag_eval",
+    "q_rag_rerank",
+    "q_tfidf_retrieval",
+    # last verdict is round 1 (stalest) — refresh, registration order
+    "q_pad_truncate",
+    "q_srp_topk",
+    "q_pricing_summary",
+    "q_revenue_by_nation",
+    "q_top_orders_per_customer",
+    "q_running_revenue",
+    "q_cube_quantity",
+    "q_rollup_orders",
+    "q_pivot_linestatus",
+    "q_customers_without_orders",
+    "q_active_machinery_customers",
+    "q_nation_intersect",
+    "q_priority_stats",
+    "q_grouping_sets",
+    "q_value_percentiles",
+    "q_ntile_segments",
+    "q_orders_above_cust_avg",
+    "q_caption_classify",
+    "q_sanitized_asset_names",
+    "q_title_text",
+    "q_caption_pairing",
+    "q_chunk_fixed",
+    "q_hash_embed_profile",
+    "q_point_records",
+    "q_version_diff",
+    "q_exact_dedup",
+    "q_minhash_near_dup",
+    "q_simhash_signatures",
+    "q_simhash_near_dup",
 )
 
 

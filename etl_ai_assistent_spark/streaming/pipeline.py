@@ -30,35 +30,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .. import schemas
-
-# File-stream schema for events: ts is nanosecond parquet, read as
-# epoch-nanos BIGINT (see io.load_events — exact, no µs truncation).
-EVENTS_NS = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from .. import io, schemas
 
 _qname_counter = itertools.count()
+
+
+def _events_stream_schema(spark: SparkSession, any_file: str) -> T.StructType:
+    """A file-source stream needs a declared schema; hardcoding one
+    silently mis-decodes when the landing files re-type a column (the
+    exact failure: int64-ns `ts` declared LongType vs timestamp[us]
+    files). Derive it from the actual files (footer-only batch read) and
+    sanity-check the `ts` unit so drift fails loudly, never silently."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    io.assert_ts_unit_sane(any_file)
+    return spark.read.parquet(any_file).schema
+
+
+def _normalize_events(raw: DataFrame) -> DataFrame:
+    """Shared batch/stream normalization: replace raw `ts` with canonical
+    `ts_us` epoch-µs BIGINT (io.ts_us_col handles every physical type the
+    generator has shipped) plus `ts_ts`, the µs TIMESTAMP for window /
+    watermark operators."""
+    ts_us = io.ts_us_col(dict(raw.dtypes)["ts"]).cast("bigint").alias("ts_us")
+    return raw.select(
+        *[ts_us if c == "ts" else F.col(c) for c in raw.columns]
+    ).withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table (file source, one file =
     finite stream; in production a landing dir the writer appends to).
-    Emits an event-time µs TIMESTAMP column `ts_ts` for window ops."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Emits canonical `ts_us` (epoch-µs BIGINT) and `ts_ts` (µs TIMESTAMP)
+    for window ops."""
+    schema = _events_stream_schema(spark, os.path.join(sf_dir, "events.parquet"))
     raw = (
-        spark.readStream.schema(EVENTS_NS)
+        spark.readStream.schema(schema)
         .format("parquet")
         .load(os.path.join(sf_dir, "events.parq*"))  # glob: file source needs a dir/glob
     )
-    return raw.withColumn("ts_ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return _normalize_events(raw)
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,14 +175,26 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def _fixture_tag(sf_dir: str) -> str:
+    """Cache key for /tmp event fixtures: sf name + source parquet
+    mtime/size, so driver-regenerated testdata never pairs with a stale
+    pre-split fixture built from the previous data."""
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    return f"{base}_{int(st.st_mtime)}_{st.st_size}"
+
+
 def split_events_fixture(spark: SparkSession, sf_dir: str, parts: int = 4) -> str:
     """Split the single events parquet into `parts` files (by
     event_id % parts — deterministic) under /tmp, so a
     maxFilesPerTrigger=1 stream replays it as `parts` micro-batches:
-    real cross-batch state store traffic instead of a single batch."""
+    real cross-batch state store traffic instead of a single batch.
+    The cache tag includes the source file's mtime+size so a regenerated
+    testdata file invalidates stale fixtures automatically."""
     import os
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = _fixture_tag(sf_dir)
     out = f"/tmp/spark_graft_events_split_{tag}_{parts}"
     marker = os.path.join(out, "_complete")
     if not os.path.exists(marker):
@@ -196,15 +218,17 @@ def split_events_fixture(spark: SparkSession, sf_dir: str, parts: int = 4) -> st
 def read_events_stream_split(
     spark: SparkSession, sf_dir: str, parts: int = 4
 ) -> DataFrame:
-    """Streaming scan over the split fixture, one file per micro-batch."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Streaming scan over the split fixture, one file per micro-batch.
+    Normalized like read_events_stream (ts_us + ts_ts)."""
     path = split_events_fixture(spark, sf_dir, parts)
-    return (
-        spark.readStream.schema(EVENTS_NS)
+    schema = _events_stream_schema(spark, os.path.join(path, "part_0.parquet"))
+    raw = (
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("maxFilesPerTrigger", 1)
         .load(path + "/part_*.parquet")
     )
+    return _normalize_events(raw)
 
 
 def dup_events_fixture(spark: SparkSession, sf_dir: str) -> str:
@@ -213,7 +237,7 @@ def dup_events_fixture(spark: SparkSession, sf_dir: str) -> str:
     maxFilesPerTrigger=1 every duplicate arrives in a LATER micro-batch
     than its original, so eliminating it requires dedup state that
     survives across batches — the at-least-once-upstream shape."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = _fixture_tag(sf_dir)
     out = f"/tmp/spark_graft_events_dup_{tag}"
     marker = os.path.join(out, "_complete")
     if not os.path.exists(marker):
@@ -237,14 +261,15 @@ def dup_events_fixture(spark: SparkSession, sf_dir: str) -> str:
 def read_events_stream_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan over the duplicated fixture, one file per
     micro-batch (4 batches, every event arriving exactly twice)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = dup_events_fixture(spark, sf_dir)
-    return (
-        spark.readStream.schema(EVENTS_NS)
+    schema = _events_stream_schema(spark, os.path.join(path, "part_0.parquet"))
+    raw = (
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("maxFilesPerTrigger", 1)
         .load(path + "/part_*.parquet")
     )
+    return _normalize_events(raw)
 
 
 def stream_dedup_totals(events: DataFrame) -> DataFrame:
@@ -374,9 +399,7 @@ def stream_stream_purchase_join(
     fixture's 30-day span, trading state size for zero drops, which is
     exactly the knob a production deployment tunes the other way."""
     def _src() -> DataFrame:
-        return read_events_stream_split(spark, sf_dir).withColumn(
-            "ts_ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+        return read_events_stream_split(spark, sf_dir)
 
     signups = (
         _src()

@@ -26,6 +26,7 @@ ALLOWED_CROSS = {
     "q_ivf_topk",  # centroid assignment cross (centroid set is tiny)
     "q_rag_retrieval",  # probe×doc bucket join is equi; gold-rank windows
     "q_rag_eval",
+    "q_group_regression",  # 1-row broadcast of the x-origin scalar onto the scan
 }
 
 # Streaming memory-sink queries execute eagerly on construction; the

@@ -42,11 +42,10 @@ def test_foreach_batch_parquet_sink_exactly_once(spark, sf_small, tmp_path):
 
     run()
     batch = spark.read.parquet(out)
-    src = SP.read_events_stream_split(spark, sf_small, parts=4)
     n_src = (
-        spark.read.schema(SP.EVENTS_NS)
-        .parquet(SP.split_events_fixture(spark, sf_small, 4) + "/part_*.parquet")
-        .count()
+        spark.read.parquet(
+            SP.split_events_fixture(spark, sf_small, 4) + "/part_*.parquet"
+        ).count()
     )
     assert batch.count() == n_src
     assert batch.select("event_id").distinct().count() == n_src
