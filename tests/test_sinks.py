@@ -93,3 +93,96 @@ def test_ann_topk_chooser(spark, sf_small):
     # the same output shape
     assert approx.columns == ["query_id", "item_id", "score", "rank"]
     assert approx.count() > 0
+
+
+def test_upsert_points_batched_roundtrip(spark, sf_small, tmp_path):
+    """K4 external batched-upsert sink (reference qdrant_service.py:24-42,
+    minus its one-RPC-per-chunk loop): foreachPartition groups rows into
+    bounded batches through the client seam; the local parquet adapter
+    round-trips every point losslessly."""
+    import os
+
+    from etl_ai_assistent_spark.operators.upsert import (
+        LocalParquetStoreClient,
+        upsert_points,
+    )
+    from etl_ai_assistent_spark.registry import queries
+
+    points = queries()["q_point_records"](spark, sf_small)
+    expected = {
+        (r["point_id"], r["document_name"], r["document_version"])
+        for r in points.collect()
+    }
+    out = str(tmp_path / "store")
+    upsert_points(
+        points, lambda: LocalParquetStoreClient(out), batch_size=64
+    )
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) > 1  # batched, not one mega-RPC
+    back = spark.read.parquet(out)
+    assert back.count() == len(expected)
+    got = {
+        (r["point_id"], r["document_name"], r["document_version"])
+        for r in back.collect()
+    }
+    assert got == expected
+    # bounded RPC batches: no file exceeds batch_size rows
+    import pyarrow.parquet as pq
+
+    assert max(pq.ParquetFile(os.path.join(out, f)).metadata.num_rows for f in files) <= 64
+
+
+def test_upsert_points_retries_transient_failures(spark, sf_small, tmp_path):
+    """Every batch's first attempt fails (injected); the per-batch retry
+    must deliver all points exactly once anyway."""
+    import os
+
+    from etl_ai_assistent_spark.operators.upsert import (
+        FlakyStoreClient,
+        upsert_points,
+    )
+    from etl_ai_assistent_spark.registry import queries
+
+    points = queries()["q_point_records"](spark, sf_small)
+    n = points.count()
+    out = str(tmp_path / "flaky_store")
+    upsert_points(
+        points,
+        lambda: FlakyStoreClient(out, fail_first=1),
+        batch_size=128,
+        max_retries=3,
+    )
+    assert os.listdir(os.path.join(out, "_failures"))  # retries happened
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert back.select("point_id").distinct().count() == n
+
+
+def test_stream_upsert_points_effectively_once(spark, sf_small, tmp_path):
+    """Streaming K4: foreachBatch feeds the same batched upsert; the
+    checkpoint makes a restart a no-op (no duplicate points)."""
+    from pyspark.sql import functions as F
+
+    from etl_ai_assistent_spark.operators.upsert import (
+        LocalParquetStoreClient,
+        stream_upsert_points,
+    )
+    from etl_ai_assistent_spark.streaming import pipeline as SP
+
+    out = str(tmp_path / "stream_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run() -> None:
+        docs = SP.read_documents_stream(spark, sf_small).select(
+            F.col("doc_id").cast("string").alias("point_id"), "text"
+        )
+        stream_upsert_points(
+            docs, lambda: LocalParquetStoreClient(out), checkpoint=ckpt
+        )
+
+    run()
+    n_docs = spark.read.parquet(sf_small + "/documents.parquet").count()
+    back = spark.read.parquet(out)
+    assert back.count() == n_docs
+    run()  # restart with same checkpoint: committed batches not re-sent
+    assert spark.read.parquet(out).count() == n_docs
