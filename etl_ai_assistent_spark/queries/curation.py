@@ -1,0 +1,300 @@
+"""Training-data curation operators (north-star LLM-pipeline surface,
+SURVEY.md §2.7 family): benchmark decontamination, repetition /
+boilerplate quality signals, PII scrubbing, and domain-mix sampling
+weights — the four ops a pretraining corpus pipeline runs after dedup
+(queries/dedup.py) and quality scoring (queries/text_analysis.py).
+
+The reference (a document-RAG ETL) has no counterpart; these extend the
+engine the same way the dedup/sketch families do: each op is a pure
+DataFrame plan with a DuckDB oracle, designed so the expensive join is
+always key-bounded (n-gram hash posting lists, broadcast holdout set,
+broadcast 1-row totals) — never corpus × corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+from ..functions import text as TX
+from ..operators.dedup import md5_bucket
+from ..registry import register
+
+# DuckDB twins of functions.text.tokens / the md5 bucket (dedup.py)
+_TOKS = """
+CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+     ELSE string_split_regex(lower(trim(text)), '\\s+') END
+"""
+_BUCKET = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """ALL word n-grams in order (NOT distinct — repetition analysis
+    needs multiplicities; word_shingles() is the distinct variant)."""
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    # sequence(1, k<=0) would generate a DESCENDING range — guard to empty
+    return F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+# --- benchmark decontamination ------------------------------------------------
+
+DECON_N = 8  # n-gram length (13 is the common LLM choice; 8 suits short docs)
+HOLDOUT_MOD = 10  # doc_id % 10 == 0 stands in for the benchmark/test set
+
+_DECON_GRAMS = f"""
+tokd AS (
+  SELECT doc_id, {_TOKS} AS tok FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(generate_series(1, greatest(len(tok) - {DECON_N - 1}, 0)),
+             i -> {_BUCKET.format(x=f"list_aggregate(tok[i:i+{DECON_N - 1}], 'string_agg', ' ')")}))) AS gh
+  FROM tokd WHERE len(tok) >= {DECON_N}
+)
+"""
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+WITH {_DECON_GRAMS},
+test AS (SELECT doc_id, gh FROM grams WHERE doc_id % {HOLDOUT_MOD} = 0),
+train AS (SELECT doc_id, gh FROM grams WHERE doc_id % {HOLDOUT_MOD} != 0)
+SELECT t.doc_id,
+       count(DISTINCT t.gh) AS n_shared_grams,
+       count(DISTINCT s.doc_id) AS n_test_docs
+FROM train t JOIN test s ON t.gh = s.gh
+GROUP BY t.doc_id
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    {DECON_N}-gram with the held-out (benchmark) set — the contamination
+    check every pretraining corpus runs before training. Grams are
+    hashed to 32-bit keys so the overlap join ships BIGINTs, and the
+    holdout side is BROADCAST: benchmark suites are millions of grams at
+    most, so at 100 TB the corpus-side gram stream never shuffles — each
+    task probes the broadcast hash set and only hits aggregate."""
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = TX.tokens(F.lower(F.col("text")))
+    grams = (
+        docs.filter(F.size(toks) >= DECON_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(_ngrams(toks, DECON_N), lambda g: md5_bucket(g))
+                )
+            ).alias("gh"),
+        )
+    )
+    test = grams.filter(F.col("doc_id") % HOLDOUT_MOD == 0).select(
+        F.col("doc_id").alias("test_doc"), "gh"
+    )
+    train = grams.filter(F.col("doc_id") % HOLDOUT_MOD != 0)
+    return (
+        train.join(F.broadcast(test), "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("gh").alias("n_shared_grams"),
+            F.count_distinct("test_doc").alias("n_test_docs"),
+        )
+    )
+
+
+# --- repetition / boilerplate quality signals ---------------------------------
+
+REP_N = 2  # bigram repetition (the Gopher-style top-n-gram share signal)
+REP_SHARE_THRESHOLD = 0.2
+
+
+@register(
+    "q_repetition_stats",
+    oracle=f"""
+WITH tokd AS (
+  SELECT doc_id, {_TOKS} AS tok FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(tok) - 1),
+           i -> tok[i] || ' ' || tok[i+1])) AS g
+  FROM tokd WHERE len(tok) >= 2
+),
+counts AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_grams
+  FROM counts GROUP BY 1
+),
+tok_stats AS (
+  SELECT doc_id, len(tok) AS n_tokens, len(list_distinct(tok)) AS n_distinct
+  FROM tokd WHERE len(tok) >= 2
+)
+SELECT p.doc_id, p.n_grams,
+       round(CAST(p.top_c AS DOUBLE) / p.n_grams, 6) AS top_gram_share,
+       round(CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 6) AS distinct_token_ratio,
+       CAST(p.top_c AS DOUBLE) / p.n_grams > {REP_SHARE_THRESHOLD} AS is_repetitive
+FROM per_doc p JOIN tok_stats t ON t.doc_id = p.doc_id
+""",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / boilerplate signals per document (the Gopher-rule
+    family): share of the most frequent bigram among all bigrams, and
+    the distinct-token ratio — high top-share or low distinct-ratio
+    marks machine-generated or boilerplate text for the quality filter.
+    One explode + two partial-agg'd groupBys keyed on doc_id; output is
+    one row per doc regardless of length."""
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = TX.tokens(F.lower(F.col("text")))
+    base = docs.filter(F.size(toks) >= REP_N).select(
+        "doc_id",
+        toks.alias("tok"),
+    )
+    counts = (
+        base.select("doc_id", F.explode(_ngrams(F.col("tok"), REP_N)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").cast("bigint").alias("n_grams"),
+    )
+    tok_stats = base.select(
+        "doc_id",
+        F.size("tok").alias("n_tokens"),
+        F.size(F.array_distinct("tok")).alias("n_distinct"),
+    )
+    share = F.col("top_c").cast("double") / F.col("n_grams")
+    return per_doc.join(tok_stats, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        F.round(share, 6).alias("top_gram_share"),
+        F.round(
+            F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+        ).alias("distinct_token_ratio"),
+        (share > REP_SHARE_THRESHOLD).alias("is_repetitive"),
+    )
+
+
+# --- PII scrubbing ------------------------------------------------------------
+
+# Patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB): no
+# backrefs, no lookaround.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+DIGITRUN_RE = "[0-9]{5,}"
+
+
+@register(
+    "q_pii_scrub",
+    oracle=f"""
+WITH aug AS (
+  -- deterministic PII fixture: the synthetic corpus carries no emails
+  -- or id numbers, so plant one of each (value varies per doc) to give
+  -- the scrubber real work on both engines
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com ref ' || CAST(doc_id * doc_id + 9999 AS VARCHAR)
+           AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{DIGITRUN_RE}', '<NUM>', 'g') AS clean
+  FROM aug
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{DIGITRUN_RE}')) AS n_digit_runs,
+       length(text) - length(clean) AS chars_removed,
+       {_BUCKET.format(x="clean")} AS clean_checksum
+FROM scrubbed
+""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (the C4-style redaction pass): count and replace
+    email addresses and long digit runs, emitting per-doc match counts
+    and a checksum of the scrubbed text so the oracle is sensitive to
+    every replaced byte. All regexp work is codegen'd JVM-side — the
+    patterns are chosen to parse identically under Java regex and RE2.
+    The corpus carries no PII, so a deterministic per-doc fixture is
+    planted first (same expression both engines)."""
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ref "),
+            (F.col("doc_id") * F.col("doc_id") + 9999).cast("string"),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+        DIGITRUN_RE,
+        "<NUM>",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(DIGITRUN_RE), 0)
+        ).alias("n_digit_runs"),
+        (F.length("text") - F.length(clean)).alias("chars_removed"),
+        md5_bucket(clean).alias("clean_checksum"),
+    )
+
+
+# --- domain-mix sampling weights ----------------------------------------------
+
+
+@register(
+    "q_mix_weights",
+    oracle=f"""
+WITH g AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM g)
+SELECT g.lang, g.source, g.n_docs, g.n_tokens,
+       CAST((1000000 * g.n_tokens) // t.total_tokens AS BIGINT) AS weight_ppm
+FROM g, tot t
+""",
+)
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix sampling weights: per (lang, source) token counts and
+    each domain's exact share of the corpus in ppm — the table a
+    pretraining sampler consumes to draw batches at target proportions.
+    One partial-agg'd groupBy (domains-sized output), then a 1-row
+    broadcast of the total; all-integer arithmetic, no float drift."""
+    docs = io.load_table(spark, sf_dir, "documents").select(
+        "lang", "source", "text"
+    )
+    g = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(TX.tokens(F.lower(F.col("text")))))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    tot = g.agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("(1000000 * n_tokens) div total_tokens")
+        .cast("bigint")
+        .alias("weight_ppm"),
+    )

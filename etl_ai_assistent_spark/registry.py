@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "etl_ai_assistent_spark.queries.rag",
     "etl_ai_assistent_spark.queries.scale",
     "etl_ai_assistent_spark.queries.graph",
+    "etl_ai_assistent_spark.queries.curation",
 )
 
 _loaded = False
@@ -70,12 +71,17 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_except_event_hours",
     # ported to ts_us this round — confirm no regression
     "q_latest_event_per_user",
-    # retrieval re-based on the df-cut token-hash inverted index this
-    # round (semantics changed with the oracle in lock-step) — recheck
+    # retrieval re-based on the token-hash inverted index this round
+    # (semantics changed with the oracle in lock-step) — recheck
     "q_rag_retrieval",
     "q_rag_eval",
     "q_rag_rerank",
     "q_tfidf_retrieval",
+    # new in round 4 — no verdict yet
+    "q_decontaminate",
+    "q_repetition_stats",
+    "q_pii_scrub",
+    "q_mix_weights",
     # last verdict is round 1 (stalest) — refresh, registration order
     "q_pad_truncate",
     "q_srp_topk",
@@ -100,12 +106,8 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_caption_pairing",
     "q_chunk_fixed",
     "q_hash_embed_profile",
-    "q_point_records",
-    "q_version_diff",
     "q_exact_dedup",
     "q_minhash_near_dup",
-    "q_simhash_signatures",
-    "q_simhash_near_dup",
 )
 
 

@@ -27,6 +27,7 @@ ALLOWED_CROSS = {
     "q_rag_retrieval",  # probe×doc bucket join is equi; gold-rank windows
     "q_rag_eval",
     "q_group_regression",  # 1-row broadcast of the x-origin scalar onto the scan
+    "q_mix_weights",  # 1-row broadcast of the corpus token total onto domain rows
 }
 
 # Streaming memory-sink queries execute eagerly on construction; the
