@@ -198,6 +198,37 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_dedup_watermarked",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY event_type
+""",
+)
+def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-state production variant of q_stream_dedup:
+    dropDuplicatesWithinWatermark keeps dedup ids only inside the
+    event-time watermark horizon (90 days here — covering the fixture's
+    30-day span, so the replayed duplicates still all cancel and the
+    exact batch aggregate is reproduced). Same 4-micro-batch
+    at-least-once fixture; the difference under test is the state
+    eviction contract."""
+    events = SP.read_events_stream_dup(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return SP.run_to_memory(
+            SP.stream_dedup_totals_watermarked(events),
+            prefix="dedup_wm",
+            mode="complete",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@register(
     "q_stream_doc_ingest",
     oracle=f"""
 WITH chunks AS (

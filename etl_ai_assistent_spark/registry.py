@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "etl_ai_assistent_spark.queries.scale",
     "etl_ai_assistent_spark.queries.graph",
     "etl_ai_assistent_spark.queries.curation",
+    "etl_ai_assistent_spark.queries.clustering",
 )
 
 _loaded = False
@@ -82,6 +83,8 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_repetition_stats",
     "q_pii_scrub",
     "q_mix_weights",
+    "q_stream_dedup_watermarked",
+    "q_kmeans_step",
     # last verdict is round 1 (stalest) — refresh, registration order
     "q_pad_truncate",
     "q_srp_topk",
@@ -106,8 +109,6 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_caption_pairing",
     "q_chunk_fixed",
     "q_hash_embed_profile",
-    "q_exact_dedup",
-    "q_minhash_near_dup",
 )
 
 

@@ -297,6 +297,32 @@ def stream_dedup_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup_totals_watermarked(
+    events: DataFrame, watermark: str = "90 days"
+) -> DataFrame:
+    """stream_dedup_totals with BOUNDED dedup state: the production
+    variant, dropDuplicatesWithinWatermark — the state store evicts ids
+    older than the event-time watermark instead of growing forever. The
+    fixture's 30-day span sits inside the 90-day horizon, so no id is
+    evicted mid-replay and the output still equals the exact batch
+    aggregate (which is what the oracle checks); shrinking the horizon
+    below the replay span is the production trade — bounded state,
+    at-most-horizon dedup."""
+    return (
+        events.withWatermark("ts_ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .withColumn(
+            "cents",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
+
+
 STATEFUL_OUTPUT = "user_id bigint, cum_events bigint, cum_cents bigint"
 STATEFUL_STATE = "cum_events bigint, cum_cents bigint"
 

@@ -28,12 +28,14 @@ ALLOWED_CROSS = {
     "q_rag_eval",
     "q_group_regression",  # 1-row broadcast of the x-origin scalar onto the scan
     "q_mix_weights",  # 1-row broadcast of the corpus token total onto domain rows
+    "q_kmeans_step",  # K-row centroid broadcast against the vector scan
 }
 
 # Streaming memory-sink queries execute eagerly on construction; the
 # batch plan string isn't comparable. Excluded from plan lint.
 STREAMING = {
     "q_stream_tumbling_hourly",
+    "q_stream_dedup_watermarked",
     "q_stream_sessions",
     "q_stream_sliding",
     "q_stream_stateful_totals",
