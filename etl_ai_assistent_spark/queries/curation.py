@@ -298,3 +298,245 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("weight_ppm"),
     )
+
+
+# --- composed quality gate ----------------------------------------------------
+
+MIN_TOKENS = 10
+MIN_DISTINCT_RATIO_PPM = 300_000  # < 30% distinct tokens => repetitive
+MAX_TOP_GRAM_PPM = 200_000  # top bigram > 20% of grams => boilerplate
+MAX_DIGIT_PPM = 200_000  # > 20% digit chars => tabular/serial junk
+
+R_SHORT, R_TOPGRAM, R_DISTINCT, R_DIGIT, R_CONTAM = 1, 2, 4, 8, 16
+
+
+@register(
+    "q_quality_gate",
+    oracle=f"""
+WITH {_DECON_GRAMS},
+test AS (SELECT doc_id, gh FROM grams WHERE doc_id % {HOLDOUT_MOD} = 0),
+contam AS (
+  SELECT DISTINCT t.doc_id FROM grams t JOIN test s ON t.gh = s.gh
+  WHERE t.doc_id % {HOLDOUT_MOD} != 0
+),
+bigrams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(tok) - 1),
+           i -> tok[i] || ' ' || tok[i+1])) AS g
+  FROM tokd WHERE len(tok) >= 2
+),
+rep AS (
+  SELECT doc_id,
+         CAST((1000000 * max(c)) // sum(c) AS BIGINT) AS top_gram_ppm
+  FROM (SELECT doc_id, g, count(*) AS c FROM bigrams GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+feats AS (
+  SELECT d.doc_id,
+         len(t.tok) AS n_tokens,
+         CAST((1000000 * len(list_distinct(t.tok)))
+              // greatest(len(t.tok), 1) AS BIGINT) AS distinct_ppm,
+         CAST((1000000 * (length(d.text)
+               - length(regexp_replace(d.text, '[0-9]', '', 'g'))))
+              // greatest(length(d.text), 1) AS BIGINT) AS digit_ppm
+  FROM documents d JOIN tokd t ON t.doc_id = d.doc_id
+),
+flagged AS (
+  SELECT f.doc_id,
+         CASE WHEN f.n_tokens < {MIN_TOKENS} THEN {R_SHORT} ELSE 0 END
+       + CASE WHEN COALESCE(r.top_gram_ppm, 0) > {MAX_TOP_GRAM_PPM}
+              THEN {R_TOPGRAM} ELSE 0 END
+       + CASE WHEN f.distinct_ppm < {MIN_DISTINCT_RATIO_PPM}
+              THEN {R_DISTINCT} ELSE 0 END
+       + CASE WHEN f.digit_ppm > {MAX_DIGIT_PPM} THEN {R_DIGIT} ELSE 0 END
+       + CASE WHEN c.doc_id IS NOT NULL THEN {R_CONTAM} ELSE 0 END
+           AS reasons
+  FROM feats f
+  LEFT JOIN rep r ON r.doc_id = f.doc_id
+  LEFT JOIN contam c ON c.doc_id = f.doc_id
+)
+SELECT doc_id, CAST(reasons AS BIGINT) AS reasons, reasons = 0 AS keep
+FROM flagged
+""",
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composed corpus filter (C4/Gopher shape): every document gets
+    a bitmask of drop reasons — too short ({R_SHORT}), dominant bigram
+    ({R_TOPGRAM}), low distinct-token ratio ({R_DISTINCT}), digit-heavy
+    ({R_DIGIT}), benchmark-contaminated ({R_CONTAM}) — and keep = no
+    flags. Reasons stay attached rather than filtering silently, because
+    a curation pipeline audits WHY documents were dropped. All signals
+    are integer-ppm arithmetic composed from the decontamination and
+    repetition building blocks; the whole gate is two doc-keyed
+    partial-agg shuffles plus a broadcast contamination probe."""
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = TX.tokens(F.lower(F.col("text")))
+
+    grams = (
+        docs.filter(F.size(toks) >= DECON_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(_ngrams(toks, DECON_N), lambda g: md5_bucket(g))
+                )
+            ).alias("gh"),
+        )
+    )
+    test = grams.filter(F.col("doc_id") % HOLDOUT_MOD == 0).select("gh")
+    contam = (
+        grams.filter(F.col("doc_id") % HOLDOUT_MOD != 0)
+        .join(F.broadcast(test), "gh")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    rep = (
+        docs.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(_ngrams(toks, REP_N)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr("(1000000 * max(c)) div sum(c)")
+            .cast("bigint")
+            .alias("top_gram_ppm")
+        )
+    )
+    n_tok = F.size(toks)
+    feats = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (
+            (F.lit(1_000_000) * F.size(F.array_distinct(toks)))
+            / F.greatest(n_tok, F.lit(1))
+        )
+        .cast("bigint")
+        .alias("distinct_ppm"),
+        (
+            (
+                F.lit(1_000_000)
+                * (
+                    F.length("text")
+                    - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+                )
+            )
+            / F.greatest(F.length("text"), F.lit(1))
+        )
+        .cast("bigint")
+        .alias("digit_ppm"),
+    )
+    reasons = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, R_SHORT).otherwise(0)
+        + F.when(
+            F.coalesce(F.col("top_gram_ppm"), F.lit(0)) > MAX_TOP_GRAM_PPM,
+            R_TOPGRAM,
+        ).otherwise(0)
+        + F.when(F.col("distinct_ppm") < MIN_DISTINCT_RATIO_PPM, R_DISTINCT)
+        .otherwise(0)
+        + F.when(F.col("digit_ppm") > MAX_DIGIT_PPM, R_DIGIT).otherwise(0)
+        + F.when(F.col("contaminated"), R_CONTAM).otherwise(0)
+    )
+    return (
+        feats.join(rep, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            reasons.cast("bigint").alias("reasons"),
+            (reasons == 0).alias("keep"),
+        )
+    )
+
+
+# --- token-budget shard packing -----------------------------------------------
+
+SHARD_TOKENS = 2000  # token budget per training shard
+SHARD_BUCKETS = 16  # parallel packing units (scale knob)
+_SHARD_BUCKET = (
+    "CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    f" AS BIGINT) % {SHARD_BUCKETS}"
+)
+
+
+@register(
+    "q_token_shards",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, {_SHARD_BUCKET} AS bucket, len({_TOKS}) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, bucket, n_tokens,
+         COALESCE(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS tokens_before
+  FROM sized
+),
+sharded AS (
+  SELECT doc_id, bucket, n_tokens,
+         bucket * 100000 + tokens_before // {SHARD_TOKENS} AS shard_id
+  FROM packed
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM sharded
+GROUP BY shard_id
+""",
+)
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: assign documents to training shards
+    of ~{SHARD_TOKENS} tokens each. Docs hash into {SHARD_BUCKETS}
+    independent packing buckets (the parallelism unit — raise it with
+    corpus size so no single ordered stream bottlenecks), then a
+    running token sum within each bucket cuts shard boundaries by
+    integer division. One windowed pass per bucket partition plus one
+    partial-agg'd groupBy; all integer arithmetic, so shard assignment
+    is reproducible across engines and re-runs — which is what makes
+    training-data shards auditable."""
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from pyspark.sql import Window
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % SHARD_BUCKETS
+    )
+    sized = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.size(TX.tokens(F.lower(F.col("text")))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sized.withColumn(
+        "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    sharded = packed.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("bucket") * 100000
+            + F.expr(f"tokens_before div {SHARD_TOKENS}")
+        )
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

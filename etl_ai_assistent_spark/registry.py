@@ -85,6 +85,8 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_mix_weights",
     "q_stream_dedup_watermarked",
     "q_kmeans_step",
+    "q_quality_gate",
+    "q_token_shards",
     # last verdict is round 1 (stalest) — refresh, registration order
     "q_pad_truncate",
     "q_srp_topk",
@@ -107,8 +109,6 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_sanitized_asset_names",
     "q_title_text",
     "q_caption_pairing",
-    "q_chunk_fixed",
-    "q_hash_embed_profile",
 )
 
 
