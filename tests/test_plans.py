@@ -163,3 +163,24 @@ def test_connected_components_multi_hop(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_decontaminate_broadcasts_holdout(spark, sf_small):
+    """The contamination join must probe a BROADCAST holdout set — the
+    corpus-side gram stream never shuffles (the property that makes the
+    op viable at 100 TB)."""
+    plan = _plan(spark, "q_decontaminate", sf_small)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_gate_broadcasts_contamination_probe(spark, sf_small):
+    plan = _plan(spark, "q_quality_gate", sf_small)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_retrieval_broadcasts_probe_side(spark, sf_small):
+    """The inverted-index dots join must broadcast the probe TF side —
+    the corpus-sized posting lists stay put."""
+    plan = _plan(spark, "q_rag_retrieval", sf_small)
+    assert "BroadcastHashJoin" in plan
