@@ -411,3 +411,111 @@ def q_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank2") <= RERANK_K)
         .select("probe_id", "rank2", "doc_id", "cos2", "cos1")
     )
+
+
+# --- BM25 over the inverted index --------------------------------------------
+#
+# Okapi BM25 with k1 = 6/5 and b = 3/4 kept RATIONAL so every term score
+# is one integer division (exact, engine-independent):
+#
+#   score(t,d) = qtf * idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+#
+# multiply numerator and denominator by 20*avgdl and substitute the
+# smoothed rational idf (N+1)/(df+1):
+#
+#   score_scaled = floor( S * (N+1) * 44 * qtf * tf * avgdl
+#                         / ((df+1) * (20*tf*avgdl + 6*avgdl + 18*dl)) )
+#
+# with S = 1e6. All factors are positive BIGINTs (floor == trunc on both
+# engines); the per-(probe,doc) score is an exact SUM of term integers,
+# so ranking is bit-deterministic. Magnitude check: S·(N+1)·44·tf·avgdl
+# ~ 8e14 at sf0.1 — bigint-safe; at web scale rescale S or widen to
+# DECIMAL(38,0).
+BM25_SCALE = 1_000_000
+
+
+@register(
+    "q_bm25_retrieval",
+    oracle=f"""
+WITH {_SCORED_CTES},
+dl AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl FROM doc_tf GROUP BY 1
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) // count(*) AS BIGINT) AS avgdl
+  FROM dl
+),
+df AS (
+  SELECT tok_h, CAST(count(*) AS BIGINT) AS dfb FROM doc_tf GROUP BY 1
+),
+term_scores AS (
+  SELECT p.probe_id, d.doc_id,
+         CAST(({BM25_SCALE}::BIGINT * (s.n_docs + 1) * 44 * p.c * d.c * s.avgdl)
+              // ((f.dfb + 1) * (20 * d.c * s.avgdl + 6 * s.avgdl + 18 * l.dl))
+              AS BIGINT) AS ts
+  FROM probe_tf p
+  JOIN doc_tf d ON d.tok_h = p.tok_h
+  JOIN df f ON f.tok_h = p.tok_h
+  JOIN dl l ON l.doc_id = d.doc_id
+  CROSS JOIN stats s
+),
+bm AS (
+  SELECT probe_id, doc_id, CAST(sum(ts) AS BIGINT) AS score_scaled
+  FROM term_scores GROUP BY 1, 2
+),
+ranked AS (
+  SELECT probe_id, doc_id, score_scaled,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY score_scaled DESC, doc_id) AS rank
+  FROM bm
+)
+SELECT probe_id, CAST(rank AS INT) AS rank, doc_id, score_scaled
+FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 Okapi BM25 retrieval over the token-hash inverted index —
+    the standard lexical ranking function, computed in EXACT integer
+    arithmetic (rational k1/b folded into one bigint division per term;
+    see the derivation above) so distributed partial-sum order cannot
+    perturb ranks. Plan shape: the probe TF side broadcasts onto the
+    posting lists, document length and df attach by equi-join, and the
+    corpus stats (N, avgdl) ride a 1-row broadcast — the same bounded
+    join set as q_tfidf_retrieval with one extra doc-keyed join."""
+    doc_tf, probe_tf = _doc_probe_tf(spark, sf_dir)
+    dl = doc_tf.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr("sum(dl) div count(*)").cast("bigint").alias("avgdl"),
+    )
+    df_tbl = doc_tf.groupBy("tok_h").agg(
+        F.count("*").cast("bigint").alias("dfb")
+    )
+    term = (
+        F.broadcast(probe_tf.withColumnRenamed("c", "qtf"))
+        .join(doc_tf.withColumnRenamed("c", "tf"), "tok_h")
+        .join(df_tbl, "tok_h")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "probe_id",
+            "doc_id",
+            F.expr(
+                f"CAST(({BM25_SCALE} * (n_docs + 1) * 44 * qtf * tf * avgdl)"
+                " div ((dfb + 1) * (20 * tf * avgdl + 6 * avgdl + 18 * dl))"
+                " AS BIGINT)"
+            ).alias("ts"),
+        )
+    )
+    bm = term.groupBy("probe_id", "doc_id").agg(
+        F.sum("ts").cast("bigint").alias("score_scaled")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("score_scaled"), F.asc("doc_id")
+    )
+    return (
+        bm.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "rank", "doc_id", "score_scaled")
+    )

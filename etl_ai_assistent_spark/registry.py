@@ -87,6 +87,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_kmeans_step",
     "q_quality_gate",
     "q_token_shards",
+    "q_bm25_retrieval",
     # last verdict is round 1 (stalest) — refresh, registration order
     "q_pad_truncate",
     "q_srp_topk",
@@ -108,7 +109,6 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_caption_classify",
     "q_sanitized_asset_names",
     "q_title_text",
-    "q_caption_pairing",
 )
 
 

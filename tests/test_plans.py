@@ -29,6 +29,7 @@ ALLOWED_CROSS = {
     "q_group_regression",  # 1-row broadcast of the x-origin scalar onto the scan
     "q_mix_weights",  # 1-row broadcast of the corpus token total onto domain rows
     "q_kmeans_step",  # K-row centroid broadcast against the vector scan
+    "q_bm25_retrieval",  # 1-row broadcast of corpus stats (N, avgdl)
 }
 
 # Streaming memory-sink queries execute eagerly on construction; the
