@@ -65,6 +65,12 @@ HEADLINE = [
     # clock is 4 micro-batches of fixed state-store/python-worker setup,
     # not data throughput — it stays in the correctness gate.
     "q_stream_tumbling_hourly",
+    # round-4 families: corpus curation, lexical ranking, clustering
+    "q_decontaminate",
+    "q_quality_gate",
+    "q_token_shards",
+    "q_bm25_retrieval",
+    "q_kmeans_step",
 ]
 
 

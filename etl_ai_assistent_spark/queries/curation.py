@@ -60,6 +60,28 @@ grams AS (
 """
 
 
+def _gram_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, gh): distinct hashed {DECON_N}-grams per doc. The token
+    array is materialized in its OWN projection before the gram
+    transform: inlining it would let CollapseProject duplicate the
+    tokenizer into every element_at reference — re-splitting the
+    document once per gram element (a ~300x blowup measured at sf0.1)."""
+    toks = TX.tokens(F.lower(F.col("text")))
+    base = docs.filter(F.size(toks) >= DECON_N).select(
+        "doc_id", toks.alias("tok")
+    )
+    return base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    _ngrams(F.col("tok"), DECON_N), lambda g: md5_bucket(g)
+                )
+            )
+        ).alias("gh"),
+    )
+
+
 @register(
     "q_decontaminate",
     oracle=f"""
@@ -82,18 +104,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     most, so at 100 TB the corpus-side gram stream never shuffles — each
     task probes the broadcast hash set and only hits aggregate."""
     docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = TX.tokens(F.lower(F.col("text")))
-    grams = (
-        docs.filter(F.size(toks) >= DECON_N)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(_ngrams(toks, DECON_N), lambda g: md5_bucket(g))
-                )
-            ).alias("gh"),
-        )
-    )
+    grams = _gram_hashes(docs)
     test = grams.filter(F.col("doc_id") % HOLDOUT_MOD == 0).select(
         F.col("doc_id").alias("test_doc"), "gh"
     )
@@ -372,17 +383,7 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = TX.tokens(F.lower(F.col("text")))
 
-    grams = (
-        docs.filter(F.size(toks) >= DECON_N)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(_ngrams(toks, DECON_N), lambda g: md5_bucket(g))
-                )
-            ).alias("gh"),
-        )
-    )
+    grams = _gram_hashes(docs)
     test = grams.filter(F.col("doc_id") % HOLDOUT_MOD == 0).select("gh")
     contam = (
         grams.filter(F.col("doc_id") % HOLDOUT_MOD != 0)
@@ -393,7 +394,8 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = (
         docs.filter(F.size(toks) >= 2)
-        .select("doc_id", F.explode(_ngrams(toks, REP_N)).alias("g"))
+        .select("doc_id", toks.alias("tok"))
+        .select("doc_id", F.explode(_ngrams(F.col("tok"), REP_N)).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
@@ -403,12 +405,12 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("top_gram_ppm")
         )
     )
-    n_tok = F.size(toks)
-    feats = docs.select(
+    n_tok = F.size(F.col("tok"))
+    feats = docs.select("doc_id", "text", toks.alias("tok")).select(
         "doc_id",
         n_tok.alias("n_tokens"),
         (
-            (F.lit(1_000_000) * F.size(F.array_distinct(toks)))
+            (F.lit(1_000_000) * F.size(F.array_distinct(F.col("tok"))))
             / F.greatest(n_tok, F.lit(1))
         )
         .cast("bigint")
