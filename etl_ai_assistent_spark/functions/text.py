@@ -79,17 +79,29 @@ def token_count(text: Column | str) -> Column:
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams — the MinHash/Jaccard unit. Built from
-    tokens() with transform over indices; stays JVM-side."""
+    tokens() with transform over indices; stays JVM-side.
+
+    The tokenizer output is bound to a LAMBDA VARIABLE (a transform over
+    a 1-element array) before the per-gram element_at references:
+    inlined directly, CollapseProject would duplicate the split() into
+    every one of the n references per gram — re-tokenizing the document
+    n times per gram (the blowup fixed in queries/curation.py)."""
     toks = tokens(F.lower(_c(text)))
-    k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-    )
-    # sequence(1, k<=0) would generate a DESCENDING range — guard to empty
-    return F.when(k >= 1, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def grams_of(t: Column) -> Column:
+        k = F.size(t) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(n)]
+            ),
+        )
+        # sequence(1, k<=0) would generate a DESCENDING range — guard
+        return F.when(k >= 1, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(toks), grams_of), 1)
 
 
 # Per-language stopword profiles for the n-gram/stopword language-ID
