@@ -118,9 +118,16 @@ CJK_RE_JAVA = "[\\u4e00-\\u9fff]"
 
 def stopword_hits(text: Column | str, stopwords: tuple[str, ...]) -> Column:
     """Occurrence count (not distinct) of profile stopwords in the
-    lowercased token stream — one language-ID score channel."""
+    lowercased token stream — one language-ID score channel. When
+    scoring several profiles over one text column, tokenize ONCE and use
+    stopword_hits_in (otherwise each channel re-splits the document)."""
     toks = tokens(F.lower(_c(text)))
     return F.size(F.filter(toks, lambda x: x.isin(*stopwords)))
+
+
+def stopword_hits_in(tok_col: Column | str, stopwords: tuple[str, ...]) -> Column:
+    """stopword_hits over an already-materialized token array column."""
+    return F.size(F.filter(_c(tok_col), lambda x: x.isin(*stopwords)))
 
 
 def cjk_char_count(text: Column | str) -> Column:

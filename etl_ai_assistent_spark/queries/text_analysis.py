@@ -110,9 +110,16 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     formatting each channel as 'zero-padded-score || code' and taking
     greatest() — identical total order on both engines, no struct
     comparison semantics to trust."""
-    docs = io.load_table(spark, sf_dir, "documents")
+    docs = io.load_table(spark, sf_dir, "documents").select(
+        # tokenize once; per-language channels then score the cheap
+        # attribute instead of re-splitting the text per language
+        "doc_id",
+        "lang",
+        "text",
+        TX.tokens(F.lower(F.col("text"))).alias("tok"),
+    )
     scores = {
-        f"s_{code}": TX.stopword_hits("text", words)
+        f"s_{code}": TX.stopword_hits_in("tok", words)
         for code, words in TX.LANG_STOPWORDS.items()
     }
     scores["s_zh"] = TX.cjk_char_count("text")
