@@ -55,9 +55,10 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     subword count — plus char count and mean token length. All
     regexp/size expressions inside whole-stage codegen; the scan reads
     only (doc_id, text)."""
-    docs = io.load_table(spark, sf_dir, "documents")
-    toks = TX.tokens("text")
-    n_tok = F.size(toks)
+    docs = io.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.size(TX.tokens("text")).alias("ntk")
+    )
+    n_tok = F.col("ntk")
     return docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
@@ -188,8 +189,13 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the weighted composite are computed in integer ppm units
     (exact, no float-tie ambiguity across engines); floats appear only
     as a final exact division by a power of ten."""
-    docs = io.load_table(spark, sf_dir, "documents")
-    n_tok = F.size(TX.tokens("text"))
+    docs = io.load_table(spark, sf_dir, "documents").select(
+        # one tokenization per row; every ratio channel reads attributes
+        "doc_id",
+        "text",
+        TX.tokens(F.lower(F.col("text"))).alias("tok"),
+    )
+    n_tok = F.size(F.col("tok"))
     length_g = F.greatest(F.length("text"), F.lit(1))
     n_punct = F.length("text") - F.length(
         F.regexp_replace(F.col("text"), r"[^\w\s]", "")
@@ -202,7 +208,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok.alias("n_tokens"),
         F.round(n_punct * 1000000.0 / length_g, 0).cast("bigint").alias("pr_ppm"),
         F.round(
-            TX.stopword_hits("text", _EN_STOPS) * 1000000.0
+            TX.stopword_hits_in("tok", _EN_STOPS) * 1000000.0
             / F.greatest(n_tok, F.lit(1)),
             0,
         )
