@@ -689,3 +689,46 @@ def q_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("intercept_cents"),
     )
+
+
+@register(
+    "q_props_variant",
+    oracle="""
+SELECT CAST(CAST(props->>'k' AS BIGINT) // 10 AS BIGINT) AS k_decile,
+       count(*) AS n,
+       count(DISTINCT event_type) AS n_types,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY 1
+""",
+)
+def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT twin of q_props_json: parse_json lifts the payload to
+    Spark 4's VariantType — the schema-FREE semi-structured path (no
+    declared struct; paths are extracted on demand with variant_get and
+    stay in the binary variant encoding between accesses, the shredded
+    columnar form at rest). Same aggregation discipline: integer decile
+    buckets and exact cents. On a 100 TB event lake the variant column
+    is the ingestion format for payloads whose schema drifts faster
+    than the pipeline redeploys."""
+    e = io.load_events(spark, sf_dir)
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        e.select(
+            "event_type",
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+            k.alias("k"),
+        )
+        .select(
+            F.expr("k DIV 10").cast("bigint").alias("k_decile"),
+            "event_type",
+            "cents",
+        )
+        .groupBy("k_decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )

@@ -88,6 +88,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_quality_gate",
     "q_token_shards",
     "q_bm25_retrieval",
+    "q_props_variant",
     # last verdict is round 1 (stalest) — refresh, registration order
     "q_pad_truncate",
     "q_srp_topk",
@@ -106,7 +107,6 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_value_percentiles",
     "q_ntile_segments",
     "q_orders_above_cust_avg",
-    "q_caption_classify",
     "q_sanitized_asset_names",
     "q_title_text",
 )
