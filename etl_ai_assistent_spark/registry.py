@@ -89,6 +89,18 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_token_shards",
     "q_bm25_retrieval",
     "q_props_variant",
+    # plan changed this round (tokenize-once / shingle lambda binding /
+    # ts_us loader) — semantics unchanged but re-verify the new plans
+    "q_token_stats",
+    "q_lang_id",
+    "q_quality_score",
+    "q_minhash_near_dup",
+    "q_ngram_jaccard_pairs",
+    "q_fingerprint",
+    "q_salted_skew_join",
+    "q_value_anomalies",
+    "q_props_json",
+    "q_value_percentiles",
     # last verdict is round 1 (stalest) — refresh, registration order
     "q_pad_truncate",
     "q_srp_topk",
@@ -99,16 +111,6 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_cube_quantity",
     "q_rollup_orders",
     "q_pivot_linestatus",
-    "q_customers_without_orders",
-    "q_active_machinery_customers",
-    "q_nation_intersect",
-    "q_priority_stats",
-    "q_grouping_sets",
-    "q_value_percentiles",
-    "q_ntile_segments",
-    "q_orders_above_cust_avg",
-    "q_sanitized_asset_names",
-    "q_title_text",
 )
 
 
