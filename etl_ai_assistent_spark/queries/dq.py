@@ -1,0 +1,154 @@
+"""Data-quality constraint checking (the Deequ/expectations shape).
+
+A warehouse pipeline gates publishes on declarative constraints —
+uniqueness, completeness, referential integrity, value ranges — each a
+metric the engine can compute as one aggregate and compare to a bound.
+The report keeps the OBSERVED metric next to the pass/fail verdict so a
+failing load is diagnosable from the report alone.
+
+Scale shape: every constraint is a partial-aggregated scan (count /
+count-distinct / conditional count) or a broadcast/shuffle anti-join
+(orphan detection); the report itself is constraints-sized. Nothing
+here collects data rows to the driver.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+from ..registry import register
+
+
+def _verdict(violations):
+    return F.when(violations == 0, "pass").otherwise("fail")
+
+
+@register(
+    "q_dq_constraints",
+    oracle="""
+SELECT 'orders_pk_unique' AS constraint_id,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+       CAST(count(*) AS BIGINT) AS checked_rows,
+       CASE WHEN count(*) - count(DISTINCT o_orderkey) = 0
+            THEN 'pass' ELSE 'fail' END AS status
+FROM orders
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       CAST(count(*) AS BIGINT),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+       CASE WHEN count(*) = 0 THEN 'pass' ELSE 'fail' END
+FROM (SELECT l_orderkey FROM lineitem
+      EXCEPT ALL SELECT o_orderkey FROM orders) orphans
+UNION ALL
+SELECT 'orders_custkey_fk',
+       CAST(count(*) AS BIGINT),
+       (SELECT CAST(count(*) AS BIGINT) FROM orders),
+       CASE WHEN count(*) = 0 THEN 'pass' ELSE 'fail' END
+FROM (SELECT o_custkey FROM orders
+      EXCEPT ALL SELECT c_custkey FROM customer) orphans
+UNION ALL
+SELECT 'customer_acctbal_complete',
+       CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       CASE WHEN sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) = 0
+            THEN 'pass' ELSE 'fail' END
+FROM customer
+UNION ALL
+SELECT 'lineitem_quantity_range',
+       CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       CASE WHEN sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                          THEN 1 ELSE 0 END) = 0
+            THEN 'pass' ELSE 'fail' END
+FROM lineitem
+UNION ALL
+SELECT 'documents_text_nonempty',
+       CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       CASE WHEN sum(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                          THEN 1 ELSE 0 END) = 0
+            THEN 'pass' ELSE 'fail' END
+FROM documents
+""",
+)
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report over the warehouse tables: PK
+    uniqueness (orders), referential integrity (lineitem→orders,
+    orders→customer — EXCEPT ALL keeps duplicate orphans countable),
+    completeness (customer.c_acctbal), value range (l_quantity in
+    [1, 50]), and non-empty text (documents). One row per constraint
+    with observed violation and checked-row counts."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    lineitem = io.load_table(spark, sf_dir, "lineitem")
+    customer = io.load_table(spark, sf_dir, "customer")
+    documents = io.load_table(spark, sf_dir, "documents")
+
+    def report(cid: str, violations, checked) -> DataFrame:
+        return violations.select(
+            F.lit(cid).alias("constraint_id"),
+            F.col("v").cast("bigint").alias("violations"),
+            F.lit(None).cast("bigint").alias("checked_rows"),
+        ).crossJoin(checked.select(F.col("c").cast("bigint").alias("_c"))).select(
+            "constraint_id",
+            "violations",
+            F.col("_c").alias("checked_rows"),
+            _verdict(F.col("violations")).alias("status"),
+        )
+
+    pk = orders.agg(
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("v"),
+        F.count("*").alias("c"),
+    ).select(
+        F.lit("orders_pk_unique").alias("constraint_id"),
+        F.col("v").cast("bigint").alias("violations"),
+        F.col("c").cast("bigint").alias("checked_rows"),
+        _verdict(F.col("v")).alias("status"),
+    )
+
+    li_orphans = lineitem.select("l_orderkey").exceptAll(
+        orders.select("o_orderkey")
+    ).agg(F.count("*").alias("v"))
+    li_fk = report(
+        "lineitem_orderkey_fk", li_orphans, lineitem.agg(F.count("*").alias("c"))
+    )
+
+    ord_orphans = orders.select("o_custkey").exceptAll(
+        customer.select("c_custkey")
+    ).agg(F.count("*").alias("v"))
+    ord_fk = report(
+        "orders_custkey_fk", ord_orphans, orders.agg(F.count("*").alias("c"))
+    )
+
+    def conditional(cid: str, df: DataFrame, bad) -> DataFrame:
+        return df.agg(
+            F.sum(bad.cast("int")).alias("v"), F.count("*").alias("c")
+        ).select(
+            F.lit(cid).alias("constraint_id"),
+            F.coalesce(F.col("v"), F.lit(0)).cast("bigint").alias("violations"),
+            F.col("c").cast("bigint").alias("checked_rows"),
+            _verdict(F.coalesce(F.col("v"), F.lit(0))).alias("status"),
+        )
+
+    complete = conditional(
+        "customer_acctbal_complete", customer, F.col("c_acctbal").isNull()
+    )
+    qty = conditional(
+        "lineitem_quantity_range",
+        lineitem,
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+    )
+    nonempty = conditional(
+        "documents_text_nonempty",
+        documents,
+        F.col("text").isNull() | (F.length(F.trim("text")) == 0),
+    )
+
+    return reduce(
+        DataFrame.unionByName, [pk, li_fk, ord_fk, complete, qty, nonempty]
+    )

@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "etl_ai_assistent_spark.queries.graph",
     "etl_ai_assistent_spark.queries.curation",
     "etl_ai_assistent_spark.queries.clustering",
+    "etl_ai_assistent_spark.queries.dq",
 )
 
 _loaded = False
@@ -89,6 +90,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_token_shards",
     "q_bm25_retrieval",
     "q_props_variant",
+    "q_dq_constraints",
     # plan changed this round (tokenize-once / shingle lambda binding /
     # ts_us loader) — semantics unchanged but re-verify the new plans
     "q_token_stats",
@@ -100,7 +102,6 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_salted_skew_join",
     "q_value_anomalies",
     "q_props_json",
-    "q_value_percentiles",
     # last verdict is round 1 (stalest) — refresh, registration order
     "q_pad_truncate",
     "q_srp_topk",
