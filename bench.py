@@ -128,6 +128,10 @@ def main() -> None:
             timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — report, don't crash
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        # Drop persisted intermediates (histogram stats, pagerank edges,
+        # …) so later queries aren't timed under earlier queries' cached
+        # blocks — each timing reflects a cold, isolated plan.
+        spark.catalog.clearCache()
 
     out = {
         "metric": "headline_query_total",
