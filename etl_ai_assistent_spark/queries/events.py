@@ -732,3 +732,133 @@ def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("total_cents"),
         )
     )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+WITH base AS (
+  SELECT user_id,
+         max(epoch_us(ts)) AS last_us,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS monetary_cents
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, last_us, frequency, monetary_cents,
+         ntile(5) OVER (ORDER BY last_us DESC, user_id) AS r,
+         ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f,
+         ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m
+  FROM base
+)
+SELECT user_id, frequency, monetary_cents,
+       CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+       CAST(r * 100 + f * 10 + m AS INT) AS rfm,
+       CASE WHEN r <= 2 AND f <= 2 THEN 'core'
+            WHEN r <= 2 THEN 'recent'
+            WHEN f <= 2 THEN 'lapsing-frequent'
+            ELSE 'dormant' END AS segment
+FROM scored
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles — the
+    standard behavioral-cohort feature): one user-keyed aggregation,
+    then three ntile windows with deterministic user_id tie-breaks, all
+    integer µs/cents. The ntile windows are global sorts over USERS
+    (not events) — at 100 TB the user table is the small fan-in of the
+    event scan, and each quintile assignment is one range-partitioned
+    sort of user-sized data."""
+    e = io.load_events(spark, sf_dir)
+    base = e.groupBy("user_id").agg(
+        F.max("ts_us").alias("last_us"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    r = F.ntile(5).over(Window.orderBy(F.desc("last_us"), F.asc("user_id")))
+    f = F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+    m = F.ntile(5).over(
+        Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
+    )
+    scored = base.select(
+        "user_id",
+        "frequency",
+        "monetary_cents",
+        r.cast("int").alias("r"),
+        f.cast("int").alias("f"),
+        m.cast("int").alias("m"),
+    )
+    return scored.select(
+        "user_id",
+        "frequency",
+        "monetary_cents",
+        "r",
+        "f",
+        "m",
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+        .cast("int")
+        .alias("rfm"),
+        F.when((F.col("r") <= 2) & (F.col("f") <= 2), "core")
+        .when(F.col("r") <= 2, "recent")
+        .when(F.col("f") <= 2, "lapsing-frequent")
+        .otherwise("dormant")
+        .alias("segment"),
+    )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total FROM trans GROUP BY 1
+)
+SELECT t.prev_type, t.next_type, t.n,
+       CAST((1000000 * t.n) // o.row_total AS BIGINT) AS p_ppm
+FROM trans t JOIN tot o ON o.prev_type = t.prev_type
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov matrix: per-user event-type
+    transitions (lag over the user timeline) counted into a
+    types x types matrix with exact integer-ppm row-normalized
+    probabilities. One user_id-keyed window pass over the event scan,
+    then a types-sized aggregation — the output is O(|event types|^2)
+    regardless of event volume."""
+    e = io.load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ordered = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = (
+        ordered.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = trans.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("row_total")
+    )
+    return trans.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("(1000000 * n) div row_total").cast("bigint").alias("p_ppm"),
+    )

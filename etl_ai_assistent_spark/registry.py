@@ -91,6 +91,8 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_bm25_retrieval",
     "q_props_variant",
     "q_dq_constraints",
+    "q_rfm_segments",
+    "q_event_transitions",
     # plan changed this round (tokenize-once / shingle lambda binding /
     # ts_us loader) — semantics unchanged but re-verify the new plans
     "q_token_stats",
@@ -100,8 +102,6 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_ngram_jaccard_pairs",
     "q_fingerprint",
     "q_salted_skew_join",
-    "q_value_anomalies",
-    "q_props_json",
     # last verdict is round 1 (stalest) — refresh, registration order
     "q_pad_truncate",
     "q_srp_topk",
