@@ -181,3 +181,34 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """K2/K7 CSV sinks (docx_etl.py:160-171, make_ragas_test.py:196)."""
     df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Alternative columnar store format (same pushdown/pruning class as
+    parquet; the K4/K5 store shape for ORC-standardized warehouses)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, *, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """Native XML sink (Spark 4 built-in) — the reference's document
+    domain IS XML (OOXML, docx_parser.py); this is the declarative twin
+    of its ElementTree serialization for XML-standardized exchanges."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, *, row_tag: str = "row", schema=None
+) -> DataFrame:
+    """Native XML source: one row per `row_tag` element, attributes as
+    `_attr` columns, nested elements as structs/arrays — schema-on-read
+    like the JSON source (explicit schema preferred at scale)."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)

@@ -186,3 +186,55 @@ def test_stream_upsert_points_effectively_once(spark, sf_small, tmp_path):
     assert back.count() == n_docs
     run()  # restart with same checkpoint: committed batches not re-sent
     assert spark.read.parquet(out).count() == n_docs
+
+
+def test_orc_store_roundtrip_with_pushdown(spark, sf_small, tmp_path):
+    """ORC store variant: lossless round-trip and predicate pushdown
+    reaching the ORC scan (same data-skipping class as parquet)."""
+    from etl_ai_assistent_spark import io as IO
+
+    events = IO.load_events(spark, sf_small).select(
+        "event_id", "ts_us", "event_type", "value"
+    )
+    out = str(tmp_path / "events_orc")
+    IO.write_orc(events, out)
+    back = IO.read_orc(spark, out)
+    assert back.count() == events.count()
+    assert back.selectExpr("sum(ts_us)").collect() == events.selectExpr(
+        "sum(ts_us)"
+    ).collect()
+    plan = (
+        back.filter(back["event_type"] == "purchase")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)" in plan
+
+
+def test_xml_sink_source_roundtrip(spark, tmp_path):
+    """Native XML round-trip of a nested document shape (sections with
+    titles and paragraph arrays) — the reference's OOXML domain handled
+    declaratively."""
+    from pyspark.sql import functions as F
+
+    from etl_ai_assistent_spark import io as IO
+
+    rows = [
+        (1, "Intro", ["p one", "p two"]),
+        (2, "Methods & Results", ["x < y", "z"]),  # needs XML escaping
+        (3, "Empty", []),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, title string, paragraphs array<string>"
+    )
+    out = str(tmp_path / "sections_xml")
+    IO.write_xml(df, out, row_tag="section")
+    back = IO.read_xml(spark, out, row_tag="section")
+    got = {
+        r["doc_id"]: (r["title"], list(r["paragraphs"] or []))
+        for r in back.collect()
+    }
+    assert got[1] == ("Intro", ["p one", "p two"])
+    assert got[2] == ("Methods & Results", ["x < y", "z"])  # escaped+restored
+    assert 3 in got
