@@ -862,3 +862,63 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("(1000000 * n) div row_total").cast("bigint").alias("p_ppm"),
     )
+
+
+@register(
+    "q_ewma_user_value",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         list_transform(
+           list_sort(list({'ts': epoch_us(ts), 'id': event_id,
+                           'v': CAST(floor(value * 100 + 0.5) AS BIGINT)})),
+           s -> s.v) AS xs
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(xs) AS BIGINT) AS n_events,
+       xs[len(xs)] AS last_cents,
+       CAST(list_reduce(xs, (acc, x) -> (acc * 3 + x) // 4) AS BIGINT)
+         AS ewma_cents
+FROM seq
+""",
+)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event value —
+    the time-decayed feature, with a RATIONAL decay (alpha = 1/4:
+    s <- (3*s + x) div 4 in integer cents) so the inherently sequential
+    recursion is EXACT and engine-independent. The per-user event
+    sequence is folded inside one row (sort_array over a collected
+    struct array, then a higher-order aggregate) — the same per-key-
+    bounded pattern as the per-doc applyInPandas operators: state is one
+    user's history, never a corpus. One user-keyed shuffle total."""
+    e = io.load_events(spark, sf_dir)
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("ts_us").alias("ts"),
+                F.col("event_id").alias("id"),
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("bigint")
+                .alias("v"),
+            )
+        )
+    )
+    seq = e.groupBy("user_id").agg(
+        F.transform(arr, lambda s: s["v"]).alias("xs")
+    )
+    n = F.size("xs")
+    # (3*acc + x) div 4 via floor(double / 4): exact while 3*acc + x stays
+    # under 2^53 (cents are <= ~1e7 here; the recursion keeps acc bounded
+    # by max(x), so the bound holds with ~6 orders of headroom)
+    ewma = F.aggregate(
+        F.slice(F.col("xs"), 2, n - 1),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: F.floor((acc * 3 + x) / 4).cast("bigint"),
+    )
+    return seq.select(
+        "user_id",
+        n.cast("bigint").alias("n_events"),
+        F.element_at("xs", n).alias("last_cents"),
+        ewma.cast("bigint").alias("ewma_cents"),
+    )

@@ -93,6 +93,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_dq_constraints",
     "q_rfm_segments",
     "q_event_transitions",
+    "q_ewma_user_value",
     # plan changed this round (tokenize-once / shingle lambda binding /
     # ts_us loader) — semantics unchanged but re-verify the new plans
     "q_token_stats",
@@ -101,7 +102,6 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_minhash_near_dup",
     "q_ngram_jaccard_pairs",
     "q_fingerprint",
-    "q_salted_skew_join",
     # last verdict is round 1 (stalest) — refresh, registration order
     "q_pad_truncate",
     "q_srp_topk",
