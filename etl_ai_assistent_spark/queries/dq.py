@@ -152,3 +152,59 @@ def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(
         DataFrame.unionByName, [pk, li_fk, ord_fk, complete, qty, nonempty]
     )
+
+
+@register(
+    "q_table_stats",
+    oracle="""
+SELECT 'l_quantity' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv,
+       CAST(min(l_quantity) AS BIGINT) AS min_v,
+       CAST(max(l_quantity) AS BIGINT) AS max_v
+FROM lineitem
+UNION ALL
+SELECT 'l_orderkey', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT l_orderkey) AS BIGINT),
+       CAST(min(l_orderkey) AS BIGINT), CAST(max(l_orderkey) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'l_linenumber', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT l_linenumber) AS BIGINT),
+       CAST(min(l_linenumber) AS BIGINT), CAST(max(l_linenumber) AS BIGINT)
+FROM lineitem
+""",
+)
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-shape column statistics (rows / nulls / NDV / min / max
+    per column) — the table profile a cost-based optimizer consumes and
+    the first thing a data platform computes on ingest. Exact NDV here
+    (oracle-checkable); the 100 TB variant swaps count_distinct for the
+    mergeable HLL sketch (operators/sketch.py, q_hll_distinct) column by
+    column. One scan per column set, partial-aggregated."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+
+    def col_stats(c: str) -> DataFrame:
+        return li.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("int")).cast("bigint").alias("n_nulls"),
+            F.count_distinct(F.col(c)).cast("bigint").alias("ndv"),
+            F.min(F.col(c)).cast("bigint").alias("min_v"),
+            F.max(F.col(c)).cast("bigint").alias("max_v"),
+        ).select(
+            F.lit(c).alias("column_name"),
+            "n_rows",
+            "n_nulls",
+            "ndv",
+            "min_v",
+            "max_v",
+        )
+
+    return reduce(
+        DataFrame.unionByName,
+        [col_stats("l_quantity"), col_stats("l_orderkey"), col_stats("l_linenumber")],
+    )

@@ -94,6 +94,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_rfm_segments",
     "q_event_transitions",
     "q_ewma_user_value",
+    "q_table_stats",
     # plan changed this round (tokenize-once / shingle lambda binding /
     # ts_us loader) — semantics unchanged but re-verify the new plans
     "q_token_stats",
@@ -101,7 +102,6 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_quality_score",
     "q_minhash_near_dup",
     "q_ngram_jaccard_pairs",
-    "q_fingerprint",
     # last verdict is round 1 (stalest) — refresh, registration order
     "q_pad_truncate",
     "q_srp_topk",
