@@ -112,7 +112,7 @@ def main() -> None:
     # Per-query wall clock = MIN of `runs` executions: single-shot
     # timings on this shared host swing up to 4x from noisy-neighbor
     # contention; the minimum is the reproducible cost of the plan.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
