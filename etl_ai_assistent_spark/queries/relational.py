@@ -514,3 +514,47 @@ def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "q_full_outer_reconcile",
+    oracle="""
+WITH order_tot AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+  FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       c.c_custkey IS NOT NULL AS in_customer,
+       o.o_custkey IS NOT NULL AS has_orders,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(o.total, CAST(0 AS DOUBLE)) AS order_total
+FROM customer c
+FULL OUTER JOIN order_tot o ON o.o_custkey = c.c_custkey
+""",
+)
+def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation (the two-system audit shape): every
+    customer and every ordering custkey, with presence flags on both
+    sides and zero-defaulted aggregates — rows missing from either side
+    surface instead of vanishing. Completes the §2.6 join matrix
+    (equi/broadcast/semi/anti/as-of/range/full-outer). DECIMAL-exact
+    order totals widened to DOUBLE once."""
+    customer = io.load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = io.load_table(spark, sf_dir, "orders")
+    order_tot = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+    j = customer.join(
+        order_tot, customer["c_custkey"] == order_tot["o_custkey"], "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        F.col("c_custkey").isNotNull().alias("in_customer"),
+        F.col("o_custkey").isNotNull().alias("has_orders"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce(F.col("total"), F.lit(0.0)).alias("order_total"),
+    )

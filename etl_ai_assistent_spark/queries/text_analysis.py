@@ -376,3 +376,57 @@ def q_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket < (F.col("rate") * 1000000).cast("bigint")
     )
     return sampled.groupBy("source").agg(F.count("*").alias("n_sampled"))
+
+
+SENT_RE = "[^.!?]+[.!?]*"
+
+
+@register(
+    "q_sentence_stats",
+    oracle=f"""
+WITH sent AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_extract_all(text, '{SENT_RE}'), s -> trim(s)),
+           s -> length(s) > 0) AS sents
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       CAST(COALESCE(list_max(list_transform(sents, s -> length(s))), 0)
+            AS BIGINT) AS max_sentence_chars,
+       CAST(COALESCE(list_sum(list_transform(sents, s -> length(s))), 0)
+            AS BIGINT) AS total_sentence_chars
+FROM sent
+""",
+)
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (regex [.!?]-terminated runs, identical
+    under Java regex and RE2) with per-document sentence counts and
+    length stats — the preprocessing unit between document and chunk
+    granularity. Pure codegen'd regexp/array expressions; the sentence
+    array is materialized once per row before the length transforms."""
+    docs = io.load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.transform(
+                F.regexp_extract_all(F.col("text"), F.lit(SENT_RE), 0),
+                F.trim,
+            ),
+            lambda s: F.length(s) > 0,
+        ).alias("sents"),
+    )
+    lens = F.transform("sents", F.length)
+    return docs.select(
+        "doc_id",
+        F.size("sents").cast("bigint").alias("n_sentences"),
+        F.coalesce(F.array_max(lens), F.lit(0))
+        .cast("bigint")
+        .alias("max_sentence_chars"),
+        F.coalesce(
+            F.aggregate(lens, F.lit(0).cast("bigint"), lambda a, x: a + x),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("total_sentence_chars"),
+    )

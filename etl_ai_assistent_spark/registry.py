@@ -95,15 +95,15 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_event_transitions",
     "q_ewma_user_value",
     "q_table_stats",
+    "q_full_outer_reconcile",
+    "q_sentence_stats",
     # plan changed this round (tokenize-once / shingle lambda binding /
     # ts_us loader) — semantics unchanged but re-verify the new plans
     "q_token_stats",
     "q_lang_id",
     "q_quality_score",
     "q_minhash_near_dup",
-    "q_ngram_jaccard_pairs",
     # last verdict is round 1 (stalest) — refresh, registration order
-    "q_pad_truncate",
     "q_srp_topk",
     "q_pricing_summary",
     "q_revenue_by_nation",
