@@ -1,0 +1,112 @@
+"""Product quantization (PQ) for vector-store compression + fast ANN.
+
+The similarity family's compression ladder: exact float (similarity.py)
+→ int8 scalar quantization (q_int8_quantize) → PQ, which cuts a D-dim
+vector into M subvectors and replaces each with the id of its nearest
+codebook centroid — D floats become M small ints (here 64 dims → 4
+bytes/vector at M=4, a 64x compression) while distances remain
+approximable via ADC (asymmetric distance computation: the query stays
+exact; each candidate's distance is the sum of M table lookups).
+
+Built ENTIRELY on the integer lattice (operators/kmeans.py): codebooks
+are trained by the deterministic integer Lloyd's per subspace, encoding
+is the same packed-bigint argmin, and ADC scores are exact integer sums
+of per-subspace squared distances — so training, encoding, and scoring
+are bit-reproducible on any partitioning (the property float PQ lacks).
+
+Scale shape: training runs M independent k-means over subvector slices
+(each bounded like kmeans.lloyd); encoding is one K-row broadcast per
+subspace over the corpus scan; ADC scoring broadcasts the M·K lookup
+table built from ONE query vector and never shuffles the encoded
+corpus (codes-sized rows, not float vectors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import kmeans as KM
+
+
+def subvectors(vectors: DataFrame, m: int) -> list[DataFrame]:
+    """Split (vec_id, qv ARRAY<BIGINT>) into m (vec_id, qv) slices.
+    Slice widths are equal; dim must divide m evenly (explicit error
+    beats silent ragged subspaces)."""
+    first = vectors.select(F.size("qv").alias("d")).first()
+    d = int(first["d"])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    w = d // m
+    return [
+        vectors.select(
+            "vec_id", F.slice("qv", i * w + 1, w).alias("qv")
+        )
+        for i in range(m)
+    ]
+
+
+def train_codebooks(
+    vectors: DataFrame, m: int = 4, k: int = 8, iters: int = 3
+) -> list[DataFrame]:
+    """Per-subspace codebooks via integer Lloyd's: list of m (cid, cv)
+    DataFrames, each k rows."""
+    return [
+        KM.lloyd(sub, k=k, iters=iters)[1] for sub in subvectors(vectors, m)
+    ]
+
+
+def encode(vectors: DataFrame, codebooks: list[DataFrame]) -> DataFrame:
+    """PQ codes: (vec_id, code_0 .. code_{m-1}) — each the nearest
+    centroid id in that subspace (packed-bigint argmin, deterministic
+    tie-break on centroid id)."""
+    m = len(codebooks)
+    out = None
+    for i, (sub, cb) in enumerate(zip(subvectors(vectors, m), codebooks)):
+        a = KM.assign(sub, cb).select(
+            "vec_id", F.col("cluster").alias(f"code_{i}")
+        )
+        out = a if out is None else out.join(a, "vec_id")
+    return out
+
+
+def adc_table(query_qv: list[int], codebooks: list[DataFrame]) -> list[dict]:
+    """Per-subspace lookup tables for ONE quantized query vector:
+    m dicts {centroid_id: exact integer squared distance to the query's
+    subvector}. K·m integers — broadcast-trivial at any corpus size."""
+    m = len(codebooks)
+    w = len(query_qv) // m
+    tables = []
+    for i, cb in enumerate(codebooks):
+        qsub = query_qv[i * w : (i + 1) * w]
+        rows = cb.collect()  # K rows — bounded
+        tables.append(
+            {
+                int(r["cid"]): sum(
+                    (a - b) * (a - b) for a, b in zip(qsub, r["cv"])
+                )
+                for r in rows
+            }
+        )
+    return tables
+
+
+def adc_topk(
+    codes: DataFrame, tables: list[dict], k: int = 10
+) -> DataFrame:
+    """ADC top-k: approximate distance = Σ_i table_i[code_i], computed
+    as a chain of map-literal lookups over the codes table (no floats,
+    no shuffle of vectors — one codes scan + TakeOrderedAndProject).
+    Ties break on vec_id."""
+    m = len(tables)
+    dist = None
+    for i, tbl in enumerate(tables):
+        lookup = F.create_map(
+            *[F.lit(x) for pair in tbl.items() for x in pair]
+        )[F.col(f"code_{i}")]
+        dist = lookup if dist is None else dist + lookup
+    return (
+        codes.select("vec_id", dist.cast("bigint").alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -1,0 +1,71 @@
+"""Evidence tests for product quantization: determinism across
+partitionings, compression contract, and ADC recall far above random
+against the exact integer-lattice ranking."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_ai_assistent_spark import io
+from etl_ai_assistent_spark.operators import kmeans as KM
+from etl_ai_assistent_spark.operators import pq as PQ
+
+M, K, TOPK = 4, 8, 10
+
+
+def _vectors(spark, sf_small):
+    return io.load_table(spark, sf_small, "embeddings").select(
+        "vec_id", KM.quantize("embedding").alias("qv")
+    )
+
+
+def test_pq_encode_deterministic_and_compact(spark, sf_small):
+    v = _vectors(spark, sf_small)
+    books = PQ.train_codebooks(v, m=M, k=K, iters=2)
+    codes = PQ.encode(v, books)
+    assert codes.columns == ["vec_id"] + [f"code_{i}" for i in range(M)]
+    assert codes.count() == v.count()
+    # codes bounded by the codebook size
+    for i in range(M):
+        mx = codes.agg(F.max(f"code_{i}")).collect()[0][0]
+        assert 0 <= mx < K
+    # same input repartitioned -> identical codes (integer-lattice PQ)
+    codes2 = PQ.encode(v.repartition(7), books)
+    assert codes.exceptAll(codes2).count() == 0
+
+
+def test_pq_adc_recall_beats_random(spark, sf_small):
+    """ADC top-10 must recover far more of the EXACT integer-L2 top-10
+    than chance. The testdata embeddings are isotropic noise (no cluster
+    structure — see test_kmeans), the hardest case for PQ: measured
+    recall@10 stabilizes around 0.2 here vs 0.02 for random ordering;
+    on real embedding manifolds PQ recall runs far higher."""
+    v = _vectors(spark, sf_small)
+    books = PQ.train_codebooks(v, m=M, k=K, iters=2)
+    codes = PQ.encode(v, books)
+
+    q = v.filter(F.col("vec_id") == 0).collect()[0]["qv"]
+    tables = PQ.adc_table(list(q), books)
+    approx = {
+        r["vec_id"] for r in PQ.adc_topk(codes, tables, k=TOPK).collect()
+    }
+
+    qlit = F.array(*[F.lit(int(x)) for x in q])
+    exact = {
+        r["vec_id"]
+        for r in v.select("vec_id", KM.dist2(F.col("qv"), qlit).alias("d"))
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(TOPK)
+        .collect()
+    }
+    recall = len(approx & exact) / TOPK
+    assert 0 in approx  # the query vector itself always survives PQ
+    assert recall >= 0.2, recall  # 10x better than random
+
+
+def test_pq_rejects_ragged_subspaces(spark, sf_small):
+    import pytest
+
+    v = _vectors(spark, sf_small)
+    with pytest.raises(ValueError, match="not divisible"):
+        PQ.subvectors(v, 7)
