@@ -558,3 +558,37 @@ def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
         F.coalesce(F.col("total"), F.lit(0.0)).alias("order_total"),
     )
+
+
+@register(
+    "q_unpivot_part_metrics",
+    oracle="""
+SELECT p_partkey, metric, CAST(value AS DOUBLE) AS value
+FROM (SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS p_size,
+             CAST(p_retailprice AS DOUBLE) AS p_retailprice
+      FROM part WHERE p_partkey < 500)
+UNPIVOT (value FOR metric IN (p_size, p_retailprice))
+""",
+)
+def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (the inverse of q_pivot_linestatus): wide per-part
+    metric columns to long (key, metric, value) form — the shape feature
+    stores and metric warehouses ingest. Native `unpivot` keeps it one
+    narrow codegen'd projection (each input row fans out to n_metrics
+    rows, no shuffle at all)."""
+    part = (
+        io.load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 500)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        )
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

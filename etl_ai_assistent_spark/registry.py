@@ -97,6 +97,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_table_stats",
     "q_full_outer_reconcile",
     "q_sentence_stats",
+    "q_unpivot_part_metrics",
     # plan changed this round (tokenize-once / shingle lambda binding /
     # ts_us loader) — semantics unchanged but re-verify the new plans
     "q_token_stats",
@@ -104,7 +105,6 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_quality_score",
     "q_minhash_near_dup",
     # last verdict is round 1 (stalest) — refresh, registration order
-    "q_srp_topk",
     "q_pricing_summary",
     "q_revenue_by_nation",
     "q_top_orders_per_customer",
