@@ -922,3 +922,68 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("xs", n).alias("last_cents"),
         ewma.cast("bigint").alias("ewma_cents"),
     )
+
+
+@register(
+    "q_daily_gapfill",
+    oracle="""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM events WHERE event_type = 'error' GROUP BY 1
+),
+bounds AS (
+  SELECT min(epoch_us(ts)) // 86400000000 AS d0,
+         max(epoch_us(ts)) // 86400000000 AS d1
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(d0, d1)) AS day_id FROM bounds
+)
+SELECT s.day_id,
+       COALESCE(d.n, 0) AS n,
+       COALESCE(d.total_cents, 0) AS total_cents,
+       d.day_id IS NULL AS is_gap
+FROM spine s LEFT JOIN daily d ON d.day_id = s.day_id
+""",
+)
+def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: a complete day spine generated from
+    the observed [min, max] range (sequence + explode — no calendar
+    table needed), left-joined to sparse daily aggregates so days with
+    NO qualifying events surface as explicit zero rows — the dashboard /
+    alerting shape where a silent day IS the signal. The spine is
+    range-sized (days, not events) and the aggregate is partial-agg'd;
+    the spine side of the join broadcasts."""
+    e = io.load_events(spark, sf_dir)
+    daily = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.expr("ts_us DIV 86400000000").alias("day_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+    )
+    bounds = e.agg(
+        F.expr("min(ts_us) DIV 86400000000").alias("d0"),
+        F.expr("max(ts_us) DIV 86400000000").alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day_id")
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day_id", "left")
+        .select(
+            "day_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce(F.col("total_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("total_cents"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )

@@ -98,6 +98,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_full_outer_reconcile",
     "q_sentence_stats",
     "q_unpivot_part_metrics",
+    "q_daily_gapfill",
     # plan changed this round (tokenize-once / shingle lambda binding /
     # ts_us loader) — semantics unchanged but re-verify the new plans
     "q_token_stats",
@@ -105,7 +106,6 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_quality_score",
     "q_minhash_near_dup",
     # last verdict is round 1 (stalest) — refresh, registration order
-    "q_pricing_summary",
     "q_revenue_by_nation",
     "q_top_orders_per_customer",
     "q_running_revenue",
