@@ -51,15 +51,19 @@ def ts_us_col(ts_dtype: str):
     raise TypeError(f"events.ts has unsupported dtype {ts_dtype!r}")
 
 
-_TS_SANITY_OK: set[str] = set()
+_TS_SANITY_OK: set[tuple[str, float, int]] = set()
 
 
 def assert_ts_unit_sane(path: str) -> None:
     """Footer-only (no data scan) sanity check that the min/max of the
     events `ts` column normalizes into a plausible epoch-µs band. Guards
     against the silent-corruption mode where a re-typed testdata column
-    is decoded with the wrong unit. Cached per path; cheap (~ms)."""
-    if path in _TS_SANITY_OK:
+    is decoded with the wrong unit. Cached per (path, mtime, size) — not
+    path alone — so a file regenerated in-process at the same path is
+    re-validated. Cheap (~ms)."""
+    st_f = os.stat(path)
+    cache_key = (path, st_f.st_mtime, st_f.st_size)
+    if cache_key in _TS_SANITY_OK:
         return
     import datetime
 
@@ -96,7 +100,7 @@ def assert_ts_unit_sane(path: str) -> None:
             f"[{lo_us}, {hi_us}] µs is outside [{TS_US_MIN}, {TS_US_MAX}] — "
             "the physical type/unit of `ts` changed; update io.ts_us_col"
         )
-    _TS_SANITY_OK.add(path)
+    _TS_SANITY_OK.add(cache_key)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,14 +177,14 @@ def write_parquet(
     w.parquet(path)
 
 
-def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_json(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
     """K1/K5/K6 JSON sinks (app.py:37-38, vectorize_out.py:99)."""
-    df.write.mode(mode).json(path)
+    df.write.mode(mode).options(**options).json(path)
 
 
-def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
     """K2/K7 CSV sinks (docx_etl.py:160-171, make_ragas_test.py:196)."""
-    df.write.mode(mode).option("header", True).csv(path)
+    df.write.mode(mode).option("header", True).options(**options).csv(path)
 
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:

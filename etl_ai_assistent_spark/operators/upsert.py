@@ -47,8 +47,9 @@ class LocalParquetStoreClient(VectorStoreClient):
     append). On a cluster this shape would write executor-local or
     object storage; it exists so the verified path has zero network."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, *, epoch: int = 0):
         self.out_dir = out_dir
+        self.epoch = epoch  # micro-batch id for streams; 0 for batch jobs
         self._n = 0
         os.makedirs(out_dir, exist_ok=True)
 
@@ -60,9 +61,14 @@ class LocalParquetStoreClient(VectorStoreClient):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         cols: dict[str, list] = {k: [p[k] for p in points] for k in points[0]}
+        # Filename carries (epoch, partition, ordinal): a REPLAY of the same
+        # micro-batch overwrites its own files (idempotent), while distinct
+        # micro-batches never collide — partition ids restart at 0 per batch.
         pq.write_table(
             pa.table(cols),
-            os.path.join(self.out_dir, f"part_{pid:05d}_{self._n:05d}.parquet"),
+            os.path.join(
+                self.out_dir, f"e{self.epoch:05d}_part_{pid:05d}_{self._n:05d}.parquet"
+            ),
         )
         self._n += 1
 
@@ -147,11 +153,36 @@ def stream_upsert_points(
     batched partition writer (streaming/pipeline.stream_to_parquet is the
     local-parquet sibling). The checkpoint's batch tracking plus the
     store's idempotent per-id upsert give effectively-once delivery.
-    Drains the finite source to completion."""
+    Drains the finite source to completion.
+
+    The micro-batch id is threaded into the client factory when it accepts
+    an argument (``client_factory(batch_id)``) so adapters that key output
+    on task partition ids — which RESTART at 0 every micro-batch — can
+    disambiguate batches instead of silently overwriting the previous
+    one. A zero-arg factory still works (store-side idempotence by point
+    id makes the epoch irrelevant for true upsert stores)."""
+    import inspect
+
+    try:
+        params = inspect.signature(client_factory).parameters
+        accepts_batch_id = any(
+            p.kind
+            in (
+                inspect.Parameter.POSITIONAL_ONLY,
+                inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                inspect.Parameter.VAR_POSITIONAL,
+            )
+            for p in params.values()
+        )
+    except (TypeError, ValueError):  # builtins / C callables
+        accepts_batch_id = False
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        factory = (
+            (lambda: client_factory(batch_id)) if accepts_batch_id else client_factory
+        )
         upsert_points(
-            batch_df, client_factory, batch_size=batch_size, max_retries=max_retries
+            batch_df, factory, batch_size=batch_size, max_retries=max_retries
         )
 
     q = (

@@ -37,14 +37,21 @@ def _fixture_dir(sf_dir: str) -> str:
 
 def docx_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per sf) the deterministic .docx fixture corpus
-    derived from the documents table. Driver-side loop is fixture
-    generation only — the operator under test is the distributed scan."""
+    derived from the documents table. The write is DISTRIBUTED
+    (foreachPartition; doc_{id}.docx names are id-disjoint across
+    partitions) so no unbounded `.collect()` ever reaches the driver —
+    at a larger sf_dir the fixture generation scales with the executors.
+    The completeness marker is keyed on the statistics-only row count."""
     out = _fixture_dir(sf_dir)
     docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
-    marker = os.path.join(out, f".complete_{len(rows)}")
+    n = docs.count()  # parquet statistics — no data scan
+    marker = os.path.join(out, f".complete_{n}")
     if not os.path.exists(marker):
-        DX.write_corpus(rows, out)
+
+        def _write(rows) -> None:
+            DX.write_corpus([(r["doc_id"], r["text"]) for r in rows], out)
+
+        docs.foreachPartition(_write)
         open(marker, "w").close()
     return out
 

@@ -955,8 +955,13 @@ def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     table needed), left-joined to sparse daily aggregates so days with
     NO qualifying events surface as explicit zero rows — the dashboard /
     alerting shape where a silent day IS the signal. The spine is
-    range-sized (days, not events) and the aggregate is partial-agg'd;
-    the spine side of the join broadcasts."""
+    range-sized (days, not events) and the aggregate is partial-agg'd.
+
+    Broadcast placement: an outer join can never broadcast its
+    row-preserving side (BroadcastHashJoin must stream it), so the hint
+    goes on the AGGREGATED daily side — which is day-granularity, bounded
+    by the calendar range (≤ ~37k rows/century) regardless of event
+    volume, hence scale-safe to broadcast."""
     e = io.load_events(spark, sf_dir)
     daily = (
         e.filter(F.col("event_type") == "error")
@@ -976,8 +981,7 @@ def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day_id")
     )
     return (
-        F.broadcast(spine)
-        .join(daily, "day_id", "left")
+        spine.join(F.broadcast(daily), "day_id", "left")
         .select(
             "day_id",
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),

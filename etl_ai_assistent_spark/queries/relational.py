@@ -112,10 +112,14 @@ GROUP BY n.n_name
 """,
 )
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join. region/nation/supplier/customer are
-    dimension-sized -> broadcast (no shuffle of the fact tables on their
-    account); the only big exchange is orders⋈lineitem on orderkey, which
-    AQE handles (and would convert to skew-join at scale if needed)."""
+    """TPC-H Q5 shape: 6-way join. region/nation are FIXED-size (5/25
+    rows at every SF) -> explicit broadcast hints. customer/supplier GROW
+    with SF (customer = 150k×SF rows), so they get NO hint: an explicit
+    hint overrides spark.sql.autoBroadcastJoinThreshold and would
+    force-broadcast a multi-GB table at 100× scale — instead AQE picks
+    broadcast-hash while they fit under the threshold and falls back to
+    shuffle-hash/sort-merge (with skew handling) when they don't. The
+    only guaranteed big exchange is orders⋈lineitem on orderkey."""
     c = io.load_table(spark, sf_dir, "customer")
     o = io.load_table(spark, sf_dir, "orders")
     li = io.load_table(spark, sf_dir, "lineitem")
@@ -129,9 +133,9 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -592,3 +596,78 @@ def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# --- CDC MERGE (lakehouse upsert/delete apply) -----------------------------
+
+
+@register(
+    "q_cdc_merge",
+    oracle="""
+WITH changes AS (
+  SELECT c_custkey, 'U' AS op, c_name, c_nationkey,
+         c_acctbal + 100.0 AS c_acctbal, 'UPDATED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, 'D', c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 17 = 3 AND c_custkey % 10 <> 0
+  UNION ALL
+  SELECT c_custkey + 10000, 'I',
+         'NEW#' || CAST(c_custkey + 10000 AS VARCHAR),
+         CAST(c_custkey % 25 AS INTEGER), CAST(0.0 AS DOUBLE), 'NEWSEG'
+  FROM customer WHERE c_custkey < 50
+)
+SELECT COALESCE(ch.c_custkey, t.c_custkey) AS c_custkey,
+       CASE WHEN ch.op IS NOT NULL THEN ch.c_name
+            ELSE t.c_name END AS c_name,
+       CASE WHEN ch.op IS NOT NULL THEN ch.c_nationkey
+            ELSE t.c_nationkey END AS c_nationkey,
+       CASE WHEN ch.op IS NOT NULL THEN ch.c_acctbal
+            ELSE t.c_acctbal END AS c_acctbal,
+       CASE WHEN ch.op IS NOT NULL THEN ch.c_mktsegment
+            ELSE t.c_mktsegment END AS c_mktsegment
+FROM customer t FULL OUTER JOIN changes ch ON ch.c_custkey = t.c_custkey
+WHERE ch.op IS NULL OR ch.op <> 'D'
+""",
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE apply (operators/merge.py): a deterministic change
+    batch — full-row updates for custkey%10=0, deletes for custkey%17=3
+    (update wins the overlap), 50 inserts beyond the key range — applied
+    to the customer snapshot with ONE keyed full-outer join: the
+    engine's `MERGE INTO` without a table format. At scale the change
+    side is CDC-batch-sized (AQE broadcasts it); the snapshot pays at
+    most its single keyed exchange, zero with bucketing."""
+    from ..operators.merge import merge_apply
+
+    c = io.load_table(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    deletes = c.filter(
+        (F.col("c_custkey") % 17 == 3) & (F.col("c_custkey") % 10 != 0)
+    ).select(
+        "c_custkey",
+        F.lit("D").alias("op"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    inserts = c.filter(F.col("c_custkey") < 50).select(
+        (F.col("c_custkey") + 10000).alias("c_custkey"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("NEW#"), (F.col("c_custkey") + 10000).cast("string")).alias(
+            "c_name"
+        ),
+        (F.col("c_custkey") % 25).cast("int").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return merge_apply(c, changes, key="c_custkey")

@@ -333,23 +333,30 @@ CASE WHEN trim(lower(line)) = '' THEN CAST([] AS VARCHAR[])
 
 def _lines_fixture(spark: SparkSession, sf_dir: str) -> str:
     """One text line per document (newlines stripped) — the S4 source
-    fixture for the vectorizer pipeline."""
+    fixture for the vectorizer pipeline. Written DISTRIBUTED
+    (df.write.text; spark.read.text consumes the part-file directory)
+    so no unbounded `.collect()` reaches the driver at larger sf_dirs;
+    line order across part files is irrelevant — every consumer
+    deduplicates/aggregates order-insensitively (and so does the
+    oracle's DISTINCT)."""
     import os
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     # row count in the name: regenerated testdata under the same sf tag
     # invalidates the cache (count() on parquet is statistics-only)
     n = io.load_table(spark, sf_dir, "documents").count()
-    path = f"/tmp/spark_graft_lines_{tag}_{n}.txt"
-    if not os.path.exists(path):
-        docs = io.load_table(spark, sf_dir, "documents").select("text").collect()
-        # write-then-rename so a crash mid-write never leaves a truncated
-        # file that later runs treat as complete
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            for r in docs:
-                f.write(r["text"].replace("\n", " ").strip() + "\n")
-        os.replace(tmp, path)
+    path = f"/tmp/spark_graft_lines_{tag}_{n}_v2"
+    # _SUCCESS is Spark's own job-commit marker: a crash mid-write leaves
+    # no marker and the next run overwrites the partial output
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            io.load_table(spark, sf_dir, "documents")
+            .select(
+                F.trim(F.regexp_replace("text", "\n", " ")).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(path)
+        )
     return path
 
 
