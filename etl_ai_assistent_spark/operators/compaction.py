@@ -35,6 +35,68 @@ def compact_sorted(
     )
 
 
+def compact_fixed_width(
+    df: DataFrame, path: str, key: str, n_files: int, mode: str = "overwrite"
+) -> None:
+    """Deterministic compaction variant: EXPLICIT fixed-width key-range
+    buckets (bucket = (key - min) div width) instead of
+    repartitionByRange's sampled boundaries. Same disjoint-zone-map
+    outcome — but the file → key-range mapping is a pure function of the
+    data, so another engine can replay it exactly (the property the
+    driver's oracle gate needs; compact_sorted stays the production
+    default where sampled balance beats replayability).
+
+    Layout: one hash repartition on the bucket id co-locates each
+    bucket in one task, and partitionBy splits task output by bucket
+    value — exactly one file per non-empty bucket. The min/max scan is
+    a 2-scalar aggregate (statistics-cheap on parquet)."""
+    lo, hi = df.agg(F.min(key), F.max(key)).first()
+    width = (int(hi) - int(lo)) // n_files + 1
+    (
+        df.withColumn(
+            "bucket", F.expr(f"CAST(({key} - {int(lo)}) DIV {width} AS INT)")
+        )
+        .repartition(n_files, "bucket")
+        .sortWithinPartitions(key)
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def partitioned_zone_maps(path: str, key: str) -> list[tuple[int, int, int, int]]:
+    """(bucket, zone_min, zone_max, n_rows) per bucket directory of a
+    compact_fixed_width layout, read from parquet FOOTERS only — the
+    zone map a stats-aware reader consults. Bounded by the file count
+    (n_files), never the data."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("bucket="):
+            continue
+        bucket = int(entry.split("=", 1)[1])
+        lo = hi = None
+        n = 0
+        bdir = os.path.join(path, entry)
+        for name in sorted(os.listdir(bdir)):
+            if not name.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(bdir, name))
+            idx = [f.name for f in pf.schema_arrow].index(key)
+            n += pf.metadata.num_rows
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        out.append((bucket, lo, hi, n))
+    return out
+
+
 def file_key_ranges(path: str, key: str) -> list[tuple[str, int, int]]:
     """(file, min, max) of `key` from parquet footer statistics only —
     the zone-map a reader consults; no data pages are touched."""
@@ -51,6 +113,8 @@ def file_key_ranges(path: str, key: str) -> list[tuple[str, int, int]]:
         lo = hi = None
         for rg in range(pf.metadata.num_row_groups):
             st = pf.metadata.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                continue  # stats-less row group: no zone-map entry for it
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
         out.append((name, lo, hi))
@@ -61,5 +125,10 @@ def files_matching_range(
     ranges: list[tuple[str, int, int]], lo: int, hi: int
 ) -> list[str]:
     """Zone-map pruning decision: files whose [min, max] intersects
-    [lo, hi] — exactly the skip logic a stats-aware reader applies."""
-    return [f for f, mn, mx in ranges if not (mx < lo or mn > hi)]
+    [lo, hi] — exactly the skip logic a stats-aware reader applies. A
+    file with no footer stats (range None) can never be skipped."""
+    return [
+        f
+        for f, mn, mx in ranges
+        if mn is None or mx is None or not (mx < lo or mn > hi)
+    ]
