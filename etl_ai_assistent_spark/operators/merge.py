@@ -1,0 +1,64 @@
+"""Distributed CDC MERGE (upsert/delete apply) — the lakehouse
+`MERGE INTO` shape without a table format.
+
+A change-data-capture batch carries (key, op, new columns) rows with op
+∈ {I, U, D}. Applying it to a snapshot is ONE keyed full-outer join:
+
+- match + U  → take the change row's columns (update)
+- match + D  → drop the row (delete)
+- no match + I → append the change row (insert)
+- no target match for U, or no change row → keep the snapshot row
+
+Spark-first shape: the join shuffles both sides once on the key (or
+broadcasts the change batch when it is small — the common CDC case,
+which AQE picks by size); every rule above is a column-level
+`coalesce`/filter, so the whole merge stays in whole-stage codegen with
+zero UDFs. At 100 TB the snapshot never moves more than its one keyed
+exchange — and with both sides bucketed on the key (io.write_parquet +
+bucketing, see tests/test_plans.py's bucketed-join evidence) even that
+exchange disappears.
+
+Determinism contract: at most one change row per key per batch (the
+standard CDC compaction precondition — enforce upstream with a
+row_number over (key, change_seq) if the feed can carry multiples).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_apply(
+    target: DataFrame, changes: DataFrame, key: str, op_col: str = "op"
+) -> DataFrame:
+    """Apply a CDC batch to a snapshot. ``changes`` has the same columns
+    as ``target`` plus ``op_col`` ('I' insert / 'U' update / 'D'
+    delete). Returns the merged snapshot with target's column order."""
+    cols = target.columns
+    t = target.select(
+        F.col(key).alias("_t_key"),
+        *[F.col(c).alias(f"_t_{c}") for c in cols if c != key],
+    )
+    c = changes.select(
+        F.col(key).alias("_c_key"),
+        F.col(op_col).alias("_op"),
+        *[F.col(col).alias(f"_c_{col}") for col in cols if col != key],
+    )
+    joined = t.join(c, t["_t_key"] == c["_c_key"], "full_outer")
+    kept = joined.filter(
+        # delete: matched row with op D disappears
+        (F.col("_op").isNull() | (F.col("_op") != F.lit("D")))
+        # insert-only rows on the change side must carry op I or U
+        # (an unmatched D is a no-op and is dropped)
+        & (F.col("_t_key").isNotNull() | (F.col("_op") != F.lit("D")))
+    )
+    merged_cols = [
+        F.coalesce(F.col("_c_key"), F.col("_t_key")).alias(key)
+        if col == key
+        else F.when(F.col("_op").isNotNull(), F.col(f"_c_{col}"))
+        .otherwise(F.col(f"_t_{col}"))
+        .alias(col)
+        for col in cols
+    ]
+    return kept.select(*merged_cols)

@@ -88,3 +88,101 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 = KM.assign(emb, c0).select("vec_id", "cluster")
     c1 = KM.update(emb, a1)
     return KM.assign(emb, c1)
+
+
+# --- product quantization: train → encode → ADC top-k ----------------------
+
+M_SUB = 4  # PQ subspaces (64-dim → 4 × 16-dim)
+PQ_K = 8  # codebook entries per subspace
+PQ_W = DIM // M_SUB
+PQ_TOPK = 10
+
+_D2W = (
+    "CAST(list_sum(list_transform(generate_series(1, {w}),"
+    " j -> (v.qv[j] - c.cv[j]) * (v.qv[j] - c.cv[j]))) AS BIGINT)"
+).format(w=PQ_W)
+
+
+def _pq_sub_ctes(i: int) -> str:
+    """One subspace's full replay: slice → one Lloyd iteration (init
+    from vec_id < k, assign, exact-integer update) → encode (argmin vs
+    the trained codebook) → the query's ADC lookup table → per-vector
+    subspace distance. Mirrors operators/pq.py + operators/kmeans.py
+    arithmetic exactly (packed-bigint tie-break, floor-div means)."""
+    lo, hi = i * PQ_W + 1, (i + 1) * PQ_W
+    return f"""
+s{i} AS (SELECT vec_id, qv[{lo}:{hi}] AS qv FROM q),
+c0_{i} AS (
+  SELECT CAST(vec_id AS BIGINT) AS cid, qv AS cv FROM s{i}
+  WHERE vec_id < {PQ_K}
+),
+d1_{i} AS (
+  SELECT v.vec_id, {_D2W} * {KM.PACK} + c.cid AS p FROM s{i} v, c0_{i} c
+),
+a1_{i} AS (
+  SELECT vec_id, min(p) % {KM.PACK} AS cluster FROM d1_{i} GROUP BY vec_id
+),
+dims_{i} AS (
+  SELECT a.cluster, u.j AS dim, s.qv[u.j] AS val
+  FROM a1_{i} a JOIN s{i} s ON s.vec_id = a.vec_id,
+       unnest(generate_series(1, {PQ_W})) u(j)
+),
+c1_{i} AS (
+  SELECT cluster AS cid, list(CAST(sm // n AS BIGINT) ORDER BY dim) AS cv
+  FROM (SELECT cluster, dim, CAST(sum(val) AS BIGINT) AS sm, count(*) AS n
+        FROM dims_{i} GROUP BY 1, 2)
+  GROUP BY cluster
+),
+d2_{i} AS (
+  SELECT v.vec_id, {_D2W} * {KM.PACK} + c.cid AS p FROM s{i} v, c1_{i} c
+),
+code_{i} AS (
+  SELECT vec_id, min(p) % {KM.PACK} AS code FROM d2_{i} GROUP BY vec_id
+),
+qs_{i} AS (SELECT qv FROM s{i} WHERE vec_id = 0),
+tab_{i} AS (SELECT c.cid, {_D2W} AS d FROM c1_{i} c, qs_{i} v),
+ad_{i} AS (
+  SELECT k.vec_id, t.d FROM code_{i} k JOIN tab_{i} t ON t.cid = k.code
+)"""
+
+
+@register(
+    "q_pq_adc_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),{",".join(_pq_sub_ctes(i) for i in range(M_SUB))}
+SELECT a0.vec_id,
+       CAST(a0.d + a1.d + a2.d + a3.d AS BIGINT) AS adc_dist
+FROM ad_0 a0
+JOIN ad_1 a1 USING (vec_id)
+JOIN ad_2 a2 USING (vec_id)
+JOIN ad_3 a3 USING (vec_id)
+ORDER BY adc_dist, vec_id
+LIMIT {PQ_TOPK}
+""",
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end-to-end (operators/pq.py): train
+    {M_SUB}×{PQ_K}-entry codebooks with one integer-lattice Lloyd
+    iteration per subspace, encode the corpus to {M_SUB}-byte codes,
+    then ADC top-{PQ_TOPK} for the vec_id-0 query — approximate distance
+    = Σ of per-subspace lookup-table entries, all exact bigint
+    arithmetic, so the DuckDB oracle unrolls training+encoding+scoring
+    as CTEs and matches bit-for-bit.
+
+    Scale: training is M independent bounded k-means; encoding is one
+    K-row broadcast per subspace over the corpus scan; scoring reads
+    ONLY the codes table (M small ints/vector, a 64× compression of the
+    float store) + a broadcast M·K lookup table, finishing in a
+    TakeOrderedAndProject — never a shuffle of vectors."""
+    from ..operators import pq as PQ
+
+    emb = io.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", KM.quantize("embedding").alias("qv")
+    )
+    cbs = PQ.train_codebooks(emb, m=M_SUB, k=PQ_K, iters=1)
+    codes = PQ.encode(emb, cbs)
+    q0 = emb.filter(F.col("vec_id") == 0).select("qv").first()["qv"]
+    tables = PQ.adc_table(list(q0), cbs)
+    return PQ.adc_topk(codes, tables, k=PQ_TOPK)

@@ -519,3 +519,147 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("probe_id", "rank", "doc_id", "score_scaled")
     )
+
+
+# --- LLM-judged per-row metrics (the RAGAS dataset scorer seam) ------------
+
+
+@register(
+    "q_rag_judged",
+    oracle=f"""
+WITH {_SCORED_CTES},
+topk AS (SELECT probe_id, doc_id FROM scored WHERE rank <= {TOP_K}),
+nctx AS (
+  SELECT probe_id, CAST(count(*) AS INT) AS n_contexts FROM topk GROUP BY 1
+),
+ctx_tok AS (
+  SELECT DISTINCT probe_id, tok FROM (
+    SELECT t.probe_id, unnest({_TOKS}) AS tok
+    FROM topk t JOIN (SELECT doc_id, text FROM documents) d
+      ON d.doc_id = t.doc_id
+  )
+),
+ans_tok AS (
+  SELECT DISTINCT probe_id, tok FROM (
+    SELECT doc_id AS probe_id, unnest({_TOKS}) AS tok
+    FROM (SELECT doc_id, text FROM documents WHERE doc_id < {N_PROBES})
+  )
+),
+q_tok AS (SELECT DISTINCT probe_id, tok FROM probe_tok),
+faith AS (
+  SELECT a.probe_id,
+         (1000000 * CAST(sum(CASE WHEN c.tok IS NOT NULL THEN 1 ELSE 0 END)
+                         AS BIGINT)) // CAST(count(*) AS BIGINT)
+           AS faithfulness_ppm
+  FROM ans_tok a
+  LEFT JOIN ctx_tok c ON c.probe_id = a.probe_id AND c.tok = a.tok
+  GROUP BY 1
+),
+rel AS (
+  SELECT probe_id,
+         (1000000 * CAST(sum(in_q * in_a) AS BIGINT))
+           // CAST(count(*) AS BIGINT) AS relevancy_ppm
+  FROM (
+    SELECT COALESCE(q.probe_id, a.probe_id) AS probe_id,
+           CASE WHEN q.tok IS NOT NULL THEN 1 ELSE 0 END AS in_q,
+           CASE WHEN a.tok IS NOT NULL THEN 1 ELSE 0 END AS in_a
+    FROM q_tok q
+    FULL OUTER JOIN ans_tok a
+      ON a.probe_id = q.probe_id AND a.tok = q.tok
+  ) GROUP BY 1
+)
+SELECT n.probe_id, n.n_contexts, f.faithfulness_ppm, r.relevancy_ppm
+FROM nctx n
+JOIN faith f ON f.probe_id = n.probe_id
+JOIN rel r ON r.probe_id = n.probe_id
+""",
+)
+def q_rag_judged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row judged metrics over the RAG dataset — the reference's
+    make_ragas_dataset.py:78-110 evaluate() loop re-expressed as a
+    batched judge seam (operators/judge.py): build the QA frame
+    (question = the probe span, answer = the gold document, contexts =
+    the retrieved top-{TOP_K} texts), then score every row through an
+    Arrow-batched mapInPandas judge client. The hermetic default judge
+    is deterministic-lexical (integer ppm), so a DuckDB oracle replays
+    the scores exactly; a production adapter swaps in an HTTP LLM judge
+    with zero dataflow changes.
+
+    Scale: contexts are |probes|×{TOP_K} rows (the topk side broadcasts
+    into the corpus join); scoring is a narrow batched map, no shuffle
+    beyond the bounded per-probe collect_list."""
+    from ..operators.judge import judge_scores
+
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    topk = (
+        _scored(spark, sf_dir)
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "doc_id")
+    )
+    ctx = (
+        F.broadcast(topk)
+        .join(docs, "doc_id")
+        .groupBy("probe_id")
+        .agg(F.collect_list("text").alias("contexts"))
+    )
+    toks = TX.tokens(F.lower(F.col("text")))
+    probes = docs.filter(F.col("doc_id") < N_PROBES).select(
+        F.col("doc_id").alias("probe_id"),
+        F.array_join(F.slice(toks, 3, 10), " ").alias("question"),
+        F.col("text").alias("answer"),
+    )
+    qa = probes.join(ctx, "probe_id").select(
+        "probe_id", "question", "answer", "contexts"
+    )
+    return judge_scores(qa)
+
+
+# --- deterministic testset generation (G7 data path) -----------------------
+
+TESTSET_EVERY = 3  # sample stride over eligible documents
+
+
+@register(
+    "q_testset_generate",
+    oracle=f"""
+WITH tokd AS (
+  SELECT doc_id, {_TOKS} AS tok, text
+  FROM (SELECT doc_id, text FROM documents)
+)
+SELECT doc_id AS source_doc_id,
+       array_to_string(tok[3:12], ' ') AS question,
+       text AS ground_truth,
+       CAST(len(tok) AS BIGINT) AS n_source_tokens
+FROM tokd
+WHERE len(tok) >= 12 AND doc_id % {TESTSET_EVERY} = 0
+""",
+)
+def q_testset_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 testset generation, determinized (reference
+    make_ragas_test.py:95-132 uses TestsetGenerator.generate_with_
+    langchain_docs — an LLM synthesizes questions from document chunks).
+    The engine's hermetic twin keeps the full data path: eligible-source
+    selection (≥12 tokens, every {TESTSET_EVERY}rd doc), a question
+    derived from the document (the mid-document token span, same probe
+    family as q_rag_retrieval), the document as ground truth, and
+    provenance columns — the QA dataset the RAG evaluator (q_rag_eval /
+    q_rag_judged) consumes. Swapping the span-question for an
+    LLM-generated one is a judge-seam client away (operators/judge.py);
+    the selection, fan-out, and sink shape stay identical.
+
+    Scale: a narrow map + filter over the corpus scan — no shuffle at
+    all; sampling is modulo-stride (deterministic) rather than random."""
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = TX.tokens(F.lower(F.col("text")))
+    return (
+        docs.withColumn("tok", toks)
+        .filter(
+            (F.size("tok") >= 12) & (F.col("doc_id") % TESTSET_EVERY == 0)
+        )
+        .select(
+            F.col("doc_id").alias("source_doc_id"),
+            F.array_join(F.slice("tok", 3, 10), " ").alias("question"),
+            F.col("text").alias("ground_truth"),
+            F.size("tok").cast("bigint").alias("n_source_tokens"),
+        )
+    )

@@ -1,0 +1,188 @@
+"""Storage-layer evidence queries: compaction zone maps and sink
+round-trips — driver-checkable proofs for the table-maintenance operator
+(operators/compaction.py) and the K1/K2/K5-family sinks (io.py) that
+were previously covered by pytest only.
+
+Both queries follow the fixture pattern of queries/docx.py: a bounded,
+idempotent /tmp materialization keyed on the statistics-only row count,
+then a fully declarative read-back whose values a DuckDB oracle derives
+from the ORIGINAL parquet tables. Any loss anywhere in the write→read
+chain (type mangling, quoting, timestamp formatting, footer statistics)
+breaks the value hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+from ..operators import compaction as CP
+from ..registry import register
+
+N_FILES = 8
+# Full-µs lossless timestamp text. The orders timestamps are
+# TIMESTAMP_NTZ, which the text formats control via timestampNTZFormat
+# (timestampFormat only governs the LTZ type) — both are set so the
+# round-trip stays lossless whichever physical type the testdata ships.
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_OPTS = {"timestampFormat": TS_FMT, "timestampNTZFormat": TS_FMT}
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)) or "sf"
+
+
+# --- compaction zone-map evidence ------------------------------------------
+
+
+def _compacted_orders_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf) the fixed-width compacted rewrite of
+    the orders table on o_orderkey. partitionBy's _SUCCESS marker plus
+    the row count in the dir name make the fixture idempotent and
+    regeneration-safe."""
+    o = io.load_table(spark, sf_dir, "orders")
+    n = o.count()  # parquet statistics — no data scan
+    out = f"/tmp/spark_graft_compact_{_tag(sf_dir)}_{n}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        CP.compact_fixed_width(o, out, "o_orderkey", N_FILES)
+    return out
+
+
+@register(
+    "q_compaction_stats",
+    oracle=f"""
+WITH b AS (
+  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders
+),
+w AS (
+  SELECT lo, hi, (hi - lo) // {N_FILES} + 1 AS wid,
+         lo + (hi - lo) // 4 AS plo,
+         lo + (hi - lo) // 2 AS phi
+  FROM b
+),
+g AS (
+  SELECT CAST((o.o_orderkey - w.lo) // w.wid AS INT) AS bucket,
+         CAST(min(o.o_orderkey) AS BIGINT) AS zone_min,
+         CAST(max(o.o_orderkey) AS BIGINT) AS zone_max,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM orders o, w GROUP BY 1
+)
+SELECT g.bucket, g.zone_min, g.zone_max, g.n_rows,
+       NOT (g.zone_max < w.plo OR g.zone_min > w.phi) AS scanned
+FROM g, w
+""",
+)
+def q_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning evidence for the compaction operator: rewrite
+    orders with compact_fixed_width (deterministic key-range buckets,
+    one key-sorted file each), then read each file's min/max/row-count
+    FROM PARQUET FOOTERS ONLY and mark which files a probe key-range
+    predicate (the middle [25%, 50%] of the key space) would scan.
+
+    The oracle derives the same zone maps from the DATA — so a hash
+    match proves the footer statistics the rewrite produced are exactly
+    the data extents, i.e. a stats-aware reader prunes to the subset the
+    oracle predicts (the tests/test_compaction.py proof, promoted to a
+    driver-checked query). The evidence frame is n_files rows — bounded
+    metadata, same class as collecting k-means centroids."""
+    out = _compacted_orders_dir(spark, sf_dir)
+    zones = CP.partitioned_zone_maps(out, "o_orderkey")
+    lo, hi = (
+        io.load_table(spark, sf_dir, "orders")
+        .agg(F.min("o_orderkey"), F.max("o_orderkey"))
+        .first()
+    )
+    plo, phi = int(lo) + (int(hi) - int(lo)) // 4, int(lo) + (int(hi) - int(lo)) // 2
+    rows = [
+        (
+            int(b),
+            int(mn),
+            int(mx),
+            int(n),
+            not (int(mx) < plo or int(mn) > phi),
+        )
+        for b, mn, mx, n in zones
+    ]
+    return spark.createDataFrame(
+        rows, "bucket int, zone_min bigint, zone_max bigint, n_rows bigint, scanned boolean"
+    )
+
+
+# --- sink round-trips -------------------------------------------------------
+
+
+def _sink_rt_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf) the CSV/JSON/ORC sink outputs of a
+    deterministic orders slice (bigint, varchar, double, timestamp —
+    the four type classes the text formats can mangle)."""
+    o = io.load_table(spark, sf_dir, "orders")
+    n = o.count()
+    out = f"/tmp/spark_graft_sinkrt_{_tag(sf_dir)}_{n}"
+    slice_df = o.filter(F.col("o_orderkey") < 200).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    specs = {
+        "csv": lambda p: io.write_csv(slice_df, p, **_TS_OPTS),
+        "json": lambda p: io.write_json(slice_df, p, **_TS_OPTS),
+        "orc": lambda p: io.write_orc(slice_df, p),
+    }
+    for fmt, write in specs.items():
+        p = os.path.join(out, fmt)
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            write(p)
+    return out
+
+
+@register(
+    "q_sink_roundtrip",
+    oracle="""
+SELECT fmt, o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+FROM (
+  SELECT 'csv' AS fmt, * FROM orders WHERE o_orderkey < 200
+  UNION ALL
+  SELECT 'json', * FROM orders WHERE o_orderkey < 200
+  UNION ALL
+  SELECT 'orc', * FROM orders WHERE o_orderkey < 200
+)
+""",
+)
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K2/K5-family sink round-trip: write an orders slice through
+    the CSV, JSON, and ORC sinks (io.write_csv/write_json/write_orc),
+    read every format back with an explicit schema, and return the raw
+    read-back rows tagged by format. The oracle is simply the ORIGINAL
+    rows × formats — so a value-hash match certifies each sink is
+    LOSSLESS for bigint/varchar/double/timestamp (shortest-roundtrip
+    double text, full-microsecond timestamp format, CSV quoting).
+
+    Scale: sinks are distributed writers (one file per task); the slice
+    here is bounded only to keep the fixture small."""
+    out = _sink_rt_dir(spark, sf_dir)
+    # NTZ read schema: matches the parquet physical type, so the text
+    # round-trip reproduces the original column without tz reinterpretation
+    schema = (
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp_ntz"
+    )
+    csv = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .options(**_TS_OPTS)
+        .csv(os.path.join(out, "csv"))
+    )
+    js = (
+        spark.read.schema(schema)
+        .options(**_TS_OPTS)
+        .json(os.path.join(out, "json"))
+    )
+    orc = io.read_orc(spark, os.path.join(out, "orc")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    return (
+        csv.select(F.lit("csv").alias("fmt"), "*")
+        .unionByName(js.select(F.lit("json").alias("fmt"), "*"))
+        .unionByName(orc.select(F.lit("orc").alias("fmt"), "*"))
+    )

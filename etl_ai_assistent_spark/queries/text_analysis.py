@@ -430,3 +430,51 @@ def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_sentence_chars"),
     )
+
+
+# --- tokenizer induction: first BPE merge ----------------------------------
+
+
+@register(
+    "q_bpe_pairs",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS tok
+  FROM (SELECT text FROM documents)
+),
+pairs AS (
+  SELECT substr(tok, u.i, 2) AS pair
+  FROM (SELECT tok FROM tok WHERE length(tok) >= 2) t,
+       unnest(generate_series(1, length(t.tok) - 1)) u(i)
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY 1
+ORDER BY n DESC, pair
+LIMIT 20
+""",
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary induction — the counting step of the first
+    BPE merge: corpus-wide frequencies of ADJACENT CHARACTER PAIRS
+    inside whitespace tokens, top-20 (ties break on the pair). Full BPE
+    iterates exactly this count with a growing symbol table; the single
+    step is the oracle-checkable unit (the q_kmeans_step induction
+    pattern applied to tokenizer training).
+
+    Scale: explode to (pair) rows and count — one partial-agg'd shuffle
+    bounded by the distinct-pair vocabulary (≤ |alphabet|², tiny), then
+    TakeOrderedAndProject for the top-20. No UDFs: the pair fan-out is
+    sequence + transform + explode, all codegen."""
+    docs = io.load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"))
+    pairs = toks.filter(F.length("tok") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

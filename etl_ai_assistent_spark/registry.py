@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "etl_ai_assistent_spark.queries.curation",
     "etl_ai_assistent_spark.queries.clustering",
     "etl_ai_assistent_spark.queries.dq",
+    "etl_ai_assistent_spark.queries.storage",
 )
 
 _loaded = False
@@ -52,66 +53,62 @@ _loaded = False
 # queries rotate to the tail — their prior rows stand. Names not in this
 # list keep module registration order after it.
 DRIVER_FIRST: tuple[str, ...] = (
-    # broken by the round-3 events.ts re-type (timestamp[us]) — fixed in
-    # round 4 by the canonical ts_us normalization; need fresh verdicts
-    "q_asof_purchase_signup",
-    "q_purchases_after_signup",
-    "q_sliding_windows",
-    "q_moving_value_range",
-    "q_event_gaps",
-    "q_scd2_intervals",
-    "q_event_funnel",
-    "q_cohort_retention",
-    "q_group_regression",
-    "q_stream_tumbling_hourly",
-    "q_stream_sessions",
-    "q_stream_sliding",
-    "q_stream_join",
-    # same break, but rotated out of the round-3 window (invisible fails)
-    "q_sessionize",
-    "q_tumbling_hourly",
-    "q_except_event_hours",
-    # ported to ts_us this round — confirm no regression
-    "q_latest_event_per_user",
-    # retrieval re-based on the token-hash inverted index this round
-    # (semantics changed with the oracle in lock-step) — recheck
-    "q_rag_retrieval",
-    "q_rag_eval",
-    "q_rag_rerank",
-    "q_tfidf_retrieval",
-    # new in round 4 — no verdict yet
-    "q_decontaminate",
-    "q_repetition_stats",
-    "q_pii_scrub",
-    "q_mix_weights",
-    "q_stream_dedup_watermarked",
-    "q_kmeans_step",
-    "q_quality_gate",
-    "q_token_shards",
-    "q_bm25_retrieval",
-    "q_props_variant",
-    "q_dq_constraints",
-    "q_rfm_segments",
-    "q_event_transitions",
-    "q_ewma_user_value",
-    "q_table_stats",
-    "q_full_outer_reconcile",
-    "q_sentence_stats",
-    "q_unpivot_part_metrics",
-    "q_daily_gapfill",
-    # plan changed this round (tokenize-once / shingle lambda binding /
-    # ts_us loader) — semantics unchanged but re-verify the new plans
-    "q_token_stats",
-    "q_lang_id",
-    "q_quality_score",
-    "q_minhash_near_dup",
-    # last verdict is round 1 (stalest) — refresh, registration order
+    # new in round 5 — no verdict yet
+    "q_pq_adc_topk",
+    "q_compaction_stats",
+    "q_sink_roundtrip",
+    "q_rag_judged",
+    "q_cdc_merge",
+    "q_bpe_pairs",
+    "q_testset_generate",
+    # plan changed in round 5 (broadcast-hint audit / distributed
+    # fixture writers) — semantics unchanged but re-verify the new plans
     "q_revenue_by_nation",
-    "q_top_orders_per_customer",
-    "q_running_revenue",
-    "q_cube_quantity",
-    "q_rollup_orders",
-    "q_pivot_linestatus",
+    "q_daily_gapfill",
+    "q_vectorize_lines",
+    "q_docx_pipeline",
+    "q_docx_media",
+    # last verdict is round 1 (stalest — three rounds of churn since);
+    # every one of these gets a fresh green this round
+    "q_pad_truncate",
+    "q_srp_topk",
+    "q_pricing_summary",
+    "q_customers_without_orders",
+    "q_active_machinery_customers",
+    "q_nation_intersect",
+    "q_priority_stats",
+    "q_grouping_sets",
+    "q_value_percentiles",
+    "q_ntile_segments",
+    "q_orders_above_cust_avg",
+    "q_caption_classify",
+    "q_sanitized_asset_names",
+    "q_title_text",
+    "q_caption_pairing",
+    "q_chunk_fixed",
+    "q_hash_embed_profile",
+    "q_point_records",
+    "q_version_diff",
+    "q_exact_dedup",
+    "q_simhash_signatures",
+    "q_simhash_near_dup",
+    "q_ngram_jaccard_pairs",
+    "q_fingerprint",
+    "q_dedup_components",
+    "q_dedup_survivors",
+    "q_hash_split",
+    "q_source_sample",
+    # next-stalest tier (round-3 verdicts) — fill the remaining window
+    "q_topk_cosine",
+    "q_knn_join",
+    "q_ivf_topk",
+    "q_label_centroids",
+    "q_sectionize_docs",
+    "q_chunk_recursive",
+    "q_embedding_near_dup",
+    "q_corpus_profile",
+    "q_props_json",
+    "q_asset_catalog",
 )
 
 
