@@ -1,0 +1,106 @@
+"""Pigeonhole-blocked fuzzy string matching (segment blocking).
+
+The missing tier between exact dedup (operators/dedup.py hash equality)
+and token-set similarity (MinHash/Jaccard): CHARACTER-level near-match,
+the entity-resolution primitive for names/codes/IDs with typos.
+
+Semantics here are Hamming distance over equal-length strings (pure
+substitutions — the dominant error model for fixed-format identifiers).
+The scale trick is the PassJoin-family pigeonhole block: split every
+string into k+1 contiguous segments — two equal-length strings within
+distance k MUST agree exactly on at least one segment (k substitutions
+cannot touch all k+1 segments). So candidate generation is an EQUI-join
+on (segment_index, segment_value, length) — never an all-pairs cross
+join — followed by exact distance verification on the deduplicated
+candidate pairs only. Same candidates-then-verify architecture as the
+MinHash band join (operators/dedup.py:148) and SimHash byte-banding.
+
+At 100 TB: candidate volume is Σ per-block n², governed by the
+selectivity of the blocking key (segments of low-entropy prefixes
+degrade — pick segment count ≥ k+1 so segments land on the varying
+region, or pre-strip constant prefixes); verification is a narrow
+zip-compare, whole-stage codegen, no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hamming(a, b) -> "F.Column":
+    """Exact Hamming distance between two equal-length string columns —
+    positional char compares via sequence + aggregate (codegen, no
+    UDF). Caller guarantees equal lengths (the join key includes
+    length)."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length(a)),
+            lambda i: (a.substr(i, F.lit(1)) != b.substr(i, F.lit(1))).cast(
+                "bigint"
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def segment_keys(df: DataFrame, id_col: str, s_col: str, k: int) -> DataFrame:
+    """Explode each row into k+1 blocking keys: (id, s, seg_idx,
+    seg_val, len). Segment boundaries are the canonical equal split
+    (remainder spread over the leading segments) — both join sides use
+    the same formula, so agreeing segments share identical spans."""
+    n_seg = k + 1
+    segs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_seg - 1)),
+        lambda i: F.struct(
+            i.alias("seg_idx"),
+            F.col(s_col)
+            .substr(
+                (F.length(s_col) * i / n_seg).cast("int") + 1,
+                ((F.length(s_col) * (i + 1) / n_seg).cast("int"))
+                - (F.length(s_col) * i / n_seg).cast("int"),
+            )
+            .alias("seg_val"),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(s_col),
+        F.length(s_col).alias("len"),
+        F.explode(segs).alias("seg"),
+    ).select(id_col, s_col, "len", "seg.seg_idx", "seg.seg_val")
+
+
+def hamming_near_join(
+    df: DataFrame, id_col: str, s_col: str, k: int = 2
+) -> DataFrame:
+    """Self-join: pairs (a_id, b_id, dist) with a_id < b_id and
+    Hamming(s_a, s_b) <= k over equal-length strings. Pigeonhole
+    candidates on (seg_idx, seg_val, len), distinct pairs, exact
+    verify."""
+    a = segment_keys(df, id_col, s_col, k).select(
+        F.col(id_col).alias("a_id"),
+        F.col(s_col).alias("a_s"),
+        "len",
+        "seg_idx",
+        "seg_val",
+    )
+    b = segment_keys(df, id_col, s_col, k).select(
+        F.col(id_col).alias("b_id"),
+        F.col(s_col).alias("b_s"),
+        "len",
+        "seg_idx",
+        "seg_val",
+    )
+    cands = (
+        a.join(b, ["len", "seg_idx", "seg_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_s", "b_s")
+        .distinct()  # a pair may agree on several segments
+    )
+    return cands.select(
+        "a_id",
+        "b_id",
+        hamming(F.col("a_s"), F.col("b_s")).alias("dist"),
+    ).filter(F.col("dist") <= k)

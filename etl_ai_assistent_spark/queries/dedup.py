@@ -569,3 +569,50 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("keeper_id"))
         .select("doc_id", "dup_count")
     )
+
+
+# --- character-level fuzzy matching (entity resolution) --------------------
+
+FUZZY_MAX_KEY = 400
+FUZZY_K = 1
+
+
+@register(
+    "q_fuzzy_match_names",
+    oracle=f"""
+WITH s AS (
+  SELECT c_custkey AS id, substr(c_name, length(c_name) - 3, 4) AS code
+  FROM customer WHERE c_custkey < {FUZZY_MAX_KEY}
+)
+SELECT a.id AS a_id, b.id AS b_id,
+       CAST(list_sum(list_transform(generate_series(1, 4),
+              i -> CASE WHEN substr(a.code, i, 1) <> substr(b.code, i, 1)
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS dist
+FROM s a JOIN s b ON a.id < b.id
+WHERE list_sum(list_transform(generate_series(1, 4),
+        i -> CASE WHEN substr(a.code, i, 1) <> substr(b.code, i, 1)
+                  THEN 1 ELSE 0 END)) <= {FUZZY_K}
+""",
+)
+def q_fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level fuzzy self-match (operators/fuzzy.py): customer
+    id-code pairs within Hamming distance {FUZZY_K}, candidates from the
+    PIGEONHOLE segment block — two strings within distance k must agree
+    exactly on one of k+1 contiguous segments, so candidate generation
+    is an equi-join on (segment_idx, segment_value, length), never an
+    all-pairs cross join; exact distance verifies candidates only (the
+    MinHash candidates-then-verify architecture at character level).
+
+    The match string is the name's 4-digit varying suffix: blocking
+    keys must carry entropy, and the constant 'Customer#' prefix would
+    collapse every row into one block (the low-entropy degradation the
+    operator docstring warns about — strip constant prefixes first).
+    The oracle verifies by direct all-pairs on the bounded subset."""
+    from ..operators.fuzzy import hamming_near_join
+
+    c = io.load_table(spark, sf_dir, "customer")
+    s = c.filter(F.col("c_custkey") < FUZZY_MAX_KEY).select(
+        F.col("c_custkey").alias("id"),
+        F.expr("substr(c_name, length(c_name) - 3, 4)").alias("code"),
+    )
+    return hamming_near_join(s, "id", "code", k=FUZZY_K)

@@ -208,3 +208,120 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         DataFrame.unionByName,
         [col_stats("l_quantity"), col_stats("l_orderkey"), col_stats("l_linenumber")],
     )
+
+
+# --- order-insensitive table fingerprint (replication verification) --------
+
+
+@register(
+    "q_table_fingerprint",
+    oracle="""
+WITH canon AS (
+  SELECT CAST(('0x' || substr(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+           CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+           || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' ||
+           CAST(o_custkey AS VARCHAR) || '|' || o_orderpriority
+         ), 1, 8)) AS BIGINT) AS h
+  FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(h) AS BIGINT) AS sum_h,
+       CAST(bit_xor(h) AS BIGINT) AS xor_h,
+       CAST(min(h) AS BIGINT) AS min_h,
+       CAST(max(h) AS BIGINT) AS max_h
+FROM canon
+""",
+)
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint — the anti-entropy primitive
+    for replica/migration verification at 100 TB: five commutative
+    aggregates (count, sum, xor, min, max) over a per-row 32-bit
+    md5-prefix hash of a CANONICALIZED row text. Two copies of a table
+    compare by exchanging 5 integers, partition-order- and
+    engine-independent. Canonicalization is explicit per type (money →
+    half-up cents, timestamps → epoch µs) because raw float/timestamp
+    casts to text differ across engines — the same float discipline as
+    every oracle here, applied to the hash input itself.
+
+    Scale: one scan, map-side partial aggregation, 5-integer shuffle."""
+    o = io.load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").cast("string"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " o_orderdate)"
+        ).cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    return o.select(h.alias("h")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("h").cast("bigint").alias("sum_h"),
+        F.expr("bit_xor(h)").cast("bigint").alias("xor_h"),
+        F.min("h").cast("bigint").alias("min_h"),
+        F.max("h").cast("bigint").alias("max_h"),
+    )
+
+
+# --- join-key skew diagnostics (the salting decision input) ----------------
+
+
+@register(
+    "q_skew_stats",
+    oracle="""
+WITH per_key AS (
+  SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(max(n) AS BIGINT) AS max_rows
+  FROM per_key
+)
+SELECT n_keys, n_rows, max_rows,
+       CAST(max_rows * 1000000 // (n_rows // n_keys) AS BIGINT)
+         AS skew_factor_ppm,
+       CAST((SELECT count(*) FROM per_key, tot
+             WHERE n * n_keys > n_rows * 3) AS BIGINT)
+         AS n_hot_keys
+FROM tot
+""",
+)
+def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for lineitem.l_orderkey — the
+    measurement that justifies (or rules out) salting/AQE skew-join
+    before a big shuffle: per-key row counts reduced to key count, max
+    key size, skew factor (max/mean, ppm, integer-exact) and the number
+    of hot keys exceeding 3x the mean key size (the AQE skew-join
+    trigger shape). This is
+    the q_salted_skew_join decision input as a first-class query.
+
+    Scale: one partial-agg'd groupBy (the same exchange the join would
+    pay), then a 1-row reduction; the hot-key count is a second bounded
+    aggregate over the per-key table."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    tot = per_key.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_rows"),
+    )
+    hot = (
+        per_key.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * F.col("n_keys") > F.col("n_rows") * 3)
+        .agg(F.count("*").cast("bigint").alias("n_hot_keys"))
+    )
+    return tot.crossJoin(F.broadcast(hot)).select(
+        "n_keys",
+        "n_rows",
+        "max_rows",
+        F.expr("max_rows * 1000000 div (n_rows div n_keys)")
+        .cast("bigint")
+        .alias("skew_factor_ppm"),
+        "n_hot_keys",
+    )

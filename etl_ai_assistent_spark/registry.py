@@ -61,6 +61,9 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_cdc_merge",
     "q_bpe_pairs",
     "q_testset_generate",
+    "q_fuzzy_match_names",
+    "q_table_fingerprint",
+    "q_skew_stats",
     # plan changed in round 5 (broadcast-hint audit / distributed
     # fixture writers) — semantics unchanged but re-verify the new plans
     "q_revenue_by_nation",
@@ -106,9 +109,6 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_sectionize_docs",
     "q_chunk_recursive",
     "q_embedding_near_dup",
-    "q_corpus_profile",
-    "q_props_json",
-    "q_asset_catalog",
 )
 
 
