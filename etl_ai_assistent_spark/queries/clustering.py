@@ -186,3 +186,92 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q0 = emb.filter(F.col("vec_id") == 0).select("qv").first()["qv"]
     tables = PQ.adc_table(list(q0), cbs)
     return PQ.adc_topk(codes, tables, k=PQ_TOPK)
+
+
+# --- IVF-PQ composition: coarse pruning + compressed ADC scoring -----------
+
+NPROBE = 2
+
+_KM_CTES = f"""
+k0 AS (
+  SELECT CAST(vec_id AS BIGINT) AS cid, qv AS cv FROM q WHERE vec_id < {K}
+),
+kd1 AS (SELECT v.vec_id, {_D2} * {KM.PACK} + c.cid AS p FROM q v, k0 c),
+ka1 AS (SELECT vec_id, min(p) % {KM.PACK} AS cluster FROM kd1 GROUP BY vec_id),
+kdims AS (
+  SELECT a.cluster, u.i AS dim, q.qv[u.i] AS val
+  FROM ka1 a JOIN q ON q.vec_id = a.vec_id,
+       unnest(generate_series(1, {DIM})) u(i)
+),
+k1 AS (
+  SELECT cluster AS cid, list(CAST(s // n AS BIGINT) ORDER BY dim) AS cv
+  FROM (SELECT cluster, dim, CAST(sum(val) AS BIGINT) AS s, count(*) AS n
+        FROM kdims GROUP BY 1, 2)
+  GROUP BY cluster
+),
+kd2 AS (SELECT v.vec_id, {_D2} * {KM.PACK} + c.cid AS p FROM q v, k1 c),
+ka2 AS (SELECT vec_id, min(p) % {KM.PACK} AS cluster FROM kd2 GROUP BY vec_id),
+qfull AS (SELECT qv FROM q WHERE vec_id = 0),
+cd AS (SELECT c.cid, {_D2} * {KM.PACK} + c.cid AS p FROM k1 c, qfull v),
+probes AS (SELECT cid FROM cd ORDER BY p LIMIT {NPROBE}),
+cand AS (
+  SELECT vec_id FROM ka2 WHERE cluster IN (SELECT cid FROM probes)
+)"""
+
+
+@register(
+    "q_ivfpq_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),{_KM_CTES},{",".join(_pq_sub_ctes(i) for i in range(M_SUB))}
+SELECT a0.vec_id,
+       CAST(a0.d + a1.d + a2.d + a3.d AS BIGINT) AS adc_dist
+FROM ad_0 a0
+JOIN ad_1 a1 USING (vec_id)
+JOIN ad_2 a2 USING (vec_id)
+JOIN ad_3 a3 USING (vec_id)
+JOIN cand USING (vec_id)
+ORDER BY adc_dist, vec_id
+LIMIT {PQ_TOPK}
+""",
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN stack composed end-to-end (FAISS IVFADC
+    shape): an IVF coarse quantizer (one-iteration integer Lloyd's,
+    {K} cells) prunes the corpus to the query's {NPROBE} nearest cells,
+    and PQ ADC ({M_SUB}×{PQ_K} integer codebooks) scores ONLY those
+    candidates from their {M_SUB}-byte codes — both stages exact bigint
+    arithmetic, so the oracle replays coarse training, cell selection,
+    PQ training, encoding, and scoring as one CTE chain.
+
+    Scale: cell pruning drops (K-nprobe)/K of the corpus before any
+    scoring (on a cluster-partitioned store it is partition pruning —
+    the q_ivf_topk evidence); scoring reads codes only. The candidate
+    semi-join keys on the bounded probe set; nothing all-pairs, nothing
+    float."""
+    from ..operators import pq as PQ
+
+    emb = io.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", KM.quantize("embedding").alias("qv")
+    )
+    coarse_assign, coarse_cents = KM.lloyd(emb, k=K, iters=1)
+    q0 = list(emb.filter(F.col("vec_id") == 0).first()["qv"])
+    # nprobe cell selection: packed (dist, cid) over K centroid rows —
+    # bounded driver arithmetic, same tie-break as kmeans.assign
+    packed = sorted(
+        (
+            sum((a - b) * (a - b) for a, b in zip(q0, r["cv"])) * KM.PACK
+            + int(r["cid"]),
+            int(r["cid"]),
+        )
+        for r in coarse_cents.collect()
+    )
+    probe_cells = [cid for _, cid in packed[:NPROBE]]
+    cand = coarse_assign.filter(
+        F.col("cluster").isin(probe_cells)
+    ).select("vec_id")
+    cbs = PQ.train_codebooks(emb, m=M_SUB, k=PQ_K, iters=1)
+    codes = PQ.encode(emb, cbs).join(cand, "vec_id")
+    tables = PQ.adc_table(q0, cbs)
+    return PQ.adc_topk(codes, tables, k=PQ_TOPK)

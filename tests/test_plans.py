@@ -30,8 +30,10 @@ ALLOWED_CROSS = {
     "q_mix_weights",  # 1-row broadcast of the corpus token total onto domain rows
     "q_kmeans_step",  # K-row centroid broadcast against the vector scan
     "q_pq_adc_topk",  # per-subspace K-row codebook broadcasts (kmeans.assign)
+    "q_ivfpq_topk",  # coarse + per-subspace K-row centroid broadcasts
     "q_bm25_retrieval",  # 1-row broadcast of corpus stats (N, avgdl)
     "q_dq_constraints",  # 1-row orphan-count x 1-row checked-count joins
+    "q_skew_stats",  # 1-row totals x 1-row hot-key-count joins
 }
 
 # Streaming memory-sink queries execute eagerly on construction; the
