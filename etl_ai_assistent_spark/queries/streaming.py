@@ -282,3 +282,164 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix="ssjoin",
         mode="append",
     )
+
+
+# --- streaming snapshot maintenance from a CDC change stream ----------------
+
+_CDC_SCHEMA = (
+    "c_custkey bigint, op string, c_name string, c_nationkey int, "
+    "c_acctbal double, c_mktsegment string"
+)
+
+
+def _cdc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Three single-file change batches (update / delete / insert — the
+    same deterministic batch as q_cdc_merge, split by op). Keys are
+    DISJOINT across batches, so the final maintained snapshot is
+    independent of micro-batch arrival order — which is what lets a
+    batch oracle verify a streaming run."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .. import io
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    c = io.load_table(spark, sf_dir, "customer")
+    n = c.count()
+    root = f"/tmp/spark_graft_cdc_{tag}_{n}"
+    out = os.path.join(root, "changes")
+    done = os.path.join(root, ".changes_complete")
+    if os.path.exists(done):
+        return root
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    deletes = c.filter(
+        (F.col("c_custkey") % 17 == 3) & (F.col("c_custkey") % 10 != 0)
+    ).select(
+        "c_custkey",
+        F.lit("D").alias("op"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    inserts = c.filter(F.col("c_custkey") < 50).select(
+        (F.col("c_custkey") + 10000).alias("c_custkey"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("NEW#"), (F.col("c_custkey") + 10000).cast("string")).alias(
+            "c_name"
+        ),
+        (F.col("c_custkey") % 25).cast("int").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+    )
+    for i, batch in enumerate((updates, deletes, inserts)):
+        batch.coalesce(1).write.mode("append").parquet(out)
+        _ = i
+    open(done, "w").close()
+    return root
+
+
+@register(
+    "q_stream_cdc_merge",
+    oracle="""
+WITH changes AS (
+  SELECT c_custkey, 'U' AS op, c_name, c_nationkey,
+         c_acctbal + 100.0 AS c_acctbal, 'UPDATED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, 'D', c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 17 = 3 AND c_custkey % 10 <> 0
+  UNION ALL
+  SELECT c_custkey + 10000, 'I',
+         'NEW#' || CAST(c_custkey + 10000 AS VARCHAR),
+         CAST(c_custkey % 25 AS INTEGER), CAST(0.0 AS DOUBLE), 'NEWSEG'
+  FROM customer WHERE c_custkey < 50
+)
+SELECT COALESCE(ch.c_custkey, t.c_custkey) AS c_custkey,
+       CASE WHEN ch.op IS NOT NULL THEN ch.c_name
+            ELSE t.c_name END AS c_name,
+       CASE WHEN ch.op IS NOT NULL THEN ch.c_nationkey
+            ELSE t.c_nationkey END AS c_nationkey,
+       CASE WHEN ch.op IS NOT NULL THEN ch.c_acctbal
+            ELSE t.c_acctbal END AS c_acctbal,
+       CASE WHEN ch.op IS NOT NULL THEN ch.c_mktsegment
+            ELSE t.c_mktsegment END AS c_mktsegment
+FROM customer t FULL OUTER JOIN changes ch ON ch.c_custkey = t.c_custkey
+WHERE ch.op IS NULL OR ch.op <> 'D'
+""",
+)
+def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming snapshot maintenance — the table-format-free
+    `MERGE INTO` loop a change stream drives in production: a
+    maxFilesPerTrigger=1 file stream delivers one CDC batch per
+    micro-batch, and foreachBatch applies each to the CURRENT snapshot
+    with operators/merge.merge_apply, committing a new immutable
+    snapshot version per batch (read v_n → merge → write v_{n+1}; the
+    versioned-rewrite pattern every lakehouse table format encodes).
+    Batches carry disjoint keys, so the drained final snapshot equals
+    the single-batch q_cdc_merge result and the same oracle verifies
+    the whole streaming path end-to-end.
+
+    Scale: each commit costs one keyed join of snapshot × CDC batch
+    (AQE broadcasts the batch side); checkpointed offsets make replays
+    exactly-once at the snapshot level (a replayed batch rewrites the
+    same version)."""
+    import os
+
+    from .. import io
+    from ..operators.merge import merge_apply
+
+    root = _cdc_fixture(spark, sf_dir)
+    final_marker = os.path.join(root, ".snap_final")
+
+    if not os.path.exists(final_marker):
+        snap0 = os.path.join(root, "snap_v0")
+        if not os.path.exists(os.path.join(snap0, "_SUCCESS")):
+            io.load_table(spark, sf_dir, "customer").write.mode(
+                "overwrite"
+            ).parquet(snap0)
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            versions = sorted(
+                int(d.rsplit("_v", 1)[1])
+                for d in os.listdir(root)
+                if d.startswith("snap_v")
+            )
+            cur = spark.read.parquet(os.path.join(root, f"snap_v{versions[-1]}"))
+            merged = merge_apply(cur, batch_df, key="c_custkey")
+            merged.write.mode("overwrite").parquet(
+                os.path.join(root, f"snap_v{versions[-1] + 1}")
+            )
+
+        stream = (
+            spark.readStream.schema(_CDC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(root, "changes"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        latest = max(
+            int(d.rsplit("_v", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("snap_v")
+        )
+        with open(final_marker, "w") as f:
+            f.write(str(latest))
+
+    latest = int(open(final_marker).read())
+    return spark.read.parquet(os.path.join(root, f"snap_v{latest}"))

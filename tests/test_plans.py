@@ -47,6 +47,7 @@ STREAMING = {
     "q_stream_dedup",
     "q_stream_join",
     "q_stream_doc_ingest",
+    "q_stream_cdc_merge",
 }
 
 # The docx queries materialize a 500-file fixture corpus first — slow to
