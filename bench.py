@@ -71,6 +71,10 @@ HEADLINE = [
     "q_token_shards",
     "q_bm25_retrieval",
     "q_kmeans_step",
+    # round-5 families: compressed ANN, CDC merge, blocked fuzzy match
+    "q_pq_adc_topk",
+    "q_cdc_merge",
+    "q_fuzzy_match_names",
 ]
 
 

@@ -369,3 +369,54 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(ex, "q")
     )
+
+
+# --- synthetic benchmark source (storage-free scale testing) ---------------
+
+SYNTH_ROWS = 100_000
+SYNTH_GROUPS = 100
+
+
+@register(
+    "q_synthetic_source",
+    oracle=f"""
+WITH gen AS (
+  SELECT t.id,
+         t.id % {SYNTH_GROUPS} AS grp,
+         CAST(('0x' || substr(md5(CAST(t.id AS VARCHAR)), 1, 8)) AS BIGINT)
+           AS val
+  FROM generate_series(0, {SYNTH_ROWS - 1}) t(id)
+)
+SELECT grp,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(val) AS BIGINT) AS sum_val,
+       CAST(bit_xor(val) AS BIGINT) AS xor_val,
+       CAST(min(val) AS BIGINT) AS min_val
+FROM gen GROUP BY 1
+""",
+)
+def q_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic source — the dbgen-style generator every
+    engine needs for scale testing WITHOUT storage: spark.range is a
+    codegen'd, partition-parallel iterator (no scan, no shuffle until
+    the aggregate), and every derived column is a pure function of the
+    row id (md5-prefix values), so any row count on any cluster
+    reproduces bit-identically. Turn {SYNTH_ROWS} into 10^12 and the
+    same query generates ~a terabyte per column family across
+    executors with zero input bytes — the harness for shuffle/agg
+    benchmarking at arbitrary scale. The reduction here (count / sum /
+    xor / min per group) doubles as the generator's own correctness
+    fingerprint."""
+    gen = spark.range(0, SYNTH_ROWS).select(
+        F.col("id"),
+        (F.col("id") % SYNTH_GROUPS).alias("grp"),
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("val"),
+    )
+    return gen.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("val").cast("bigint").alias("sum_val"),
+        F.expr("bit_xor(val)").cast("bigint").alias("xor_val"),
+        F.min("val").cast("bigint").alias("min_val"),
+    )

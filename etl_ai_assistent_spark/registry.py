@@ -66,6 +66,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_skew_stats",
     "q_ivfpq_topk",
     "q_stream_cdc_merge",
+    "q_synthetic_source",
     # plan changed in round 5 (broadcast-hint audit / distributed
     # fixture writers) — semantics unchanged but re-verify the new plans
     "q_revenue_by_nation",
@@ -108,7 +109,6 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_knn_join",
     "q_ivf_topk",
     "q_label_centroids",
-    "q_sectionize_docs",
 )
 
 
