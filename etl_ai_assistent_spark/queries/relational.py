@@ -671,3 +671,47 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = updates.unionByName(deletes).unionByName(inserts)
     return merge_apply(c, changes, key="c_custkey")
+
+
+# --- window-function breadth: rank/distribution/frame-navigation ------------
+
+
+@register(
+    "q_window_family",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       first_value(o_orderkey) OVER wf AS first_key,
+       nth_value(o_orderkey, 2) OVER wf AS second_key,
+       last_value(o_orderkey) OVER wf AS last_key
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def q_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining window-function families in one query:
+    distribution ranks (percent_rank, cume_dist) and frame navigation
+    (first_value / nth_value / last_value over the full-partition
+    frame). The ORDER BY includes the unique orderkey, so peers are
+    single rows and both rank doubles are exact small-integer divisions
+    (IEEE-identical on every engine — no rounding needed).
+
+    Scale: one hash exchange on custkey + one in-partition sort serves
+    all five functions (Spark collapses same-window expressions into a
+    single Window physical node)."""
+    o = io.load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("o_orderkey").over(wf).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+        F.last("o_orderkey").over(wf).alias("last_key"),
+    )

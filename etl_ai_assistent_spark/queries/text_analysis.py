@@ -478,3 +478,72 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+# --- unigram surprisal scoring (integer-exact LM quality proxy) ------------
+
+
+@register(
+    "q_doc_surprisal",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok
+  FROM (SELECT doc_id, text FROM documents)
+),
+df AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY 1
+),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok),
+bits AS (
+  SELECT t.doc_id,
+         CAST(length(bin(n.n_docs // df.df)) - 1 AS BIGINT) AS b
+  FROM tok t JOIN df ON df.tok = t.tok, n
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(b) AS BIGINT) AS surprisal_bits
+FROM bits GROUP BY 1
+""",
+)
+def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram surprisal scoring — the language-model perplexity proxy
+    of corpus curation, kept INTEGER-exact: each token occurrence
+    contributes floor(log2(N / df)) whole bits of self-information
+    (rare tokens carry more), summed per document. floor(log2(x)) is
+    bitlength(x)-1 — no floating log anywhere, so the score is
+    engine-exact (the float-discipline answer to 'perplexity needs
+    ln'). Low-surprisal documents are boilerplate/repetitive; high are
+    rare-vocabulary — both tails are curation signals next to
+    q_quality_score and q_repetition_stats.
+
+    Scale: one tokenize pass, a (token → df) aggregate (vocabulary-
+    bounded), a posting-list equi-join of tokens to df (same shape as
+    the q_rag_retrieval index join), and a per-doc sum. The 1-row
+    corpus count broadcasts."""
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    df_tbl = tok.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    n = tok.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    bits = (
+        tok.join(df_tbl, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            (
+                F.length(F.bin(F.expr("n_docs div df"))) - F.lit(1)
+            )
+            .cast("bigint")
+            .alias("b"),
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("b").cast("bigint").alias("surprisal_bits"),
+    )

@@ -67,6 +67,8 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_ivfpq_topk",
     "q_stream_cdc_merge",
     "q_synthetic_source",
+    "q_doc_surprisal",
+    "q_window_family",
     # plan changed in round 5 (broadcast-hint audit / distributed
     # fixture writers) — semantics unchanged but re-verify the new plans
     "q_revenue_by_nation",
@@ -106,9 +108,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_source_sample",
     # next-stalest tier (round-3 verdicts) — fill the remaining window
     "q_topk_cosine",
-    "q_knn_join",
     "q_ivf_topk",
-    "q_label_centroids",
 )
 
 
