@@ -71,8 +71,11 @@ HEADLINE = [
     "q_token_shards",
     "q_bm25_retrieval",
     "q_kmeans_step",
-    # round-5 families: compressed ANN, CDC merge, blocked fuzzy match
-    "q_pq_adc_topk",
+    # round-5 families: CDC merge, blocked fuzzy match. q_pq_adc_topk is
+    # excluded like q_stream_stateful_totals: its wall clock is codebook
+    # TRAINING (an offline index build — a dozen fixed-latency Lloyd
+    # jobs over 500 vectors), not the per-query ADC scoring throughput
+    # the compressed store exists for; it stays in the correctness gate.
     "q_cdc_merge",
     "q_fuzzy_match_names",
 ]

@@ -178,8 +178,13 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — never a shuffle of vectors."""
     from ..operators import pq as PQ
 
-    emb = io.load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", KM.quantize("embedding").alias("qv")
+    # training/encoding re-reads the vectors across ~a dozen bounded
+    # Lloyd jobs — persist the quantized form once (the train-time
+    # materialization a real index build would do)
+    emb = (
+        io.load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", KM.quantize("embedding").alias("qv"))
+        .persist()
     )
     cbs = PQ.train_codebooks(emb, m=M_SUB, k=PQ_K, iters=1)
     codes = PQ.encode(emb, cbs)
@@ -252,8 +257,10 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     float."""
     from ..operators import pq as PQ
 
-    emb = io.load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", KM.quantize("embedding").alias("qv")
+    emb = (
+        io.load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", KM.quantize("embedding").alias("qv"))
+        .persist()  # shared by coarse training + PQ training + encoding
     )
     coarse_assign, coarse_cents = KM.lloyd(emb, k=K, iters=1)
     q0 = list(emb.filter(F.col("vec_id") == 0).first()["qv"])
