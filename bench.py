@@ -78,6 +78,7 @@ HEADLINE = [
     # the compressed store exists for; it stays in the correctness gate.
     "q_cdc_merge",
     "q_fuzzy_match_names",
+    "q_doc_surprisal",
 ]
 
 
