@@ -1,0 +1,88 @@
+"""Runtime scale-machinery evidence: AQE skew-join splitting and
+dynamic partition pruning — the two adaptive behaviors a 100 TB plan
+leans on that static plan lint (tests/test_plans.py) can't show.
+Both tests build small synthetic layouts with thresholds lowered so the
+machinery triggers at test scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """One hot key (100k rows) against a uniform side: with AQE skew
+    handling on and thresholds lowered, the final adaptive plan marks
+    the sort-merge join as skew-handled instead of leaving one straggler
+    partition. This is the runtime fallback behind q_skew_stats'
+    diagnosis and the alternative to manual salting
+    (q_salted_skew_join)."""
+    left = spark.range(0, 100_000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    ).union(
+        spark.range(0, 1000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("payload")
+        )
+    )
+    right = spark.range(0, 100).select(F.col("id").alias("k"))
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(lp)
+    right.write.parquet(rp)
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = spark.read.parquet(lp).join(spark.read.parquet(rp), "k")
+        # AQE marks skew in THIS df's final adaptive plan only after THIS
+        # plan executes (count() would be a different QueryExecution)
+        assert len(df.collect()) == 100_000 + 1000
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A date-partitioned fact joined to a FILTERED small dim must scan
+    only the partitions the dim's filter selects — the plan carries a
+    dynamicpruning subquery on the fact scan. At 100 TB this is the
+    difference between reading one day and reading the table."""
+    fact = spark.range(0, 10_000).select(
+        (F.col("id") % 20).alias("day"), F.col("id").alias("v")
+    )
+    fp = str(tmp_path / "fact")
+    fact.write.partitionBy("day").parquet(fp)
+    dim = spark.range(0, 20).select(
+        F.col("id").alias("day"), (F.col("id") % 2).alias("flag")
+    )
+    dp = str(tmp_path / "dim")
+    dim.write.parquet(dp)
+
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        f = spark.read.parquet(fp)
+        d = spark.read.parquet(dp).filter(F.col("flag") == 1)
+        joined = f.join(d, "day")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        # 10 of 20 days survive the dim filter -> half the fact rows
+        assert joined.count() == 5_000
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )
