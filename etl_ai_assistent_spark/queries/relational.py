@@ -612,8 +612,8 @@ WITH changes AS (
   SELECT c_custkey, 'D', c_name, c_nationkey, c_acctbal, c_mktsegment
   FROM customer WHERE c_custkey % 17 = 3 AND c_custkey % 10 <> 0
   UNION ALL
-  SELECT c_custkey + 10000, 'I',
-         'NEW#' || CAST(c_custkey + 10000 AS VARCHAR),
+  SELECT c_custkey + 100000000, 'I',
+         'NEW#' || CAST(c_custkey + 100000000 AS VARCHAR),
          CAST(c_custkey % 25 AS INTEGER), CAST(0.0 AS DOUBLE), 'NEWSEG'
   FROM customer WHERE c_custkey < 50
 )
@@ -633,7 +633,9 @@ WHERE ch.op IS NULL OR ch.op <> 'D'
 def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE apply (operators/merge.py): a deterministic change
     batch — full-row updates for custkey%10=0, deletes for custkey%17=3
-    (update wins the overlap), 50 inserts beyond the key range — applied
+    (update wins the overlap), 50 inserts at custkey+1e8 (beyond every
+    SF's key range: TPC-H customer keys are 150k×SF, so the at-most-one
+    -change-per-key merge precondition holds at any scale) — applied
     to the customer snapshot with ONE keyed full-outer join: the
     engine's `MERGE INTO` without a table format. At scale the change
     side is CDC-batch-sized (AQE broadcasts it); the snapshot pays at
@@ -660,9 +662,9 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
     )
     inserts = c.filter(F.col("c_custkey") < 50).select(
-        (F.col("c_custkey") + 10000).alias("c_custkey"),
+        (F.col("c_custkey") + 100000000).alias("c_custkey"),
         F.lit("I").alias("op"),
-        F.concat(F.lit("NEW#"), (F.col("c_custkey") + 10000).cast("string")).alias(
+        F.concat(F.lit("NEW#"), (F.col("c_custkey") + 100000000).cast("string")).alias(
             "c_name"
         ),
         (F.col("c_custkey") % 25).cast("int").alias("c_nationkey"),

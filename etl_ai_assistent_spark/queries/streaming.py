@@ -307,7 +307,9 @@ def _cdc_fixture(spark: SparkSession, sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     c = io.load_table(spark, sf_dir, "customer")
     n = c.count()
-    root = f"/tmp/spark_graft_cdc_{tag}_{n}"
+    # v2: insert keys moved beyond every SF's key range (custkey + 1e8)
+    # so batches stay key-disjoint at any scale factor
+    root = f"/tmp/spark_graft_cdc_{tag}_{n}_v2"
     out = os.path.join(root, "changes")
     done = os.path.join(root, ".changes_complete")
     if os.path.exists(done):
@@ -331,9 +333,9 @@ def _cdc_fixture(spark: SparkSession, sf_dir: str) -> str:
         "c_mktsegment",
     )
     inserts = c.filter(F.col("c_custkey") < 50).select(
-        (F.col("c_custkey") + 10000).alias("c_custkey"),
+        (F.col("c_custkey") + 100000000).alias("c_custkey"),
         F.lit("I").alias("op"),
-        F.concat(F.lit("NEW#"), (F.col("c_custkey") + 10000).cast("string")).alias(
+        F.concat(F.lit("NEW#"), (F.col("c_custkey") + 100000000).cast("string")).alias(
             "c_name"
         ),
         (F.col("c_custkey") % 25).cast("int").alias("c_nationkey"),
@@ -358,8 +360,8 @@ WITH changes AS (
   SELECT c_custkey, 'D', c_name, c_nationkey, c_acctbal, c_mktsegment
   FROM customer WHERE c_custkey % 17 = 3 AND c_custkey % 10 <> 0
   UNION ALL
-  SELECT c_custkey + 10000, 'I',
-         'NEW#' || CAST(c_custkey + 10000 AS VARCHAR),
+  SELECT c_custkey + 100000000, 'I',
+         'NEW#' || CAST(c_custkey + 100000000 AS VARCHAR),
          CAST(c_custkey % 25 AS INTEGER), CAST(0.0 AS DOUBLE), 'NEWSEG'
   FROM customer WHERE c_custkey < 50
 )
