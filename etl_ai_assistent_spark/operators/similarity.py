@@ -325,8 +325,16 @@ def ann_topk(
     the banding curve instead of |items| × |queries|.
 
     The row-count probe is a metadata-cheap `count()` on the id column —
-    on parquet this is statistics-only. Callers with a known cardinality
-    pass it via exact_max_rows comparisons upstream instead."""
+    on parquet this is statistics-only, but it IS one Spark job per
+    invocation. Callers invoking the chooser in a loop (per probe batch,
+    per tuning sweep) should decide the strategy once and pin it by
+    passing a bound that forces the branch they measured::
+
+        n = corpus.count()                      # probe once, outside the loop
+        for batch in probe_batches:
+            ann_topk(corpus, batch, exact_max_rows=n + 1)   # always exact
+            # or exact_max_rows=0 to always take the SRP-LSH path
+    """
     limit = exact_max_rows if exact_max_rows is not None else ANN_EXACT_MAX_ROWS
     n = items.select(id_col).count()
     if n <= limit:
