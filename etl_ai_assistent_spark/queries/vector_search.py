@@ -572,3 +572,64 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(1000000 * n_hits) div {KNN_K}").cast("bigint").alias("recall_ppm"),
         )
     )
+
+
+# --- array higher-order function breadth -----------------------------------
+
+
+@register(
+    "q_array_functions",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000) AS qv
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(qv) AS INT) AS n_dims,
+       CAST(len(list_filter(qv, x -> x > 1000)) AS INT) AS n_pos,
+       CAST(list_sum(qv) AS BIGINT) AS sum_q,
+       CAST(list_sum(list_reverse(list_sort(qv))[1:3]) AS BIGINT) AS top3_sum,
+       CAST(len(list_distinct(qv)) AS INT) AS n_distinct,
+       CAST(list_sum(list_transform(generate_series(1, len(qv) - 1),
+              i -> abs(qv[i + 1] - qv[i]))) AS BIGINT) AS total_variation
+FROM q
+""",
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function breadth in one pass — the collection
+    algebra a nested-data engine must own: transform (lattice
+    quantization), filter + size (positive-coordinate count), aggregate
+    (exact integer sum), sort_array + slice (top-3 coordinate mass),
+    array_distinct (support size), and a zip_with-style adjacent
+    difference (total variation via shifted self-slice). All integer
+    after quantization, so every engine agrees bit-for-bit; all codegen
+    (one narrow map, no explode, no shuffle)."""
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: (F.floor(x.cast("double") * 1000) + F.lit(1000)).cast("bigint"),
+    )
+    emb = io.load_table(spark, sf_dir, "embeddings").select("vec_id", qv.alias("qv"))
+    isum = lambda arr: F.aggregate(  # noqa: E731 — exact bigint fold
+        arr, F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    return emb.select(
+        "vec_id",
+        F.size("qv").alias("n_dims"),
+        F.size(F.filter("qv", lambda x: x > 1000)).alias("n_pos"),
+        isum(F.col("qv")).cast("bigint").alias("sum_q"),
+        isum(F.slice(F.sort_array("qv", asc=False), 1, 3))
+        .cast("bigint")
+        .alias("top3_sum"),
+        F.size(F.array_distinct("qv")).alias("n_distinct"),
+        isum(
+            F.zip_with(
+                F.slice("qv", 2, F.size("qv") - 1),
+                F.slice("qv", 1, F.size("qv") - 1),
+                lambda a, b: F.abs(a - b),
+            )
+        )
+        .cast("bigint")
+        .alias("total_variation"),
+    )

@@ -69,6 +69,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_synthetic_source",
     "q_doc_surprisal",
     "q_window_family",
+    "q_array_functions",
     # plan changed in round 5 (broadcast-hint audit / distributed
     # fixture writers) — semantics unchanged but re-verify the new plans
     "q_revenue_by_nation",
@@ -108,7 +109,6 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_source_sample",
     # next-stalest tier (round-3 verdicts) — fill the remaining window
     "q_topk_cosine",
-    "q_ivf_topk",
 )
 
 
