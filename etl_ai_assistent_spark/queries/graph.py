@@ -97,3 +97,87 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "rank_ppb")
         .withColumn("pos", w_pos.cast("int"))
     )
+
+
+# --- triangle counting (clustering structure) ------------------------------
+
+
+@register(
+    "q_triangle_count",
+    oracle="""
+WITH dir_edges AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+),
+u AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM dir_edges WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM u e1
+  JOIN u e2 ON e2.a = e1.b
+  JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+member AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM member GROUP BY 1
+""",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the undirected nation trade graph —
+    the clustering-structure primitive (community density, spam/bot
+    subgraph detection). Edges are canonically ORIENTED (a < b) so each
+    triangle is enumerated exactly once as a<b<c by two equi-joins plus
+    the closing-edge check — never an unordered 3-way blowup. At
+    scale-free 100 TB graphs the same query runs with degree-ordered
+    orientation (orient each edge toward the higher-degree endpoint),
+    which provably bounds the wedge count — the canonical key swap is
+    one expression change."""
+    c = io.load_table(spark, sf_dir, "customer")
+    o = io.load_table(spark, sf_dir, "orders")
+    li = io.load_table(spark, sf_dir, "lineitem")
+    s = io.load_table(spark, sf_dir, "supplier")
+    dir_edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .distinct()
+    )
+    u = (
+        dir_edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    e1 = u
+    e2 = u.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = u.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    member = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return member.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )

@@ -70,6 +70,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_doc_surprisal",
     "q_window_family",
     "q_array_functions",
+    "q_triangle_count",
     # plan changed in round 5 (broadcast-hint audit / distributed
     # fixture writers) — semantics unchanged but re-verify the new plans
     "q_revenue_by_nation",
@@ -107,8 +108,6 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_dedup_survivors",
     "q_hash_split",
     "q_source_sample",
-    # next-stalest tier (round-3 verdicts) — fill the remaining window
-    "q_topk_cosine",
 )
 
 
