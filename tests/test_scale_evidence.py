@@ -86,3 +86,47 @@ def test_dynamic_partition_pruning(spark, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
         )
+
+
+def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
+    """A selective dim joined to a large un-partitioned fact: with the
+    runtime bloom-filter optimization on (thresholds lowered), Spark
+    injects a BloomFilterMightContain predicate on the fact scan side —
+    rows that can't match are dropped BEFORE the shuffle. The
+    non-partitioned sibling of dynamic partition pruning: at 100 TB it
+    converts a full-fact shuffle into a filtered one."""
+    fact = spark.range(0, 200_000).select(
+        (F.col("id") % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("flag")
+    )
+    fp, dp = str(tmp_path / "fact"), str(tmp_path / "dim")
+    fact.write.parquet(fp)
+    dim.write.parquet(dp)
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # keep it a shuffle join
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        f = spark.read.parquet(fp)
+        d = spark.read.parquet(dp).filter(F.col("flag") == 3)  # 1% of keys
+        joined = f.join(d, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloomfilter" in plan.lower() or "might_contain" in plan.lower(), (
+            plan[:2000]
+        )
+        assert joined.count() == 100 * 20  # 100 keys x 20 fact rows each
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
