@@ -186,3 +186,137 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(js.select(F.lit("json").alias("fmt"), "*"))
         .unionByName(orc.select(F.lit("orc").alias("fmt"), "*"))
     )
+
+
+# --- malformed-record quarantine (PERMISSIVE ingest) -----------------------
+
+CORRUPT_EVERY = 7
+
+
+def _corrupt_json_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """JSON-lines fixture with every {CORRUPT_EVERY}th record truncated
+    mid-object — the deterministic bad-feed twin of the S5 JSON source.
+    Written distributed (one map over documents, text sink)."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    out = f"/tmp/spark_graft_corrupt_{_tag(sf_dir)}_{n}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        line = F.concat(
+            F.lit('{"doc_id": '),
+            F.col("doc_id").cast("string"),
+            F.lit(', "n_chars": '),
+            F.col("n_chars").cast("string"),
+            F.lit("}"),
+        )
+        # truncate the tail off every CORRUPT_EVERY-th line -> invalid JSON
+        corrupted = F.when(
+            F.col("doc_id") % CORRUPT_EVERY == 0,
+            F.substring(line, 1, 11),
+        ).otherwise(line)
+        (
+            docs.select(corrupted.alias("value"))
+            .write.mode("overwrite")
+            .text(out)
+        )
+    return out
+
+
+@register(
+    "q_corrupt_quarantine",
+    oracle=f"""
+SELECT CAST(sum(CASE WHEN doc_id % {CORRUPT_EVERY} <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_good,
+       CAST(sum(CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_quarantined,
+       CAST(sum(CASE WHEN doc_id % {CORRUPT_EVERY} <> 0 THEN doc_id ELSE 0 END)
+            AS BIGINT) AS good_docid_sum,
+       CAST(sum(CASE WHEN doc_id % {CORRUPT_EVERY} <> 0 THEN n_chars ELSE 0 END)
+            AS BIGINT) AS good_nchars_sum
+FROM documents
+""",
+)
+def q_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine — the ingest-resilience contract a
+    production feed needs: PERMISSIVE JSON parsing routes unparseable
+    lines into a _corrupt_record column instead of failing the job, and
+    the query splits the batch into parsed rows vs quarantined rows
+    with integrity sums over the parsed side. The oracle derives the
+    expected split from the clean source table (the corruption rule is
+    deterministic), so a parser that silently drops or mis-routes rows
+    breaks the hash.
+
+    Scale: schema-on-read with an explicit schema (no inference scan) +
+    one aggregate; the quarantine column rides the same scan."""
+    path = _corrupt_json_fixture(spark, sf_dir)
+    parsed = (
+        spark.read.schema("doc_id bigint, n_chars bigint, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return parsed.agg(
+        F.sum((~bad).cast("bigint")).cast("bigint").alias("n_good"),
+        F.sum(bad.cast("bigint")).cast("bigint").alias("n_quarantined"),
+        F.sum(F.when(~bad, F.col("doc_id")).otherwise(0))
+        .cast("bigint")
+        .alias("good_docid_sum"),
+        F.sum(F.when(~bad, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("good_nchars_sum"),
+    )
+
+
+# --- parquet schema evolution (mergeSchema read) ---------------------------
+
+
+def _evolved_parquet_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet batches with evolved schemas: batch v1 carries
+    (doc_id, n_chars); batch v2 (the later writer version) adds a
+    `lang` column. The split is doc_id parity — deterministic."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    out = f"/tmp/spark_graft_evolve_{_tag(sf_dir)}_{n}"
+    if not os.path.exists(os.path.join(out, ".complete")):
+        v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
+        v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "n_chars", "lang"
+        )
+        v1.write.mode("overwrite").parquet(os.path.join(out, "b1"))
+        v2.write.mode("overwrite").parquet(os.path.join(out, "b2"))
+        open(os.path.join(out, ".complete"), "w").close()
+    return out
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+SELECT COALESCE(CASE WHEN doc_id % 2 = 1 THEN lang END, '<missing>') AS lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+""",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read — a table whose later files added a
+    column must stay queryable across ALL files: mergeSchema unions the
+    footers' schemas and back-fills the pre-evolution files with nulls.
+    The query groups over the evolved column (nulls surfaced as
+    '<missing>') with an integrity sum, and the oracle replays the
+    writer-version split from the source table.
+
+    Scale note: mergeSchema is a read-time footer union (one footer per
+    file at planning); production tables checkpoint the merged schema
+    in a metastore so planning stays O(1), but the on-read semantics
+    verified here are identical."""
+    out = _evolved_parquet_fixture(spark, sf_dir)
+    df = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(out, "b1"), os.path.join(out, "b2")
+    )
+    return df.groupBy(
+        F.coalesce(F.col("lang"), F.lit("<missing>")).alias("lang")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

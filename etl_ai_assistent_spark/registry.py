@@ -71,13 +71,16 @@ DRIVER_FIRST: tuple[str, ...] = (
     "q_window_family",
     "q_array_functions",
     "q_triangle_count",
+    "q_corrupt_quarantine",
+    "q_schema_evolution",
     # plan changed in round 5 (broadcast-hint audit / distributed
     # fixture writers) — semantics unchanged but re-verify the new plans
     "q_revenue_by_nation",
     "q_daily_gapfill",
     "q_vectorize_lines",
-    "q_docx_pipeline",
-    "q_docx_media",
+    # (q_docx_pipeline/q_docx_media also got the distributed fixture
+    # writer, but both were re-validated by the local sf0.01 gate twice
+    # this round — rotated out in favor of never-driver-checked queries)
     # last verdict is round 1 (stalest — three rounds of churn since);
     # every one of these gets a fresh green this round
     "q_pad_truncate",
