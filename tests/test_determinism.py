@@ -1,0 +1,47 @@
+"""Partition-invariance meta-test: queries documented as
+"bit-deterministic on any partitioning" must return byte-identical
+results when the shuffle width changes. This is the claim that lets a
+result verified on local[32] stand for the same job on 1000 executors —
+here it is executed, not asserted in prose: each query runs under a
+narrow (3) and a wide (32) shuffle configuration and the canonicalized
+rows are compared exactly."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_ai_assistent_spark.registry import queries
+
+# Queries whose docstrings claim partition-order independence through
+# integer-exact or DECIMAL-exact arithmetic — one per family.
+CLAIMED_INVARIANT = [
+    "q_kmeans_step",  # integer-lattice Lloyd iteration
+    "q_pq_adc_topk",  # PQ train/encode/score, all bigint
+    "q_minhash_near_dup",  # md5-derived signatures + exact Jaccard
+    "q_doc_surprisal",  # bitlength self-information sums
+    "q_table_fingerprint",  # commutative aggregate checksum
+    "q_pricing_summary",  # DECIMAL-exact aggregation
+    "q_pagerank_nations",  # ppb fixed-point recurrence
+]
+
+
+def _canon_rows(df):
+    cols = sorted(df.columns)
+    rows = [tuple(str(r[c]) for c in cols) for r in df.select(*cols).collect()]
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("name", CLAIMED_INVARIANT)
+def test_result_identical_across_shuffle_widths(spark, sf_small, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    q = queries()[name]
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        narrow = _canon_rows(q(spark, sf_small))
+        spark.catalog.clearCache()
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = _canon_rows(q(spark, sf_small))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.clearCache()
+    assert narrow == wide, f"{name} varies with shuffle width"
