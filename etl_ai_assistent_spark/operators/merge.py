@@ -46,12 +46,14 @@ def merge_apply(
         *[F.col(col).alias(f"_c_{col}") for col in cols if col != key],
     )
     joined = t.join(c, t["_t_key"] == c["_c_key"], "full_outer")
+    # Keep every row whose change op is not D: matched D disappears
+    # (delete), unmatched D is a no-op (its only row is the change side,
+    # dropped here), and rows with no change (op NULL) pass through.
+    # NOTE: the predicate must depend ONLY on _op — testing _t_key would
+    # silently drop a target row whose KEY VALUE is NULL (it never
+    # equi-joins, so it arrives as a target-only row with _t_key NULL).
     kept = joined.filter(
-        # delete: matched row with op D disappears
-        (F.col("_op").isNull() | (F.col("_op") != F.lit("D")))
-        # insert-only rows on the change side must carry op I or U
-        # (an unmatched D is a no-op and is dropped)
-        & (F.col("_t_key").isNotNull() | (F.col("_op") != F.lit("D")))
+        F.col("_op").isNull() | (F.col("_op") != F.lit("D"))
     )
     merged_cols = [
         F.coalesce(F.col("_c_key"), F.col("_t_key")).alias(key)

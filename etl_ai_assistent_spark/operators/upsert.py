@@ -165,12 +165,19 @@ def stream_upsert_points(
 
     try:
         params = inspect.signature(client_factory).parameters
+        # Only a REQUIRED positional parameter opts in to receiving the
+        # batch id. A factory with only optional params (e.g.
+        # `lambda verbose=False: ...`) must keep its zero-arg call —
+        # treating "has any positional param" as opt-in would silently
+        # bind batch_id to that unrelated parameter. A factory that
+        # REQUIRES a positional arg could never be called zero-arg, so
+        # the required slot is unambiguously the batch id.
         accepts_batch_id = any(
-            p.kind
+            p.default is inspect.Parameter.empty
+            and p.kind
             in (
                 inspect.Parameter.POSITIONAL_ONLY,
                 inspect.Parameter.POSITIONAL_OR_KEYWORD,
-                inspect.Parameter.VAR_POSITIONAL,
             )
             for p in params.values()
         )

@@ -41,11 +41,12 @@ def docx_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
     (foreachPartition; doc_{id}.docx names are id-disjoint across
     partitions) so no unbounded `.collect()` ever reaches the driver —
     at a larger sf_dir the fixture generation scales with the executors.
-    The completeness marker is keyed on the statistics-only row count."""
+    The completeness marker is keyed on the source mtime+size tag."""
     out = _fixture_dir(sf_dir)
     docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    n = docs.count()  # parquet statistics — no data scan
-    marker = os.path.join(out, f".complete_{n}")
+    # marker keyed on source mtime+size: regenerated testdata (same
+    # count, new values) rebuilds the corpus
+    marker = os.path.join(out, f".complete_{io.fixture_tag(sf_dir, 'documents')}")
     if not os.path.exists(marker):
 
         def _write(rows) -> None:

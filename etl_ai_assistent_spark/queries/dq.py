@@ -218,10 +218,13 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH canon AS (
   SELECT CAST(('0x' || substr(md5(
-           CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
-           CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
-           || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' ||
-           CAST(o_custkey AS VARCHAR) || '|' || o_orderpriority
+           COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>') || '|' ||
+           COALESCE(o_orderstatus, '<NULL>') || '|' ||
+           COALESCE(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         AS VARCHAR), '<NULL>') || '|' ||
+           COALESCE(CAST(epoch_us(o_orderdate) AS VARCHAR), '<NULL>') || '|' ||
+           COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>') || '|' ||
+           COALESCE(o_orderpriority, '<NULL>')
          ), 1, 8)) AS BIGINT) AS h
   FROM orders
 )
@@ -246,17 +249,31 @@ def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one scan, map-side partial aggregation, 5-integer shuffle."""
     o = io.load_table(spark, sf_dir, "orders")
+    # Every field coalesces to an explicit sentinel BEFORE concatenation:
+    # concat_ws silently SKIPS nulls, which would both collide rows whose
+    # nulls sit in different columns and diverge from the oracle (whose
+    # '||' nulls the whole string). With sentinels the canonical text is
+    # total — NULL is a first-class fingerprinted value.
+    def _f(c):
+        return F.coalesce(c, F.lit("<NULL>"))
+
     canon = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").cast("string"),
-        F.expr(
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
-            " o_orderdate)"
-        ).cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderpriority"),
+        _f(F.col("o_orderkey").cast("string")),
+        _f(F.col("o_orderstatus")),
+        _f(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .cast("string")
+        ),
+        _f(
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " o_orderdate)"
+            ).cast("string")
+        ),
+        _f(F.col("o_custkey").cast("string")),
+        _f(F.col("o_orderpriority")),
     )
     h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
     return o.select(h.alias("h")).agg(

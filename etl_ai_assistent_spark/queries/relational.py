@@ -600,10 +600,13 @@ def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- CDC MERGE (lakehouse upsert/delete apply) -----------------------------
 
+# The deterministic CDC batch and its merge oracle are SHARED with the
+# streaming twin (queries/streaming.q_stream_cdc_merge builds the same
+# batches split by op): the streaming query's correctness argument is
+# "drained snapshot == single-batch merge", so both sides must reference
+# ONE definition — editing the batch rule here updates both in lock-step.
 
-@register(
-    "q_cdc_merge",
-    oracle="""
+CDC_MERGE_ORACLE = """
 WITH changes AS (
   SELECT c_custkey, 'U' AS op, c_name, c_nationkey,
          c_acctbal + 100.0 AS c_acctbal, 'UPDATED' AS c_mktsegment
@@ -628,21 +631,15 @@ SELECT COALESCE(ch.c_custkey, t.c_custkey) AS c_custkey,
             ELSE t.c_mktsegment END AS c_mktsegment
 FROM customer t FULL OUTER JOIN changes ch ON ch.c_custkey = t.c_custkey
 WHERE ch.op IS NULL OR ch.op <> 'D'
-""",
-)
-def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC MERGE apply (operators/merge.py): a deterministic change
-    batch — full-row updates for custkey%10=0, deletes for custkey%17=3
-    (update wins the overlap), 50 inserts at custkey+1e8 (beyond every
-    SF's key range: TPC-H customer keys are 150k×SF, so the at-most-one
-    -change-per-key merge precondition holds at any scale) — applied
-    to the customer snapshot with ONE keyed full-outer join: the
-    engine's `MERGE INTO` without a table format. At scale the change
-    side is CDC-batch-sized (AQE broadcasts it); the snapshot pays at
-    most its single keyed exchange, zero with bucketing."""
-    from ..operators.merge import merge_apply
+"""
 
-    c = io.load_table(spark, sf_dir, "customer")
+
+def cdc_change_batches(c: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The deterministic (updates, deletes, inserts) CDC batches over a
+    customer snapshot — keys are mutually DISJOINT (update wins the
+    %10/%17 overlap; inserts land at custkey+1e8, beyond every SF's key
+    range), so applying them in any order or all at once yields the
+    same snapshot."""
     updates = c.filter(F.col("c_custkey") % 10 == 0).select(
         "c_custkey",
         F.lit("U").alias("op"),
@@ -664,13 +661,31 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserts = c.filter(F.col("c_custkey") < 50).select(
         (F.col("c_custkey") + 100000000).alias("c_custkey"),
         F.lit("I").alias("op"),
-        F.concat(F.lit("NEW#"), (F.col("c_custkey") + 100000000).cast("string")).alias(
-            "c_name"
-        ),
+        F.concat(
+            F.lit("NEW#"), (F.col("c_custkey") + 100000000).cast("string")
+        ).alias("c_name"),
         (F.col("c_custkey") % 25).cast("int").alias("c_nationkey"),
         F.lit(0.0).alias("c_acctbal"),
         F.lit("NEWSEG").alias("c_mktsegment"),
     )
+    return updates, deletes, inserts
+
+
+@register("q_cdc_merge", oracle=CDC_MERGE_ORACLE)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE apply (operators/merge.py): a deterministic change
+    batch — full-row updates for custkey%10=0, deletes for custkey%17=3
+    (update wins the overlap), 50 inserts at custkey+1e8 (beyond every
+    SF's key range: TPC-H customer keys are 150k×SF, so the at-most-one
+    -change-per-key merge precondition holds at any scale) — applied
+    to the customer snapshot with ONE keyed full-outer join: the
+    engine's `MERGE INTO` without a table format. At scale the change
+    side is CDC-batch-sized (AQE broadcasts it); the snapshot pays at
+    most its single keyed exchange, zero with bucketing."""
+    from ..operators.merge import merge_apply
+
+    c = io.load_table(spark, sf_dir, "customer")
+    updates, deletes, inserts = cdc_change_batches(c)
     changes = updates.unionByName(deletes).unionByName(inserts)
     return merge_apply(c, changes, key="c_custkey")
 

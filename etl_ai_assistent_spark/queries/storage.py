@@ -4,7 +4,7 @@ round-trips — driver-checkable proofs for the table-maintenance operator
 were previously covered by pytest only.
 
 Both queries follow the fixture pattern of queries/docx.py: a bounded,
-idempotent /tmp materialization keyed on the statistics-only row count,
+idempotent /tmp materialization keyed on the source mtime+size tag,
 then a fully declarative read-back whose values a DuckDB oracle derives
 from the ORIGINAL parquet tables. Any loss anywhere in the write→read
 chain (type mangling, quoting, timestamp formatting, footer statistics)
@@ -31,10 +31,6 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _TS_OPTS = {"timestampFormat": TS_FMT, "timestampNTZFormat": TS_FMT}
 
 
-def _tag(sf_dir: str) -> str:
-    return os.path.basename(os.path.normpath(sf_dir)) or "sf"
-
-
 # --- compaction zone-map evidence ------------------------------------------
 
 
@@ -44,8 +40,7 @@ def _compacted_orders_dir(spark: SparkSession, sf_dir: str) -> str:
     the row count in the dir name make the fixture idempotent and
     regeneration-safe."""
     o = io.load_table(spark, sf_dir, "orders")
-    n = o.count()  # parquet statistics — no data scan
-    out = f"/tmp/spark_graft_compact_{_tag(sf_dir)}_{n}"
+    out = f"/tmp/spark_graft_compact_{io.fixture_tag(sf_dir, 'orders')}"
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         CP.compact_fixed_width(o, out, "o_orderkey", N_FILES)
     return out
@@ -119,8 +114,7 @@ def _sink_rt_dir(spark: SparkSession, sf_dir: str) -> str:
     deterministic orders slice (bigint, varchar, double, timestamp —
     the four type classes the text formats can mangle)."""
     o = io.load_table(spark, sf_dir, "orders")
-    n = o.count()
-    out = f"/tmp/spark_graft_sinkrt_{_tag(sf_dir)}_{n}"
+    out = f"/tmp/spark_graft_sinkrt_{io.fixture_tag(sf_dir, 'orders')}"
     slice_df = o.filter(F.col("o_orderkey") < 200).select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
@@ -198,8 +192,7 @@ def _corrupt_json_fixture(spark: SparkSession, sf_dir: str) -> str:
     mid-object — the deterministic bad-feed twin of the S5 JSON source.
     Written distributed (one map over documents, text sink)."""
     docs = io.load_table(spark, sf_dir, "documents")
-    n = docs.count()
-    out = f"/tmp/spark_graft_corrupt_{_tag(sf_dir)}_{n}"
+    out = f"/tmp/spark_graft_corrupt_{io.fixture_tag(sf_dir, 'documents')}"
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         line = F.concat(
             F.lit('{"doc_id": '),
@@ -275,8 +268,7 @@ def _evolved_parquet_fixture(spark: SparkSession, sf_dir: str) -> str:
     (doc_id, n_chars); batch v2 (the later writer version) adds a
     `lang` column. The split is doc_id parity — deterministic."""
     docs = io.load_table(spark, sf_dir, "documents")
-    n = docs.count()
-    out = f"/tmp/spark_graft_evolve_{_tag(sf_dir)}_{n}"
+    out = f"/tmp/spark_graft_evolve_{io.fixture_tag(sf_dir, 'documents')}"
     if not os.path.exists(os.path.join(out, ".complete")):
         v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
         v2 = docs.filter(F.col("doc_id") % 2 == 1).select(

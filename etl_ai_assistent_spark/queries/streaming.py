@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
 from ..streaming import pipeline as SP
+from .relational import CDC_MERGE_ORACLE as _CDC_ORACLE
 from .text_etl import CHUNK_SIZE, OVERLAP, STRIDE
 
 GAP_US = 1_800_000_000  # 30 minutes
@@ -294,90 +295,32 @@ _CDC_SCHEMA = (
 
 def _cdc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Three single-file change batches (update / delete / insert — the
-    same deterministic batch as q_cdc_merge, split by op). Keys are
-    DISJOINT across batches, so the final maintained snapshot is
-    independent of micro-batch arrival order — which is what lets a
-    batch oracle verify a streaming run."""
+    SAME deterministic batches as q_cdc_merge, via the shared
+    relational.cdc_change_batches builder). Keys are DISJOINT across
+    batches, so the final maintained snapshot is independent of
+    micro-batch arrival order — which is what lets the shared batch
+    oracle verify a streaming run."""
     import os
 
-    from pyspark.sql import functions as F
-
     from .. import io
+    from .relational import cdc_change_batches
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     c = io.load_table(spark, sf_dir, "customer")
-    n = c.count()
     # v2: insert keys moved beyond every SF's key range (custkey + 1e8)
-    # so batches stay key-disjoint at any scale factor
-    root = f"/tmp/spark_graft_cdc_{tag}_{n}_v2"
+    # so batches stay key-disjoint at any scale factor; keyed on the
+    # customer parquet mtime+size so regenerated testdata rebuilds it
+    root = f"/tmp/spark_graft_cdc_{io.fixture_tag(sf_dir, 'customer')}_v2"
     out = os.path.join(root, "changes")
     done = os.path.join(root, ".changes_complete")
     if os.path.exists(done):
         return root
-    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
-        "c_custkey",
-        F.lit("U").alias("op"),
-        "c_name",
-        "c_nationkey",
-        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
-        F.lit("UPDATED").alias("c_mktsegment"),
-    )
-    deletes = c.filter(
-        (F.col("c_custkey") % 17 == 3) & (F.col("c_custkey") % 10 != 0)
-    ).select(
-        "c_custkey",
-        F.lit("D").alias("op"),
-        "c_name",
-        "c_nationkey",
-        "c_acctbal",
-        "c_mktsegment",
-    )
-    inserts = c.filter(F.col("c_custkey") < 50).select(
-        (F.col("c_custkey") + 100000000).alias("c_custkey"),
-        F.lit("I").alias("op"),
-        F.concat(F.lit("NEW#"), (F.col("c_custkey") + 100000000).cast("string")).alias(
-            "c_name"
-        ),
-        (F.col("c_custkey") % 25).cast("int").alias("c_nationkey"),
-        F.lit(0.0).alias("c_acctbal"),
-        F.lit("NEWSEG").alias("c_mktsegment"),
-    )
-    for i, batch in enumerate((updates, deletes, inserts)):
+    for batch in cdc_change_batches(c):
         batch.coalesce(1).write.mode("append").parquet(out)
-        _ = i
     open(done, "w").close()
     return root
 
 
-@register(
-    "q_stream_cdc_merge",
-    oracle="""
-WITH changes AS (
-  SELECT c_custkey, 'U' AS op, c_name, c_nationkey,
-         c_acctbal + 100.0 AS c_acctbal, 'UPDATED' AS c_mktsegment
-  FROM customer WHERE c_custkey % 10 = 0
-  UNION ALL
-  SELECT c_custkey, 'D', c_name, c_nationkey, c_acctbal, c_mktsegment
-  FROM customer WHERE c_custkey % 17 = 3 AND c_custkey % 10 <> 0
-  UNION ALL
-  SELECT c_custkey + 100000000, 'I',
-         'NEW#' || CAST(c_custkey + 100000000 AS VARCHAR),
-         CAST(c_custkey % 25 AS INTEGER), CAST(0.0 AS DOUBLE), 'NEWSEG'
-  FROM customer WHERE c_custkey < 50
-)
-SELECT COALESCE(ch.c_custkey, t.c_custkey) AS c_custkey,
-       CASE WHEN ch.op IS NOT NULL THEN ch.c_name
-            ELSE t.c_name END AS c_name,
-       CASE WHEN ch.op IS NOT NULL THEN ch.c_nationkey
-            ELSE t.c_nationkey END AS c_nationkey,
-       CASE WHEN ch.op IS NOT NULL THEN ch.c_acctbal
-            ELSE t.c_acctbal END AS c_acctbal,
-       CASE WHEN ch.op IS NOT NULL THEN ch.c_mktsegment
-            ELSE t.c_mktsegment END AS c_mktsegment
-FROM customer t FULL OUTER JOIN changes ch ON ch.c_custkey = t.c_custkey
-WHERE ch.op IS NULL OR ch.op <> 'D'
-""",
-)
+@register("q_stream_cdc_merge", oracle=_CDC_ORACLE)
 def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming snapshot maintenance — the table-format-free
     `MERGE INTO` loop a change stream drives in production: a
@@ -409,12 +352,20 @@ def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "overwrite"
             ).parquet(snap0)
 
-        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-            versions = sorted(
+        def committed_versions() -> list:
+            # only _SUCCESS-committed snapshots count: a crash mid-write
+            # leaves a partial snap_v{n+1} dir that a checkpoint REPLAY
+            # must overwrite, not read — replay idempotence depends on
+            # resolving "latest" to the last COMMITTED version
+            return sorted(
                 int(d.rsplit("_v", 1)[1])
                 for d in os.listdir(root)
                 if d.startswith("snap_v")
+                and os.path.exists(os.path.join(root, d, "_SUCCESS"))
             )
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            versions = committed_versions()
             cur = spark.read.parquet(os.path.join(root, f"snap_v{versions[-1]}"))
             merged = merge_apply(cur, batch_df, key="c_custkey")
             merged.write.mode("overwrite").parquet(
@@ -435,11 +386,7 @@ def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-        latest = max(
-            int(d.rsplit("_v", 1)[1])
-            for d in os.listdir(root)
-            if d.startswith("snap_v")
-        )
+        latest = committed_versions()[-1]
         with open(final_marker, "w") as f:
             f.write(str(latest))
 

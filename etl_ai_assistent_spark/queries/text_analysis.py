@@ -521,10 +521,15 @@ def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded), a posting-list equi-join of tokens to df (same shape as
     the q_rag_retrieval index join), and a per-doc sum. The 1-row
     corpus count broadcasts."""
+    from pyspark import StorageLevel
+
     docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # tok feeds three branches (df table, corpus count, posting join) —
+    # persist the tokenize pass instead of re-exploding the corpus per
+    # branch (same materialized-index reasoning as rag._doc_probe_tf)
     tok = docs.select(
         "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     df_tbl = tok.groupBy("tok").agg(
         F.countDistinct("doc_id").cast("bigint").alias("df")
     )

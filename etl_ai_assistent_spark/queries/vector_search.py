@@ -341,11 +341,9 @@ def _lines_fixture(spark: SparkSession, sf_dir: str) -> str:
     oracle's DISTINCT)."""
     import os
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    # row count in the name: regenerated testdata under the same sf tag
-    # invalidates the cache (count() on parquet is statistics-only)
-    n = io.load_table(spark, sf_dir, "documents").count()
-    path = f"/tmp/spark_graft_lines_{tag}_{n}_v2"
+    # source mtime+size in the name: regenerated testdata under the
+    # same sf tag invalidates the cache even at an unchanged row count
+    path = f"/tmp/spark_graft_lines_{io.fixture_tag(sf_dir, 'documents')}_v2"
     # _SUCCESS is Spark's own job-commit marker: a crash mid-write leaves
     # no marker and the next run overwrites the partial output
     if not os.path.exists(os.path.join(path, "_SUCCESS")):

@@ -48,3 +48,15 @@ def test_update_is_full_row_image(spark):
     really nulls the target column (not 'keep old value')."""
     got = _merge(spark, [(1, "one", 1.0)], [(1, "U", None, 9.0)])
     assert got == {1: (None, 9.0)}
+
+
+def test_null_key_target_row_survives(spark):
+    """Regression: a target row whose merge KEY is NULL never equi-joins
+    a change row, so it must pass through untouched — the keep filter
+    may only test the change op, never the target key."""
+    got = _merge(
+        spark,
+        [(1, "one", 1.0), (None, "nullkey", 9.0)],
+        [(2, "I", "two", 2.0), (99, "D", None, None)],
+    )
+    assert got == {1: ("one", 1.0), None: ("nullkey", 9.0), 2: ("two", 2.0)}
