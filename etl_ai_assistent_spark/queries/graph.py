@@ -154,12 +154,18 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # u is referenced three times (both wedge sides + the closing-edge
+    # check); persisting it computes the 4-way fact-table edge
+    # derivation ONCE instead of once per alias. The edge set itself is
+    # node²-bounded (≤300 rows for 25 nations) — trivially cacheable at
+    # any fact-table scale.
     u = (
         dir_edges.filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
+        .persist()
     )
     e1 = u
     e2 = u.select(F.col("a").alias("b"), F.col("b").alias("c"))
