@@ -51,6 +51,11 @@ def compact_fixed_width(
     value — exactly one file per non-empty bucket. The min/max scan is
     a 2-scalar aggregate (statistics-cheap on parquet)."""
     lo, hi = df.agg(F.min(key), F.max(key)).first()
+    if lo is None or hi is None:
+        raise ValueError(
+            f"compact_fixed_width: input has no non-null {key!r} rows — "
+            "nothing to bucket (empty DataFrame or all-null key)"
+        )
     width = (int(hi) - int(lo)) // n_files + 1
     (
         df.withColumn(
@@ -68,7 +73,10 @@ def partitioned_zone_maps(path: str, key: str) -> list[tuple[int, int, int, int]
     """(bucket, zone_min, zone_max, n_rows) per bucket directory of a
     compact_fixed_width layout, read from parquet FOOTERS only — the
     zone map a stats-aware reader consults. Bounded by the file count
-    (n_files), never the data."""
+    (n_files), never the data. A bucket whose every row group lacks
+    footer min/max statistics is SKIPPED (same policy as
+    file_key_ranges: a stats-less file has no zone-map entry and can
+    never be pruned) rather than emitted with None bounds."""
     import os
 
     import pyarrow.parquet as pq
@@ -93,6 +101,8 @@ def partitioned_zone_maps(path: str, key: str) -> list[tuple[int, int, int, int]
                     continue
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
+        if lo is None or hi is None:
+            continue  # stats-less bucket: no zone-map entry (never prunable)
         out.append((bucket, lo, hi, n))
     return out
 

@@ -7,7 +7,8 @@ A change-data-capture batch carries (key, op, new columns) rows with op
 - match + U  → take the change row's columns (update)
 - match + D  → drop the row (delete)
 - no match + I → append the change row (insert)
-- no target match for U, or no change row → keep the snapshot row
+- no target match for U → insert the change row (upsert fallthrough)
+- no change row for a target key → keep the snapshot row
 
 Spark-first shape: the join shuffles both sides once on the key (or
 broadcasts the change batch when it is small — the common CDC case,

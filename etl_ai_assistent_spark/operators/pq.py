@@ -29,15 +29,19 @@ from pyspark.sql import functions as F
 from . import kmeans as KM
 
 
-def subvectors(vectors: DataFrame, m: int) -> list[DataFrame]:
+def subvectors(vectors: DataFrame, m: int, dim: int) -> list[DataFrame]:
     """Split (vec_id, qv ARRAY<BIGINT>) into m (vec_id, qv) slices.
     Slice widths are equal; dim must divide m evenly (explicit error
-    beats silent ragged subspaces)."""
-    first = vectors.select(F.size("qv").alias("d")).first()
-    d = int(first["d"])
-    if d % m != 0:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    w = d // m
+    beats silent ragged subspaces). ``dim`` is the caller-declared
+    vector width — taking it as a parameter keeps index CONSTRUCTION
+    free of driver-side Spark jobs (probing the width with `.first()`
+    would cost one job per subvectors call); the declared width is
+    enforced against the data lazily by the slice arithmetic itself
+    (a narrower array yields short slices → codebook/encode mismatch,
+    surfacing as a loud count/size error, never silent truncation)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    w = dim // m
     return [
         vectors.select(
             "vec_id", F.slice("qv", i * w + 1, w).alias("qv")
@@ -47,22 +51,26 @@ def subvectors(vectors: DataFrame, m: int) -> list[DataFrame]:
 
 
 def train_codebooks(
-    vectors: DataFrame, m: int = 4, k: int = 8, iters: int = 3
+    vectors: DataFrame, m: int = 4, k: int = 8, iters: int = 3, *, dim: int
 ) -> list[DataFrame]:
     """Per-subspace codebooks via integer Lloyd's: list of m (cid, cv)
-    DataFrames, each k rows."""
+    DataFrames, each k rows. No driver-side Spark action happens before
+    the terminal K-row collects inside each Lloyd iteration."""
     return [
-        KM.lloyd(sub, k=k, iters=iters)[1] for sub in subvectors(vectors, m)
+        KM.lloyd(sub, k=k, iters=iters)[1]
+        for sub in subvectors(vectors, m, dim)
     ]
 
 
-def encode(vectors: DataFrame, codebooks: list[DataFrame]) -> DataFrame:
+def encode(
+    vectors: DataFrame, codebooks: list[DataFrame], *, dim: int
+) -> DataFrame:
     """PQ codes: (vec_id, code_0 .. code_{m-1}) — each the nearest
     centroid id in that subspace (packed-bigint argmin, deterministic
     tie-break on centroid id)."""
     m = len(codebooks)
     out = None
-    for i, (sub, cb) in enumerate(zip(subvectors(vectors, m), codebooks)):
+    for i, (sub, cb) in enumerate(zip(subvectors(vectors, m, dim), codebooks)):
         a = KM.assign(sub, cb).select(
             "vec_id", F.col("cluster").alias(f"code_{i}")
         )

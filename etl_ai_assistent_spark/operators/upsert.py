@@ -155,38 +155,42 @@ def stream_upsert_points(
     store's idempotent per-id upsert give effectively-once delivery.
     Drains the finite source to completion.
 
-    The micro-batch id is threaded into the client factory when it accepts
-    an argument (``client_factory(batch_id)``) so adapters that key output
-    on task partition ids — which RESTART at 0 every micro-batch — can
-    disambiguate batches instead of silently overwriting the previous
+    The micro-batch id is threaded into the client factory when the
+    factory EXPLICITLY opts in by declaring a parameter literally named
+    ``batch_id`` (``client_factory(batch_id)``) so adapters that key
+    output on task partition ids — which RESTART at 0 every micro-batch —
+    can disambiguate batches instead of silently overwriting the previous
     one. A zero-arg factory still works (store-side idempotence by point
-    id makes the epoch irrelevant for true upsert stores)."""
+    id makes the epoch irrelevant for true upsert stores). A factory
+    whose required parameter means something else (e.g. a client class
+    whose ``__init__`` takes a path/url) is NOT silently fed the batch
+    id — it fails with the ordinary missing-argument TypeError instead."""
     import inspect
 
     try:
         params = inspect.signature(client_factory).parameters
-        # Only a REQUIRED positional parameter opts in to receiving the
-        # batch id. A factory with only optional params (e.g.
-        # `lambda verbose=False: ...`) must keep its zero-arg call —
-        # treating "has any positional param" as opt-in would silently
-        # bind batch_id to that unrelated parameter. A factory that
-        # REQUIRES a positional arg could never be called zero-arg, so
-        # the required slot is unambiguously the batch id.
+        # The opt-in is explicit: a parameter literally named `batch_id`
+        # that can be bound positionally or by keyword. Treating "has any
+        # required positional param" as opt-in would silently bind the
+        # batch id to an unrelated required parameter (path, url, ...)
+        # instead of failing loudly.
         accepts_batch_id = any(
-            p.default is inspect.Parameter.empty
+            name == "batch_id"
             and p.kind
             in (
-                inspect.Parameter.POSITIONAL_ONLY,
                 inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                inspect.Parameter.KEYWORD_ONLY,
             )
-            for p in params.values()
+            for name, p in params.items()
         )
     except (TypeError, ValueError):  # builtins / C callables
         accepts_batch_id = False
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         factory = (
-            (lambda: client_factory(batch_id)) if accepts_batch_id else client_factory
+            (lambda: client_factory(batch_id=batch_id))
+            if accepts_batch_id
+            else client_factory
         )
         upsert_points(
             batch_df, factory, batch_size=batch_size, max_retries=max_retries

@@ -186,8 +186,8 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", KM.quantize("embedding").alias("qv"))
         .persist()
     )
-    cbs = PQ.train_codebooks(emb, m=M_SUB, k=PQ_K, iters=1)
-    codes = PQ.encode(emb, cbs)
+    cbs = PQ.train_codebooks(emb, m=M_SUB, k=PQ_K, iters=1, dim=DIM)
+    codes = PQ.encode(emb, cbs, dim=DIM)
     q0 = emb.filter(F.col("vec_id") == 0).select("qv").first()["qv"]
     tables = PQ.adc_table(list(q0), cbs)
     return PQ.adc_topk(codes, tables, k=PQ_TOPK)
@@ -278,7 +278,7 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = coarse_assign.filter(
         F.col("cluster").isin(probe_cells)
     ).select("vec_id")
-    cbs = PQ.train_codebooks(emb, m=M_SUB, k=PQ_K, iters=1)
-    codes = PQ.encode(emb, cbs).join(cand, "vec_id")
+    cbs = PQ.train_codebooks(emb, m=M_SUB, k=PQ_K, iters=1, dim=DIM)
+    codes = PQ.encode(emb, cbs, dim=DIM).join(cand, "vec_id")
     tables = PQ.adc_table(q0, cbs)
     return PQ.adc_topk(codes, tables, k=PQ_TOPK)

@@ -29,24 +29,24 @@ CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
 
 
 def _fixture_dir(sf_dir: str) -> str:
+    # v3: the source mtime+size tag is part of the DIRECTORY path, not
+    # just the completion marker — regenerated testdata (possibly with a
+    # smaller doc_id set) lands in a fresh directory, so the binaryFile
+    # glob can never pick up stale doc_{id}.docx files from an old corpus
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    # v2: fixtures embed media parts (bump when the writer output changes
-    # so stale marker files don't keep old corpora alive)
-    return f"/tmp/spark_graft_docx_{tag}_v2"
+    return f"/tmp/spark_graft_docx_{tag}_{io.fixture_tag(sf_dir, 'documents')}_v3"
 
 
 def docx_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize (once per sf) the deterministic .docx fixture corpus
-    derived from the documents table. The write is DISTRIBUTED
+    """Materialize (once per source-tag) the deterministic .docx fixture
+    corpus derived from the documents table. The write is DISTRIBUTED
     (foreachPartition; doc_{id}.docx names are id-disjoint across
     partitions) so no unbounded `.collect()` ever reaches the driver —
     at a larger sf_dir the fixture generation scales with the executors.
-    The completeness marker is keyed on the source mtime+size tag."""
+    The directory itself is keyed on the source mtime+size tag."""
     out = _fixture_dir(sf_dir)
     docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # marker keyed on source mtime+size: regenerated testdata (same
-    # count, new values) rebuilds the corpus
-    marker = os.path.join(out, f".complete_{io.fixture_tag(sf_dir, 'documents')}")
+    marker = os.path.join(out, ".complete")
     if not os.path.exists(marker):
 
         def _write(rows) -> None:

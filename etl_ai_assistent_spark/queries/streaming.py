@@ -365,11 +365,17 @@ def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-            versions = committed_versions()
-            cur = spark.read.parquet(os.path.join(root, f"snap_v{versions[-1]}"))
+            # Version is a pure function of the deterministic batch id:
+            # batch b reads committed snap_v{b} and OVERWRITES snap_v{b+1}.
+            # A checkpoint replay after a committed snapshot (crash between
+            # snapshot commit and checkpoint commit) therefore rewrites its
+            # own version instead of stacking a duplicate apply — replay
+            # idempotence holds for ANY change batch, not just key-disjoint
+            # full-row-image ones.
+            cur = spark.read.parquet(os.path.join(root, f"snap_v{batch_id}"))
             merged = merge_apply(cur, batch_df, key="c_custkey")
             merged.write.mode("overwrite").parquet(
-                os.path.join(root, f"snap_v{versions[-1] + 1}")
+                os.path.join(root, f"snap_v{batch_id + 1}")
             )
 
         stream = (

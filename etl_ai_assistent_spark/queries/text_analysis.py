@@ -533,8 +533,13 @@ def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tbl = tok.groupBy("tok").agg(
         F.countDistinct("doc_id").cast("bigint").alias("df")
     )
-    n = tok.agg(
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    # corpus count from the |docs|-row side, not a distinct-agg over the
+    # |tokens|-row explosion: doc_id is unique in documents, so counting
+    # docs that tokenize non-empty equals countDistinct(doc_id) over tok
+    # (the oracle's formulation) at |docs| cost
+    n = (
+        docs.filter(F.size(TX.tokens(F.lower(F.col("text")))) > 0)
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
     bits = (
         tok.join(df_tbl, "tok")

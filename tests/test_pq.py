@@ -10,7 +10,7 @@ from etl_ai_assistent_spark import io
 from etl_ai_assistent_spark.operators import kmeans as KM
 from etl_ai_assistent_spark.operators import pq as PQ
 
-M, K, TOPK = 4, 8, 10
+M, K, TOPK, DIM = 4, 8, 10, 64
 
 
 def _vectors(spark, sf_small):
@@ -21,8 +21,8 @@ def _vectors(spark, sf_small):
 
 def test_pq_encode_deterministic_and_compact(spark, sf_small):
     v = _vectors(spark, sf_small)
-    books = PQ.train_codebooks(v, m=M, k=K, iters=2)
-    codes = PQ.encode(v, books)
+    books = PQ.train_codebooks(v, m=M, k=K, iters=2, dim=DIM)
+    codes = PQ.encode(v, books, dim=DIM)
     assert codes.columns == ["vec_id"] + [f"code_{i}" for i in range(M)]
     assert codes.count() == v.count()
     # codes bounded by the codebook size
@@ -30,7 +30,7 @@ def test_pq_encode_deterministic_and_compact(spark, sf_small):
         mx = codes.agg(F.max(f"code_{i}")).collect()[0][0]
         assert 0 <= mx < K
     # same input repartitioned -> identical codes (integer-lattice PQ)
-    codes2 = PQ.encode(v.repartition(7), books)
+    codes2 = PQ.encode(v.repartition(7), books, dim=DIM)
     assert codes.exceptAll(codes2).count() == 0
 
 
@@ -41,8 +41,8 @@ def test_pq_adc_recall_beats_random(spark, sf_small):
     recall@10 stabilizes around 0.2 here vs 0.02 for random ordering;
     on real embedding manifolds PQ recall runs far higher."""
     v = _vectors(spark, sf_small)
-    books = PQ.train_codebooks(v, m=M, k=K, iters=2)
-    codes = PQ.encode(v, books)
+    books = PQ.train_codebooks(v, m=M, k=K, iters=2, dim=DIM)
+    codes = PQ.encode(v, books, dim=DIM)
 
     q = v.filter(F.col("vec_id") == 0).collect()[0]["qv"]
     tables = PQ.adc_table(list(q), books)
@@ -68,4 +68,4 @@ def test_pq_rejects_ragged_subspaces(spark, sf_small):
 
     v = _vectors(spark, sf_small)
     with pytest.raises(ValueError, match="not divisible"):
-        PQ.subvectors(v, 7)
+        PQ.subvectors(v, 7, DIM)
