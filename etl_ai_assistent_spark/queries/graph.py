@@ -134,13 +134,16 @@ FROM member GROUP BY 1
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the undirected nation trade graph —
     the clustering-structure primitive (community density, spam/bot
-    subgraph detection). Edges are canonically ORIENTED (a < b) so each
-    triangle is enumerated exactly once as a<b<c by two equi-joins plus
-    the closing-edge check — never an unordered 3-way blowup. At
-    scale-free 100 TB graphs the same query runs with degree-ordered
-    orientation (orient each edge toward the higher-degree endpoint),
-    which provably bounds the wedge count — the canonical key swap is
-    one expression change."""
+    subgraph detection). Edges are DEGREE-ORDERED (operators/triangles:
+    orient each edge toward its higher-(degree, id) endpoint) so each
+    triangle is enumerated exactly once as a rank-ordered wedge plus the
+    closing-edge check — the compact-forward formulation whose wedge
+    work stays bounded on power-law graphs where id-order would make
+    low-id hubs enumerate O(deg²) candidates
+    (tests/test_triangles.py proves the drop on a synthetic skewed
+    graph). The per-node counts are
+    orientation-invariant, so the id-ordered DuckDB oracle still
+    verifies values exactly."""
     c = io.load_table(spark, sf_dir, "customer")
     o = io.load_table(spark, sf_dir, "orders")
     li = io.load_table(spark, sf_dir, "lineitem")
@@ -154,11 +157,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # u is referenced three times (both wedge sides + the closing-edge
-    # check); persisting it computes the 4-way fact-table edge
-    # derivation ONCE instead of once per alias. The edge set itself is
-    # node²-bounded (≤300 rows for 25 nations) — trivially cacheable at
-    # any fact-table scale.
+    from ..operators import triangles as TR
+
+    # u feeds the degree aggregate, both wedge sides, and the
+    # closing-edge check; persisting it computes the 4-way fact-table
+    # edge derivation ONCE instead of once per alias. The edge set
+    # itself is node²-bounded (≤300 rows for 25 nations) — trivially
+    # cacheable at any fact-table scale.
     u = (
         dir_edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -167,23 +172,4 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    e1 = u
-    e2 = u.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = u.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
-    tri = (
-        e1.join(e2, "b")
-        .join(
-            e3,
-            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
-            "left_semi",
-        )
-        .select("a", "b", "c")
-    )
-    member = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-    )
-    return member.groupBy("node").agg(
-        F.count("*").cast("bigint").alias("n_triangles")
-    )
+    return TR.per_node_counts(TR.triangles(TR.orient_by_degree(u)))

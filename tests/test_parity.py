@@ -50,6 +50,32 @@ def test_driver_window_priority_order():
     assert o_names[: len(o_head)] == o_head
 
 
+def test_driver_window_is_the_computed_rotation():
+    """DRIVER_FIRST is generated, not hand-maintained: re-deriving the
+    window from the recorded CORRECTNESS_r*.json history plus the
+    changed-set recorded in tools/ROTATION.json must reproduce the
+    registry literal exactly. Catches both hand edits to the generated
+    block and a stale window after new queries/correctness files land
+    (fix: rerun `python tools/rotate_window.py --changed ... --write`)."""
+    import json
+    import os
+    import sys
+
+    from etl_ai_assistent_spark import registry
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import rotate_window as RW
+
+    state = json.load(open(os.path.join(repo, "tools", "ROTATION.json")))
+    latest = RW.latest_verdicts(repo)
+    registry.load_all()
+    head, _ = RW.compute_window(
+        list(registry.QUERIES), latest, state["changed"]
+    )
+    assert list(registry.DRIVER_FIRST) == head
+
+
 def test_no_complex_columns_in_registered_output(spark, sf_small):
     """The driver's canonicalizer crashes on list-valued cells (round 1:
     q_label_centroids / q_vectorize_lines got no verdict at all). Every
