@@ -71,14 +71,32 @@ HEADLINE = [
     "q_token_shards",
     "q_bm25_retrieval",
     "q_kmeans_step",
-    # round-5 families: CDC merge, blocked fuzzy match. q_pq_adc_topk is
-    # excluded like q_stream_stateful_totals: its wall clock is codebook
-    # TRAINING (an offline index build — a dozen fixed-latency Lloyd
-    # jobs over 500 vectors), not the per-query ADC scoring throughput
-    # the compressed store exists for; it stays in the correctness gate.
+    # round-5 families: CDC merge, blocked fuzzy match
     "q_cdc_merge",
     "q_fuzzy_match_names",
     "q_doc_surprisal",
+    # ANN compression ladder, scoring path (round-6): the trained
+    # codebooks/coarse cells are cached per app+sf by clustering._pq_index,
+    # so run 1 pays the offline index build and the min-of-runs reports
+    # per-query ADC scoring throughput — the number the compressed store
+    # exists for (training itself stays out of the headline, same policy
+    # as q_bucketed_join's one-time bucketed write).
+    "q_pq_adc_topk",
+    "q_ivfpq_topk",
+    # round-5/6 families: graph, window/array breadth, lakehouse
+    # maintenance, integrity checksums, merge-on-read CDC
+    "q_triangle_count",
+    "q_window_family",
+    "q_array_functions",
+    "q_compaction_stats",
+    "q_table_fingerprint",
+    "q_cdc_mor",
+    # round-6 families: intra-doc span rewrite, incremental view
+    # maintenance, multi-dim z-order layout (first run pays the
+    # fixture write, min-of-runs is the footer-stats read)
+    "q_span_dedup",
+    "q_incremental_agg",
+    "q_zorder_stats",
 ]
 
 

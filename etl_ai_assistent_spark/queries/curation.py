@@ -542,3 +542,142 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# --- intra-document span dedup (repetition REMOVAL, not just scoring) -------
+
+SPAN_N = 10  # tokens per span — the docx sectionizer's paragraph unit
+
+
+@register(
+    "q_span_dedup",
+    oracle=f"""
+WITH tokd AS (
+  SELECT doc_id, {_TOKS} AS tok FROM documents
+),
+spans AS (
+  SELECT doc_id, u.i AS pos,
+         list_aggregate(tok[(u.i - 1) * {SPAN_N} + 1:u.i * {SPAN_N}],
+                        'string_agg', ' ') AS span
+  FROM tokd,
+       unnest(generate_series(1, CAST(ceil(len(tok) / {SPAN_N}.0) AS BIGINT)))
+         u(i)
+  WHERE len(tok) > 0
+),
+firsts AS (
+  SELECT doc_id, pos, span,
+         row_number() OVER (PARTITION BY doc_id, span ORDER BY pos) AS rn
+  FROM spans
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos)
+           FILTER (WHERE rn = 1)) AS dedup_md5
+FROM firsts s
+GROUP BY 1
+""",
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document span dedup — the repetition-REMOVAL curation op
+    (q_repetition_stats only scores; this rewrites): each document is
+    cut into {SPAN_N}-token spans, repeated spans keep only their FIRST
+    occurrence, and the per-doc output carries the span counts plus an
+    md5 of the deduplicated text (order-preserving rejoin) so the gate
+    verifies the rewritten CONTENT, not just counts.
+
+    Scale: spans explode to ~|tokens|/{SPAN_N} rows; first-occurrence
+    selection is one window over (doc_id, span) — partitioned BY
+    DOCUMENT, so the shuffle key is as wide as the corpus and skew-free
+    regardless of how common a span is across documents (contrast
+    corpus-level dedup, which keys on the span). The rejoin is a per-doc
+    ordered aggregation in the same partitioning."""
+    from pyspark.sql.window import Window
+
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = TX.tokens(F.lower(F.col("text")))
+    base = docs.filter(F.size(toks) > 0).select("doc_id", toks.alias("tok"))
+    n_spans = F.ceil(F.size("tok") / F.lit(SPAN_N)).cast("int")
+    spans = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_spans),
+                lambda i: F.concat_ws(
+                    " ", F.slice("tok", (i - 1) * SPAN_N + 1, SPAN_N)
+                ),
+            )
+        ).alias("pos0", "span"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "span")
+    w = Window.partitionBy("doc_id", "span").orderBy("pos")
+    marked = spans.withColumn("rn", F.row_number().over(w))
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("rn") == 1, F.struct("pos", "span"))
+            )
+        ),
+        lambda x: x["span"],
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum((F.col("rn") == 1).cast("int")).cast("bigint").alias("n_kept"),
+        F.md5(F.array_join(kept_sorted, " ")).alias("dedup_md5"),
+    )
+
+
+# --- deterministic stratified sampling (mix rebalancing) ---------------------
+
+# Downsample the over-represented stratum: keep 1 in 4 'en' documents,
+# every document elsewhere — the rebalancing a mix-weights table drives.
+EN_MOD = 4
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+WITH s AS (
+  SELECT lang, doc_id,
+         {_BUCKET.format(x="CAST(doc_id AS VARCHAR)")}
+           % (CASE WHEN lang = 'en' THEN {EN_MOD} ELSE 1 END) = 0 AS keep
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST((1000000 * sum(CASE WHEN keep THEN 1 ELSE 0 END)) // count(*)
+            AS BIGINT) AS sample_ppm,
+       CAST(bit_xor(CASE WHEN keep THEN doc_id END) AS BIGINT)
+         AS sampled_id_xor
+FROM s
+GROUP BY 1
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the mix-rebalancing step
+    that consumes q_mix_weights' table: per-stratum keep decisions are
+    a pure hash of the stable doc_id (md5 bucket % stratum rate), so
+    any engine, any partitioning, and any re-run selects the IDENTICAL
+    row set — reproducible pretraining mixes, no RNG state to ship.
+    The xor of sampled ids proves row-level selection equality, not
+    just matching counts.
+
+    Scale: a narrow map + one stratum-sized aggregate; no shuffle of
+    the sampled payload at all (the decision column travels with the
+    scan). Changing rates is a literal edit, and per-stratum rates
+    generalize to a broadcast-joined rate table."""
+    docs = io.load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    mod = F.when(F.col("lang") == "en", F.lit(EN_MOD)).otherwise(F.lit(1))
+    keep = md5_bucket(F.col("doc_id").cast("string")) % mod == 0
+    s = docs.select("lang", "doc_id", keep.alias("keep"))
+    return s.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_sampled"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN keep THEN 1 ELSE 0 END))"
+            " div count(*) AS BIGINT)"
+        ).alias("sample_ppm"),
+        F.expr("bit_xor(CASE WHEN keep THEN doc_id END)")
+        .cast("bigint")
+        .alias("sampled_id_xor"),
+    )

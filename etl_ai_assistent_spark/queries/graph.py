@@ -172,4 +172,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    return TR.per_node_counts(TR.triangles(TR.orient_by_degree(u)))
+    # the oriented set feeds three scans (both wedge sides + closing
+    # edges) — persist it too, or each reference re-runs the degree
+    # aggregate and its two joins
+    oriented = TR.orient_by_degree(u).persist()
+    return TR.per_node_counts(TR.triangles(oriented))

@@ -690,6 +690,103 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_apply(c, changes, key="c_custkey")
 
 
+@register("q_cdc_mor", oracle=CDC_MERGE_ORACLE)
+def q_cdc_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read CDC (operators/mor.py) — the write-cheap tier that
+    completes the CoW/MoR pair with q_cdc_merge / q_stream_cdc_merge:
+    the same three deterministic change batches are APPENDED to a
+    seq-stamped delta log on disk (write cost = batch size; the base
+    customer snapshot is never rewritten), and the snapshot is merged
+    at READ time — latest-wins per key over base ∪ log, deletes
+    dropped. Same batches ⇒ the CoW oracle verifies the MoR read
+    bit-for-bit.
+
+    Scale: each commit writes |batch| rows (CoW writes |snapshot|); a
+    read costs one keyed shuffle over |base| + |log|, and the log stays
+    bounded by periodic compaction (operators/mor.compact →
+    compact_fixed_width; read-amplification evidence in
+    tests/test_mor.py)."""
+    import os
+
+    from ..operators import mor as MOR
+
+    c = io.load_table(spark, sf_dir, "customer")
+    root = f"/tmp/spark_graft_mor_{io.fixture_tag(sf_dir, 'customer')}_v1"
+    marker = os.path.join(root, ".log_complete")
+    if not os.path.exists(marker):
+        # one OVERWRITTEN directory per commit (never a shared-dir
+        # append): a crash mid-loop leaves directories a rerun simply
+        # rewrites, so duplicate (key, seq) rows cannot accrete — the
+        # same replay-safety rule as the streaming twins' versioning
+        for seq, batch in enumerate(cdc_change_batches(c), start=1):
+            MOR.stamp_batch(batch, seq).write.mode("overwrite").parquet(
+                os.path.join(root, "log", f"batch_{seq}")
+            )
+        open(marker, "w").close()
+    log = spark.read.parquet(os.path.join(root, "log", "batch_*"))
+    return MOR.resolve(c, log, key="c_custkey")
+
+
+@register(
+    "q_incremental_agg",
+    oracle=f"""
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_acctbal_cents
+FROM ({CDC_MERGE_ORACLE.strip()})
+GROUP BY 1
+""",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (operators/incremental.py): the per-nation (count, Σ acctbal-cents)
+    summary is kept current under the shared CDC batch by APPLYING
+    DELTAS — matched updates/deletes retract the old row's
+    contribution, inserts and updates add the new one — instead of
+    re-aggregating the merged snapshot. The oracle IS that full
+    recompute (GROUP BY over the CDC-merge result), so the gate proves
+    delta maintenance ≡ recomputation, bit-for-bit (bigint cents via
+    the floor(x*100+0.5) idiom both engines share).
+
+    Scale: per batch this costs one keyed join of the CDC batch against
+    the base (batch broadcasts) plus a groups-sized merge — O(|changes|
+    + |groups|), never a rescan of the fact table. Group MOVES (an
+    update that changes c_nationkey) retract at the old group and add
+    at the new one; tests/test_incremental.py exercises that path on
+    synthetic data."""
+    from ..operators.incremental import incremental_group_sums
+
+    c = io.load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    c = c.withColumn("acct_cents", cents)
+    base_agg = c.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("acct_cents").cast("bigint").alias("sum_measure"),
+    )
+    updates, deletes, inserts = cdc_change_batches(
+        io.load_table(spark, sf_dir, "customer")
+    )
+    changes = (
+        updates.unionByName(deletes)
+        .unionByName(inserts)
+        .withColumn("acct_cents", cents)
+    )
+    out = incremental_group_sums(
+        base_agg,
+        c,
+        changes,
+        key="c_custkey",
+        group_col="c_nationkey",
+        measure_col="acct_cents",
+    )
+    return out.select(
+        "c_nationkey",
+        F.col("n").alias("n_customers"),
+        F.col("sum_measure").alias("sum_acctbal_cents"),
+    )
+
+
 # --- window-function breadth: rank/distribution/frame-navigation ------------
 
 

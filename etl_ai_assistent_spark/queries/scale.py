@@ -420,3 +420,99 @@ def q_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(val)").cast("bigint").alias("xor_val"),
         F.min("val").cast("bigint").alias("min_val"),
     )
+
+
+# --- sketch merge rollup: nation sketches -> region estimates ---------------
+
+_HLL_CH = "md5('hll|' || CAST(c_custkey AS VARCHAR))"
+
+
+@register(
+    "q_hll_merge_rollup",
+    oracle=f"""
+WITH nregs AS (
+  SELECT c_nationkey, register, max(rho) AS max_rho
+  FROM (
+    SELECT c_nationkey,
+           CAST(CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS INT) AS register,
+           CAST(CASE WHEN CAST(('0x' || substr(h, 3, 8)) AS BIGINT) = 0 THEN 33
+                     ELSE 33 - length(bin(CAST(('0x' || substr(h, 3, 8)) AS BIGINT)))
+                END AS INT) AS rho
+    FROM (SELECT c_nationkey, {_HLL_CH} AS h FROM customer)
+  )
+  GROUP BY 1, 2
+),
+rregs AS (
+  SELECT n.n_regionkey, r.register, max(r.max_rho) AS max_rho
+  FROM nregs r JOIN nation n ON n.n_nationkey = r.c_nationkey
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT n_regionkey,
+         CAST(count(*) AS BIGINT) AS filled,
+         round(CAST({SK.ALPHA_256!r} AS DOUBLE) * 65536.0 /
+               (sum(1.0 / CAST(CAST(1 AS BIGINT) << max_rho AS DOUBLE))
+                + (256 - count(*)) * 1.0), 6) AS hll_estimate
+  FROM rregs GROUP BY 1
+),
+exact AS (
+  SELECT n.n_regionkey, CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_exact
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1
+)
+SELECT e.n_regionkey, e.filled, e.hll_estimate, x.n_exact,
+       CAST(floor(abs(e.hll_estimate - x.n_exact) * 1000000.0 / x.n_exact + 0.5)
+            AS BIGINT) AS err_ppm
+FROM est e JOIN exact x USING (n_regionkey)
+""",
+)
+def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGE rollup — the property that makes sketches the 100 TB
+    answer: per-NATION HLL register tables (the stored, mergeable
+    state) roll up to REGION-level distinct-customer estimates by a
+    re-max over registers — no second pass over raw keys, ever. This is
+    the cube/rollup pattern for distinct counts: materialize sketches
+    at the finest grain once, answer every coarser grain by merging
+    ≤ 25×256 register rows (vs count(DISTINCT)'s full key shuffle per
+    grain). Exact counts + ppm error ride along, gate-checked like
+    q_hll_distinct.
+
+    Scale: grain-level sketch = one partial-agg'd shuffle bounded by
+    |groups|×256 rows at ANY input size; the rollup itself never
+    touches the fact table. The nation→region map is the broadcast
+    dimension."""
+    cust = io.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = io.load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    nregs = SK.hll_registers(cust, "c_custkey", ["c_nationkey"])
+    rregs = (
+        nregs.join(
+            F.broadcast(nation),
+            nregs.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_regionkey", "register")
+        .agg(F.max("max_rho").alias("max_rho"))  # the sketch MERGE
+    )
+    est = SK.hll_estimate(rregs, ["n_regionkey"])
+    exact = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(F.count_distinct("c_custkey").cast("bigint").alias("n_exact"))
+    )
+    return est.join(exact, "n_regionkey").select(
+        "n_regionkey",
+        "filled",
+        "hll_estimate",
+        "n_exact",
+        F.floor(
+            F.abs(F.col("hll_estimate") - F.col("n_exact"))
+            * F.lit(1000000.0)
+            / F.col("n_exact")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("err_ppm"),
+    )

@@ -312,3 +312,106 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# --- z-order layout: multi-dimensional zone-map pruning ----------------------
+
+Z_FILES = 8
+Z_BITS = 24  # covers keys to 16M exactly (2*24 = 48 bits of Morton value)
+
+from ..operators.zorder import z_value_sql as _z_value_sql  # noqa: E402
+
+_Z_SQL = _z_value_sql("o_custkey", "o_orderkey", Z_BITS)
+
+
+def _zordered_orders_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators import zorder as ZO
+
+    o = io.load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    out = f"/tmp/spark_graft_zorder_{io.fixture_tag(sf_dir, 'orders')}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ZO.write_zordered(
+            o, out, "o_custkey", "o_orderkey", n_files=Z_FILES, bits=Z_BITS
+        )
+    return out
+
+
+def _mid_band(lo: int, hi: int) -> tuple[int, int]:
+    """The probe predicate band: the middle [25%, 50%] of a key space —
+    same probe the 1-D q_compaction_stats uses."""
+    return lo + (hi - lo) // 4, lo + (hi - lo) // 2
+
+
+@register(
+    "q_zorder_stats",
+    oracle=f"""
+WITH z AS (
+  SELECT o_custkey, o_orderkey,
+         {{zsql}} AS zv
+  FROM orders
+),
+b AS (
+  SELECT min(zv) AS zlo, max(zv) AS zhi,
+         min(o_custkey) AS alo, max(o_custkey) AS ahi,
+         min(o_orderkey) AS blo, max(o_orderkey) AS bhi
+  FROM z
+),
+w AS (
+  SELECT zlo, (zhi - zlo) // {Z_FILES} + 1 AS wid,
+         alo + (ahi - alo) // 4 AS palo, alo + (ahi - alo) // 2 AS pahi,
+         blo + (bhi - blo) // 4 AS pblo, blo + (bhi - blo) // 2 AS pbhi
+  FROM b
+),
+g AS (
+  SELECT CAST((z.zv - w.zlo) // w.wid AS INT) AS bucket,
+         CAST(min(z.o_custkey) AS BIGINT) AS a_min,
+         CAST(max(z.o_custkey) AS BIGINT) AS a_max,
+         CAST(min(z.o_orderkey) AS BIGINT) AS b_min,
+         CAST(max(z.o_orderkey) AS BIGINT) AS b_max,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM z, w GROUP BY 1
+)
+SELECT g.bucket, g.a_min, g.a_max, g.b_min, g.b_max, g.n_rows,
+       NOT (g.a_max < w.palo OR g.a_min > w.pahi) AS scanned_by_a,
+       NOT (g.b_max < w.pblo OR g.b_min > w.pbhi) AS scanned_by_b
+FROM g, w
+""".format(zsql=_Z_SQL),
+)
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional zone-map evidence for the z-order layout
+    (operators/zorder.py): rewrite orders z-clustered on
+    (o_custkey, o_orderkey), read each file's min/max FOR BOTH columns
+    from parquet FOOTERS only, and mark which files a mid-band probe on
+    EITHER dimension would scan. A single-key sort prunes one dimension
+    and scans everything for the other; the Morton layout bounds both —
+    the `OPTIMIZE ZORDER BY` story, gate-checked: the oracle derives
+    identical zone maps from the data, so a hash match proves the
+    footer stats equal the data extents on both dimensions
+    (tests/test_zorder.py additionally proves the pruning BEATS a
+    1-D sort layout). Output is n_files rows — bounded metadata."""
+    out = _zordered_orders_dir(spark, sf_dir)
+    zones_a = {b: (mn, mx, n) for b, mn, mx, n in CP.partitioned_zone_maps(out, "o_custkey")}
+    zones_b = {b: (mn, mx, n) for b, mn, mx, n in CP.partitioned_zone_maps(out, "o_orderkey")}
+    o = io.load_table(spark, sf_dir, "orders")
+    alo, ahi, blo, bhi = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_orderkey"), F.max("o_orderkey"),
+    ).first()
+    palo, pahi = _mid_band(int(alo), int(ahi))
+    pblo, pbhi = _mid_band(int(blo), int(bhi))
+    rows = [
+        (
+            int(b),
+            int(zones_a[b][0]), int(zones_a[b][1]),
+            int(zones_b[b][0]), int(zones_b[b][1]),
+            int(zones_a[b][2]),
+            not (zones_a[b][1] < palo or zones_a[b][0] > pahi),
+            not (zones_b[b][1] < pblo or zones_b[b][0] > pbhi),
+        )
+        for b in sorted(zones_a)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "bucket int, a_min bigint, a_max bigint, b_min bigint, b_max bigint,"
+        " n_rows bigint, scanned_by_a boolean, scanned_by_b boolean",
+    )

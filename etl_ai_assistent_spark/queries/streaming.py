@@ -398,3 +398,109 @@ def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     latest = int(open(final_marker).read())
     return spark.read.parquet(os.path.join(root, f"snap_v{latest}"))
+
+
+@register("q_stream_cdc_mor", oracle=_CDC_ORACLE)
+def q_stream_cdc_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE-ON-READ snapshot maintenance — the write-cheap
+    twin of q_stream_cdc_merge, completing the CoW/MoR × batch/stream
+    matrix (q_cdc_merge / q_cdc_mor / q_stream_cdc_merge / this): the
+    same maxFilesPerTrigger=1 CDC file stream commits each micro-batch
+    by APPENDING it to a seq-stamped delta log (operators/mor) — the
+    base customer snapshot is never rewritten — and the maintained
+    table materializes only at read time via mor.resolve (latest-wins
+    per key, deletes dropped). Same batches ⇒ the shared CDC oracle
+    verifies the streaming-MoR read bit-for-bit.
+
+    Replay safety mirrors the CoW twin's versioning: batch b OVERWRITES
+    its own log directory batch_{b} (seq = b + 1 is a pure function of
+    the deterministic batch id), so a checkpoint replay after a crash
+    between log commit and checkpoint commit rewrites the same entry
+    instead of double-applying. Per-commit cost is |batch| rows vs the
+    CoW twin's full-snapshot rewrite — at 100 TB with frequent small
+    batches MoR is the only affordable write path, paying instead one
+    keyed shuffle over base ∪ log per read (log kept bounded by
+    mor.compact)."""
+    import os
+
+    from .. import io
+    from ..operators import mor as MOR
+
+    root = _cdc_fixture(spark, sf_dir)
+    log_root = os.path.join(root, "mor_log")
+    done = os.path.join(root, ".mor_log_complete")
+
+    if not os.path.exists(done):
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            MOR.stamp_batch(batch_df, batch_id + 1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(log_root, f"batch_{batch_id}"))
+
+        stream = (
+            spark.readStream.schema(_CDC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(root, "changes"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(root, "mor_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        open(done, "w").close()
+
+    log = spark.read.parquet(os.path.join(log_root, "batch_*"))
+    base = io.load_table(spark, sf_dir, "customer")
+    return MOR.resolve(base, log, key="c_custkey")
+
+
+@register(
+    "q_snapshot_retention",
+    oracle="""
+WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+d AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM customer
+      WHERE c_custkey % 17 = 3 AND c_custkey % 10 <> 0),
+i AS (SELECT CAST(count(*) AS BIGINT) AS ni FROM customer
+      WHERE c_custkey < 50),
+v(version) AS (VALUES (0), (1), (2), (3))
+SELECT CAST(version AS INT) AS version,
+       CAST(CASE version
+              WHEN 0 THEN c.n          -- base snapshot
+              WHEN 1 THEN c.n          -- updates: count unchanged
+              WHEN 2 THEN c.n - d.nd   -- deletes applied
+              ELSE c.n - d.nd + i.ni   -- inserts applied
+            END AS BIGINT) AS n_rows,
+       version >= 2 AS kept
+FROM v, c, d, i
+""",
+)
+def q_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention plan (operators/retention.py) over the CoW
+    version chain q_stream_cdc_merge commits: per committed snap_v{n},
+    the footer-derived row count and the keep/drop verdict for a
+    keep-last-2 policy — the vacuum decision that bounds a CoW table's
+    storage (one full snapshot per commit otherwise accretes forever at
+    100 TB). The oracle replays each version's expected row count from
+    the change-batch rules (updates keep the count, deletes subtract,
+    inserts add), so a hash match proves the whole commit chain left
+    exactly the snapshots it should have — version-level integrity, the
+    complement of q_stream_cdc_merge's final-state check. The
+    destructive delete itself (retention.vacuum) runs on throwaway
+    copies in tests/test_retention.py.
+
+    Scale: pure footer metadata — O(versions × files) driver work, no
+    data pages, no Spark job beyond the fixture build."""
+    from ..operators import retention as RT
+
+    # materialize (idempotently) the CoW fixture this plan audits
+    q_stream_cdc_merge(spark, sf_dir)
+    root = _cdc_fixture(spark, sf_dir)
+    plan = RT.retention_plan(RT.snapshot_versions(root), keep_last=2)
+    return spark.createDataFrame(
+        [(int(v), int(n), bool(k)) for v, n, k in plan],
+        "version int, n_rows bigint, kept boolean",
+    )

@@ -31,6 +31,7 @@ ALLOWED_CROSS = {
     "q_kmeans_step",  # K-row centroid broadcast against the vector scan
     "q_pq_adc_topk",  # per-subspace K-row codebook broadcasts (kmeans.assign)
     "q_ivfpq_topk",  # coarse + per-subspace K-row centroid broadcasts
+    "q_ivfpq_recall",  # same pipeline + k-row exact-vs-approx overlap join
     "q_bm25_retrieval",  # 1-row broadcast of corpus stats (N, avgdl)
     "q_dq_constraints",  # 1-row orphan-count x 1-row checked-count joins
     "q_skew_stats",  # 1-row totals x 1-row hot-key-count joins
@@ -49,6 +50,7 @@ STREAMING = {
     "q_stream_join",
     "q_stream_doc_ingest",
     "q_stream_cdc_merge",
+    "q_stream_cdc_mor",
 }
 
 # The docx queries materialize a 500-file fixture corpus first — slow to

@@ -73,3 +73,32 @@ def test_hll_shuffle_is_register_bounded(spark, sf_small):
     # partial aggregation (map-side combine) present in the plan
     plan = regs._jdf.queryExecution().executedPlan().toString()
     assert "partial_max" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_hll_merge_equals_direct_sketch(spark, sf_small):
+    """Mergeability — the defining sketch property: nation-grain
+    register tables re-maxed up to region grain must equal the sketch
+    built directly at region grain (max is associative), so any rollup
+    hierarchy can be answered from the finest-grain sketch store
+    without re-reading keys (q_hll_merge_rollup's basis)."""
+    from pyspark.sql import functions as F
+
+    cust = io.load_table(spark, sf_small, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = io.load_table(spark, sf_small, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    with_region = cust.join(
+        nation, cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "n_regionkey")
+
+    direct = SK.hll_registers(with_region, "c_custkey", ["n_regionkey"])
+    merged = (
+        SK.hll_registers(cust, "c_custkey", ["c_nationkey"])
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey", "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    assert direct.exceptAll(merged).count() == 0
+    assert merged.exceptAll(direct).count() == 0
