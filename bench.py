@@ -97,6 +97,8 @@ HEADLINE = [
     "q_span_dedup",
     "q_incremental_agg",
     "q_zorder_stats",
+    "q_snapshot_diff",
+    "q_pq_multiquery_topk",
 ]
 
 

@@ -65,3 +65,67 @@ def merge_apply(
         for col in cols
     ]
     return kept.select(*merged_cols)
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, op_col: str = "op"
+) -> DataFrame:
+    """The INVERSE of merge_apply: derive the CDC batch that transforms
+    snapshot `old` into snapshot `new` — table-diff change-feed
+    generation (what a lakehouse emits as a "change data feed" between
+    two committed versions, and what replication bootstraps from when
+    no upstream CDC exists).
+
+    Classification is one keyed full-outer join: key only in `new` → I
+    (new row), only in `old` → D (old row's values, the full-row-image
+    convention merge_apply's D expects), in both with any non-key column
+    differing (null-safe comparison) → U (new row); identical rows emit
+    nothing. Round-trip law — merge_apply(old, snapshot_diff(old, new))
+    == new, and snapshot_diff(old, merge_apply(old, ch)) == ch for any
+    one-row-per-key full-row-image batch (both proven in
+    tests/test_merge.py).
+
+    Scale: the single full-outer exchange on the key (or none, with
+    both versions bucketed on it); the column comparison is codegen
+    `<=>` conjunctions, no UDFs."""
+    cols = old.columns
+    if new.columns != cols:
+        raise ValueError(
+            f"snapshot_diff: column mismatch {cols} vs {new.columns}"
+        )
+    o = old.select(
+        F.col(key).alias("_o_key"),
+        *[F.col(c).alias(f"_o_{c}") for c in cols if c != key],
+        F.lit(1).alias("_o_present"),
+    )
+    n = new.select(
+        F.col(key).alias("_n_key"),
+        *[F.col(c).alias(f"_n_{c}") for c in cols if c != key],
+        F.lit(1).alias("_n_present"),
+    )
+    j = o.join(n, o["_o_key"] == n["_n_key"], "full_outer")
+    changed = None
+    for c in cols:
+        if c == key:
+            continue
+        diff_c = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        changed = diff_c if changed is None else (changed | diff_c)
+    op = (
+        F.when(F.col("_o_present").isNull(), F.lit("I"))
+        .when(F.col("_n_present").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    out_cols = [
+        F.coalesce(F.col("_n_key"), F.col("_o_key")).alias(key),
+        F.col("_op").alias(op_col),
+        *[
+            F.when(F.col("_op") == "D", F.col(f"_o_{c}"))
+            .otherwise(F.col(f"_n_{c}"))
+            .alias(c)
+            for c in cols
+            if c != key
+        ],
+    ]
+    return j.withColumn("_op", op).filter(F.col("_op").isNotNull()).select(
+        *out_cols
+    )

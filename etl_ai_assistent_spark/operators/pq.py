@@ -118,3 +118,64 @@ def adc_topk(
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def probe_tables(
+    queries: DataFrame, codebooks: list[DataFrame], *, dim: int
+) -> DataFrame:
+    """adc_table()'s MULTI-QUERY generalization with no driver collect:
+    (query_id, subspace, cid, d) — every probe's per-subspace lookup
+    table as one DataFrame, built by cross-joining each probe-slice
+    against its K-row broadcast codebook. |probes|·M·K rows: still
+    broadcast-trivial for a serving batch, but produced entirely on
+    executors, so a million-probe batch scales out instead of looping
+    on the driver."""
+    m = len(codebooks)
+    out = None
+    for i, (sub, cb) in enumerate(zip(subvectors(queries, m, dim), codebooks)):
+        t = (
+            sub.withColumnRenamed("vec_id", "query_id")
+            .crossJoin(F.broadcast(cb))
+            .select(
+                "query_id",
+                F.lit(i).cast("int").alias("subspace"),
+                "cid",
+                KM.dist2(F.col("qv"), F.col("cv")).alias("d"),
+            )
+        )
+        out = t if out is None else out.unionByName(t)
+    return out
+
+
+def adc_topk_multi(
+    codes: DataFrame, tables: DataFrame, m: int, k: int = 10
+) -> DataFrame:
+    """Batch ADC serving: top-k per probe from the codes table and a
+    broadcast probe-table DataFrame. The codes unpivot to
+    (vec_id, subspace, cid) via stack (codegen), one broadcast
+    equi-join attaches each probe's subspace distance, a partial-agg'd
+    groupBy sums the M lookups, and a per-query window takes top-k
+    (ties on vec_id). The corpus never shuffles wider than
+    (query_id, vec_id) pairs that survive the join — M rows per
+    (probe, vector), no floats, no per-query driver work (contrast
+    adc_topk's single-probe map literal)."""
+    pairs = ", ".join(f"{i}, code_{i}" for i in range(m))
+    melted = codes.select(
+        "vec_id",
+        F.expr(f"stack({m}, {pairs}) AS (subspace, cid)"),
+    )
+    scored = (
+        melted.join(F.broadcast(tables), ["subspace", "cid"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rnk")
+    )

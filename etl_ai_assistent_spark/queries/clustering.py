@@ -397,3 +397,69 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recall_ppm"),
     )
+
+
+# --- multi-query ADC serving (batch ANN without per-query driver work) ------
+
+NQ_PQ = 5  # probe batch: vec_id 0..4
+
+
+def _pq_mq_ctes(i: int) -> str:
+    """Multi-query extension of one subspace's replay: the probe set's
+    lookup table (query_id, cid, d) and per-(probe, vector) subspace
+    distances — builds on _pq_sub_ctes' s{i}/c1_{i}/code_{i}."""
+    return f"""
+mq_{i} AS (SELECT vec_id AS query_id, qv FROM s{i} WHERE vec_id < {NQ_PQ}),
+mtab_{i} AS (SELECT v.query_id, c.cid, {_D2W} AS d FROM c1_{i} c, mq_{i} v),
+mad_{i} AS (
+  SELECT t.query_id, k.vec_id, t.d
+  FROM code_{i} k JOIN mtab_{i} t ON t.cid = k.code
+)"""
+
+
+@register(
+    "q_pq_multiquery_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),{",".join(_pq_sub_ctes(i) for i in range(M_SUB))},{",".join(_pq_mq_ctes(i) for i in range(M_SUB))},
+scored AS (
+  SELECT a0.query_id, a0.vec_id,
+         CAST(a0.d + a1.d + a2.d + a3.d AS BIGINT) AS adc_dist
+  FROM mad_0 a0
+  JOIN mad_1 a1 USING (query_id, vec_id)
+  JOIN mad_2 a2 USING (query_id, vec_id)
+  JOIN mad_3 a3 USING (query_id, vec_id)
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, vec_id) AS INT) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, adc_dist, rnk FROM ranked WHERE rnk <= {PQ_TOPK}
+""",
+)
+def q_pq_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN serving over PQ codes (operators/pq.probe_tables +
+    adc_topk_multi): {NQ_PQ} probes scored in ONE plan — probe lookup
+    tables are built as a DataFrame on executors (slices × broadcast
+    K-row codebooks; adc_table's driver loop generalized away), the
+    codes table unpivots via stack, one broadcast equi-join attaches
+    per-subspace distances, and a per-probe window takes
+    top-{PQ_TOPK}. All bigint, so the oracle replays the entire
+    multi-probe pipeline as CTEs.
+
+    Scale: this is how a serving batch of a MILLION probes runs — the
+    probe table is |probes|·M·K small rows (partitionable if it ever
+    outgrows a broadcast), the corpus contributes M code rows per
+    vector regardless of probe count, and no per-query driver work
+    exists anywhere. The trained index comes from the shared
+    _pq_index cache (training excluded from query time, as in
+    q_pq_adc_topk)."""
+    from ..operators import pq as PQ
+
+    emb, cbs, codes, _, _ = _pq_index(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < NQ_PQ).select("vec_id", "qv")
+    tables = PQ.probe_tables(probes, cbs, dim=DIM)
+    return PQ.adc_topk_multi(codes, tables, m=M_SUB, k=PQ_TOPK)

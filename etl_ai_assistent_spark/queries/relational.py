@@ -606,8 +606,9 @@ def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "drained snapshot == single-batch merge", so both sides must reference
 # ONE definition — editing the batch rule here updates both in lock-step.
 
-CDC_MERGE_ORACLE = """
-WITH changes AS (
+# the change batch as standalone SQL — shared by the merge oracle and
+# q_snapshot_diff's oracle (diff(v0, merge(v0, ch)) must equal ch)
+CDC_CHANGES_SQL = """
   SELECT c_custkey, 'U' AS op, c_name, c_nationkey,
          c_acctbal + 100.0 AS c_acctbal, 'UPDATED' AS c_mktsegment
   FROM customer WHERE c_custkey % 10 = 0
@@ -619,7 +620,10 @@ WITH changes AS (
          'NEW#' || CAST(c_custkey + 100000000 AS VARCHAR),
          CAST(c_custkey % 25 AS INTEGER), CAST(0.0 AS DOUBLE), 'NEWSEG'
   FROM customer WHERE c_custkey < 50
-)
+"""
+
+CDC_MERGE_ORACLE = f"""
+WITH changes AS ({CDC_CHANGES_SQL})
 SELECT COALESCE(ch.c_custkey, t.c_custkey) AS c_custkey,
        CASE WHEN ch.op IS NOT NULL THEN ch.c_name
             ELSE t.c_name END AS c_name,
@@ -785,6 +789,37 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_customers"),
         F.col("sum_measure").alias("sum_acctbal_cents"),
     )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle=f"""
+SELECT * FROM ({CDC_CHANGES_SQL})
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed generation (operators/merge.snapshot_diff): the
+    INVERSE of the merge — diff the base customer snapshot against the
+    CDC-merged snapshot and recover the change batch. One keyed
+    full-outer join classifies each key as I (new only), D (old only,
+    full-row-image values), or U (both present, any non-key column
+    null-safe-differs); identical rows vanish. The oracle is the change
+    batch itself, so the gate proves the round-trip law
+    diff(v0, merge(v0, ch)) == ch exactly — which also re-verifies the
+    merge from a second direction.
+
+    Scale: the diff is the snapshots' one keyed exchange (zero with
+    both versions bucketed on the key); the column comparison is
+    codegen `<=>` conjunctions. This is what replication bootstraps
+    from when no upstream CDC feed exists, and what a lakehouse serves
+    as a change data feed between committed versions."""
+    from ..operators.merge import merge_apply, snapshot_diff
+
+    c = io.load_table(spark, sf_dir, "customer")
+    updates, deletes, inserts = cdc_change_batches(c)
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merged = merge_apply(c, changes, key="c_custkey")
+    return snapshot_diff(c, merged, key="c_custkey")
 
 
 # --- window-function breadth: rank/distribution/frame-navigation ------------

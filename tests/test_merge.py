@@ -60,3 +60,53 @@ def test_null_key_target_row_survives(spark):
         [(2, "I", "two", 2.0), (99, "D", None, None)],
     )
     assert got == {1: ("one", 1.0), None: ("nullkey", 9.0), 2: ("two", 2.0)}
+
+
+def test_snapshot_diff_roundtrip_laws(spark):
+    """diff ∘ merge and merge ∘ diff are identities (for one-row-per-key
+    full-row-image batches) — the contract that makes snapshot_diff a
+    change-data-feed generator."""
+    from pyspark.sql import functions as F
+
+    from etl_ai_assistent_spark.operators.merge import (
+        merge_apply,
+        snapshot_diff,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k int, v string, m int",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "U", "a2", 11),     # value change
+            (3, "U", "c", 30),      # null -> value change (null-safe cmp)
+            (4, "D", "d", 40),      # delete, full-row image
+            (9, "I", "x", 90),      # insert
+        ],
+        "k int, op string, v string, m int",
+    )
+    merged = merge_apply(base, changes, key="k")
+
+    # diff(v0, merge(v0, ch)) == ch
+    diff = snapshot_diff(base, merged, key="k")
+    assert {tuple(r) for r in diff.collect()} == {
+        tuple(r) for r in changes.collect()
+    }
+    # merge(v0, diff(v0, v1)) == v1
+    replayed = merge_apply(base, diff, key="k")
+    assert replayed.exceptAll(merged).count() == 0
+    assert merged.exceptAll(replayed).count() == 0
+    # identical snapshots diff to empty
+    assert snapshot_diff(base, base, key="k").count() == 0
+
+
+def test_snapshot_diff_rejects_schema_mismatch(spark):
+    import pytest
+
+    from etl_ai_assistent_spark.operators.merge import snapshot_diff
+
+    a = spark.createDataFrame([(1, "x")], "k int, v string")
+    b = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="column mismatch"):
+        snapshot_diff(a, b, key="k")

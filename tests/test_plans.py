@@ -32,6 +32,7 @@ ALLOWED_CROSS = {
     "q_pq_adc_topk",  # per-subspace K-row codebook broadcasts (kmeans.assign)
     "q_ivfpq_topk",  # coarse + per-subspace K-row centroid broadcasts
     "q_ivfpq_recall",  # same pipeline + k-row exact-vs-approx overlap join
+    "q_pq_multiquery_topk",  # probe-slice × K-row codebook lookup tables
     "q_bm25_retrieval",  # 1-row broadcast of corpus stats (N, avgdl)
     "q_dq_constraints",  # 1-row orphan-count x 1-row checked-count joins
     "q_skew_stats",  # 1-row totals x 1-row hot-key-count joins

@@ -69,3 +69,29 @@ def test_pq_rejects_ragged_subspaces(spark, sf_small):
     v = _vectors(spark, sf_small)
     with pytest.raises(ValueError, match="not divisible"):
         PQ.subvectors(v, 7, DIM)
+
+
+def test_multiquery_adc_matches_single_query_path(spark, sf_small):
+    """probe_tables/adc_topk_multi (executor-built tables, stack unpivot,
+    window top-k) must reproduce the single-probe adc_table/adc_topk
+    map-literal path for every probe in the batch — same distances, same
+    rank order, same ties."""
+    v = _vectors(spark, sf_small)
+    books = PQ.train_codebooks(v, m=M, k=K, iters=2, dim=DIM)
+    codes = PQ.encode(v, books, dim=DIM)
+
+    nq = 3
+    probes = v.filter(F.col("vec_id") < nq)
+    multi = {
+        (r["query_id"], r["rnk"]): (r["vec_id"], r["adc_dist"])
+        for r in PQ.adc_topk_multi(
+            codes, PQ.probe_tables(probes, books, dim=DIM), m=M, k=TOPK
+        ).collect()
+    }
+    for qid in range(nq):
+        q = probes.filter(F.col("vec_id") == qid).collect()[0]["qv"]
+        single = PQ.adc_topk(codes, PQ.adc_table(list(q), books), k=TOPK)
+        for rnk, r in enumerate(single.collect(), start=1):
+            assert multi[(qid, rnk)] == (r["vec_id"], r["adc_dist"])
+    # every probe got exactly k results
+    assert len(multi) == nq * TOPK
