@@ -7,11 +7,12 @@ re-scanning the base).
 Count and sum are algebraic: a change batch's effect on the aggregate
 is itself a tiny aggregate of per-row deltas —
 
-- matched U  → (-1, -old) at the OLD group and (+1, +new) at the NEW
-  group (handles group moves; the two rows collapse arithmetically when
-  the group is unchanged)
+- matched U/I → (-1, -old) at the OLD group and (+1, +new) at the NEW
+  group (merge_apply upserts every non-D op, so a matched I replaces
+  the row exactly like a matched U; handles group moves; the two rows
+  collapse arithmetically when the group is unchanged)
 - matched D  → (-1, -old) at the old group
-- I, or unmatched U (upsert fallthrough, merge.py's rule) → (+1, +new)
+- unmatched I/U (upsert fallthrough, merge.py's rule) → (+1, +new)
 - unmatched D → no-op
 
 Scale: old values come from ONE keyed join of the change batch against
@@ -62,9 +63,11 @@ def incremental_group_sums(
     )
     j = ch.join(old, "_k", "left")
 
-    neg = j.filter(
-        F.col("_matched").isNotNull() & F.col("_op").isin("U", "D")
-    ).select(
+    # ANY matched change retracts the old row's contribution: merge_apply
+    # upserts every op except D, so a matched I replaces the existing row
+    # exactly like a matched U (hypothesis caught the I-on-existing-key
+    # double count when this filtered to U/D only)
+    neg = j.filter(F.col("_matched").isNotNull()).select(
         F.col("_old_g").alias(group_col),
         F.lit(-1).cast("bigint").alias("_dn"),
         (-F.col("_old_m")).alias("_dm"),
