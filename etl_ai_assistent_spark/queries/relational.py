@@ -864,3 +864,227 @@ def q_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
         F.last("o_orderkey").over(wf).alias("last_key"),
     )
+
+
+# --- multi-join shapes: TPC-H Q7 / Q8 / Q22 ------------------------------
+
+@register(
+    "q_trade_volume",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+           AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+  WHERE s.s_nationkey < 6 AND c.c_nationkey < 6
+    AND s.s_nationkey != c.c_nationkey
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+) GROUP BY 1, 2, 3
+""",
+)
+def q_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bilateral nation-pair trade volume by ship
+    year, cross-pairs within a 6-nation trading bloc). Reference
+    parity: the relational surface the reference's store queries imply
+    (scripts/services/qdrant_service.py:24-42 works per-record; this
+    is the set-oriented equivalent family).
+
+    Plan shape: the two nation joins hit the SAME 25-row dimension
+    under two aliases — both broadcast (fixed-size at every SF). The
+    nationkey bloc filters push into the supplier/customer scans
+    BEFORE their joins (shrinking both build sides ~4×), and the
+    inequality runs as a residual on the joined rows. customer/supplier carry no
+    hint (they grow with SF; AQE decides). The ship-date filter is
+    pushed to the lineitem scan, so the only big exchange is
+    orders⋈lineitem. Revenue folds in DECIMAL(12,2) exactly, cast to
+    double only at the end."""
+    s = io.load_table(spark, sf_dir, "supplier")
+    li = io.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = io.load_table(spark, sf_dir, "orders")
+    c = io.load_table(spark, sf_dir, "customer")
+    n1 = io.load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = io.load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = s.filter(F.col("s_nationkey") < 6)
+    c = c.filter(F.col("c_nationkey") < 6)
+    j = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+    )
+    price, disc = _dec("l_extendedprice"), _dec("l_discount", 3, 2)
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(
+        F.sum(price * (_one() - disc)).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "q_market_share",
+    oracle="""
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+       count(*) AS n_items
+FROM (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         n2.n_name AS supp_nation,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+           AS volume
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+  JOIN region r   ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+) GROUP BY 1
+""",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_1's share of EUROPE's PROMO-part
+    consumption by order year — an 8-way join with a conditional
+    aggregate ratio. Numerator and denominator both fold in
+    DECIMAL(12,2) exactly; the single double division at the end is
+    IEEE-identical across engines and rounded to 6 places on both
+    sides (the repo's float discipline).
+
+    Plan shape: nation (twice) and region broadcast (fixed 25/5 rows
+    at every SF); the p_type filter is pushed into the part scan and
+    part⋈lineitem prunes the fact table FIRST, so downstream joins see
+    only PROMO rows. customer/supplier/part get no hint — they grow
+    with SF, AQE decides."""
+    p = io.load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = io.load_table(spark, sf_dir, "lineitem")
+    s = io.load_table(spark, sf_dir, "supplier")
+    o = io.load_table(spark, sf_dir, "orders")
+    c = io.load_table(spark, sf_dir, "customer")
+    n1 = io.load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = io.load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = io.load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    j = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    price, disc = _dec("l_extendedprice"), _dec("l_discount", 3, 2)
+    vol = price * (_one() - disc)
+    zero = F.lit(0).cast("decimal(12,2)")
+    agg = j.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(zero))
+        .cast("double")
+        .alias("_num"),
+        F.sum(vol).cast("double").alias("_den"),
+        F.count("*").alias("n_items"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("_num") / F.col("_den"), 6).alias("mkt_share"),
+        "n_items",
+    )
+
+
+@register(
+    "q_untapped_customers",
+    oracle="""
+WITH cents AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+),
+pos AS (SELECT * FROM cents WHERE bal_cents > 0),
+g AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS total, count(*) AS n FROM pos)
+SELECT c.c_nationkey,
+       count(*) AS n_customers,
+       CAST(sum(c.bal_cents) AS BIGINT) AS sum_bal_cents
+FROM cents c, g
+WHERE c.bal_cents * g.n > g.total
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1
+""",
+)
+def q_untapped_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-average scalar subquery + NOT EXISTS
+    anti-join): customers with an account balance above the average of
+    all positive balances who have never placed an order, counted per
+    nation ("never" = no order since 2000-01-01 — every synthetic
+    customer has SOME order, mirroring Q22's recent-activity window).
+    The average comparison is EXACT — integer cross-multiply
+    (bal_cents * n > total_cents) instead of a float mean, so no
+    rounding is needed on either engine.
+
+    Plan shape: the global (total, n) is a 1-row aggregate crossJoined
+    onto customer (bounded broadcast nested loop — the ALLOWED_CROSS
+    pattern); the no-orders test is a LEFT ANTI join on o_custkey,
+    Spark's native EXISTS-free formulation. At scale: one shuffle for
+    the anti join (or none if AQE broadcasts the filtered customer
+    side); orders is never aggregated, only semi-probed."""
+    c = io.load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("bal_cents"),
+    )
+    g = (
+        c.filter(F.col("bal_cents") > 0)
+        .agg(
+            F.sum("bal_cents").cast("bigint").alias("total"),
+            F.count("*").alias("n"),
+        )
+    )
+    o = (
+        io.load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    rich = c.crossJoin(F.broadcast(g)).filter(
+        F.col("bal_cents") * F.col("n") > F.col("total")
+    )
+    untapped = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return untapped.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("bal_cents").cast("bigint").alias("sum_bal_cents"),
+    )

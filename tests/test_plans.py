@@ -37,6 +37,7 @@ ALLOWED_CROSS = {
     "q_dq_constraints",  # 1-row orphan-count x 1-row checked-count joins
     "q_skew_stats",  # 1-row totals x 1-row hot-key-count joins
     "q_doc_surprisal",  # 1-row corpus-count broadcast onto the token scan
+    "q_untapped_customers",  # 1-row (total, n) global-average broadcast
 }
 
 # Streaming memory-sink queries execute eagerly on construction; the
