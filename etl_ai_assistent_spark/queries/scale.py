@@ -516,3 +516,63 @@ def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("err_ppm"),
     )
+
+
+# --- bloom-filter join pruning -------------------------------------------
+
+@register(
+    "q_bloom_join",
+    oracle="""
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 490000
+GROUP BY 1
+""",
+)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact⋈dim join (operators/bloom.py): the ~2% of
+    orders above the price threshold compress into an m=2^16-bit
+    Bloom bitmap (≤1024 bigint words — 8 KiB broadcast no matter how
+    large the order table grows), lineitem rows that cannot match are
+    dropped by two broadcast word-joins BEFORE the exact join's
+    exchange, and the exact equi-join then removes the (rare) false
+    positives. The result is bit-identical to the unpruned join — the
+    oracle is the plain SQL join — which is the point: pruning is a
+    pure plan optimization, verified as such.
+
+    Scale: this is the hand-rolled twin of AQE's runtime bloom filter,
+    kept explicit so m/k tune against the measured build-side
+    cardinality (q_skew_stats feeds that choice). Revenue folds in
+    integer cents (floor(x*100+0.5), IEEE-identical on both engines).
+    tests/test_bloom.py asserts the no-false-negative law and the
+    survivor-rate evidence."""
+    from ..operators.bloom import bloom_prune, bloom_words
+
+    o = (
+        io.load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 490000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = io.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+    words = bloom_words(o, "o_orderkey")
+    pruned = bloom_prune(li, "l_orderkey", words)
+    return (
+        pruned.join(o, pruned.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
