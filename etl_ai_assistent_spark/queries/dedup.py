@@ -616,3 +616,112 @@ def q_fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substr(c_name, length(c_name) - 3, 4)").alias("code"),
     )
     return hamming_near_join(s, "id", "code", k=FUZZY_K)
+
+
+# --- semantic dedup (SemDeDup shape: cluster, then dedup within) ---------
+
+SEM_K = 8  # coarse clusters
+SEM_THRESHOLD = 0.3  # within-cluster cosine duplicate threshold
+
+
+def _semdedup_oracle() -> str:
+    from .clustering import DIM, _D2, _QUANT
+
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+c0 AS (
+  SELECT CAST(vec_id AS BIGINT) AS cid, qv AS cv FROM q WHERE vec_id < {SEM_K}
+),
+d1 AS (
+  SELECT v.vec_id, {_D2} * 1000000 + c.cid AS p FROM q v, c0 c
+),
+a1 AS (
+  SELECT vec_id, CAST(min(p) % 1000000 AS BIGINT) AS cluster
+  FROM d1 GROUP BY vec_id
+),
+nrm AS (
+  SELECT e.vec_id, a.cluster, e.embedding,
+         sqrt(list_sum(list_transform(e.embedding,
+              x -> CAST(x AS DOUBLE) * x))) AS nr
+  FROM embeddings e JOIN a1 a ON a.vec_id = e.vec_id
+),
+pairs AS (
+  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(generate_series(1, {DIM}),
+               i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+               / (a.nr * b.nr), 6) AS cos
+  FROM nrm a JOIN nrm b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+)
+SELECT cluster, id_b AS id_drop,
+       CAST(min(id_a) AS BIGINT) AS dup_of,
+       max(cos) AS max_cos
+FROM pairs WHERE cos >= {SEM_THRESHOLD}
+GROUP BY 1, 2
+"""
+
+
+@register("q_semdedup", oracle=_semdedup_oracle())
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) on the embeddings table: coarse
+    k-means assignment first (integer-lattice arithmetic from
+    operators/kmeans.py — id-ordered init, packed-bigint argmin, so
+    cluster labels are bit-identical on any engine/partitioning), then
+    EXACT cosine only WITHIN each cluster; a vector is dropped when a
+    lower-id cluster-mate sits above the threshold, reported with its
+    minimal witness and max similarity.
+
+    This is the scale shape that makes semantic dedup tractable: the
+    candidate set is Σ_c |c|² instead of n² — the coarse pass bounds
+    the quadratic term by the largest cluster, and K tunes that bound
+    against the corpus (with the usual SemDeDup caveat that cluster
+    balance matters; q_skew_stats-style diagnostics apply). Assignment
+    is one K-row broadcast; the pair join is a self-equi-join on the
+    cluster key — no all-pairs nested loop exists in the plan. Cosine
+    folds left-to-right over FLOAT→DOUBLE promotion, rounded to 6 on
+    both engines (the q_embedding_near_dup discipline)."""
+    from ..functions import vector as V
+    from ..operators import kmeans as KM
+
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", KM.quantize("embedding").alias("qv"))
+    c0 = q.filter(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").cast("bigint").alias("cid"), F.col("qv").alias("cv")
+    )
+    a1 = KM.assign(q, c0).select("vec_id", "cluster")
+    normed = (
+        emb.join(a1, "vec_id")
+        .select(
+            "vec_id",
+            "cluster",
+            "embedding",
+            F.sqrt(V.dot("embedding", "embedding")).alias("nr"),
+        )
+    )
+    a = normed.select(
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nr").alias("na"),
+    )
+    b = normed.select(
+        "cluster",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nr").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(V.dot("ea", "eb") / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cos") >= SEM_THRESHOLD)
+    )
+    return pairs.groupBy("cluster", F.col("id_b").alias("id_drop")).agg(
+        F.min("id_a").cast("bigint").alias("dup_of"),
+        F.max("cos").alias("max_cos"),
+    )

@@ -38,6 +38,7 @@ ALLOWED_CROSS = {
     "q_skew_stats",  # 1-row totals x 1-row hot-key-count joins
     "q_doc_surprisal",  # 1-row corpus-count broadcast onto the token scan
     "q_untapped_customers",  # 1-row (total, n) global-average broadcast
+    "q_semdedup",  # K-row coarse-centroid broadcast (kmeans.assign)
 }
 
 # Streaming memory-sink queries execute eagerly on construction; the
