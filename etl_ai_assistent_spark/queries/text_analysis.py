@@ -557,3 +557,93 @@ def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_tokens"),
         F.sum("b").cast("bigint").alias("surprisal_bits"),
     )
+
+
+# --- bigram surprisal (integer-exact 2-gram LM quality proxy) --------------
+
+
+@register(
+    "q_bigram_surprisal",
+    oracle=f"""
+WITH arrs AS (
+  SELECT doc_id, {_TOKS} AS arr
+  FROM (SELECT doc_id, text FROM documents)
+),
+big AS (
+  SELECT doc_id, u.bg
+  FROM (SELECT doc_id, list_transform(
+            generate_series(1, len(arr) - 1),
+            i -> arr[i] || ' ' || arr[i + 1]) AS bgs
+        FROM arrs WHERE len(arr) >= 2) t,
+       unnest(t.bgs) u(bg)
+),
+c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY 1),
+c1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(count(*) AS BIGINT) AS c1
+  FROM big GROUP BY 1
+),
+bits AS (
+  SELECT b.doc_id,
+         CAST(length(bin(c1.c1 // c12.c12)) - 1 AS BIGINT) AS bb
+  FROM big b
+  JOIN c12 ON c12.bg = b.bg
+  JOIN c1 ON c1.w1 = split_part(b.bg, ' ', 1)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(bb) AS BIGINT) AS surprisal_bits
+FROM bits GROUP BY 1
+""",
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal per document — q_doc_surprisal's 2-gram
+    sibling: each bigram occurrence contributes
+    floor(log2(c(w1·)/c(w1,w2))) whole bits, the integer-exact MLE of
+    -log2 P(w2|w1) (prefix counts, no smoothing needed: every observed
+    bigram has c12 >= 1 and c1 >= c12, so the ratio is a positive
+    integer and bitlength-1 is engine-exact). Low bits = predictable,
+    templated text; high = rare transitions — the standard fluency
+    axis of LM-based curation, with zero floating logs.
+
+    Scale: bigram fan-out is sequence+transform+explode (codegen, no
+    UDF); the (bigram → c12) and (prefix → c1) aggregates are bounded
+    by the OBSERVED bigram vocabulary, far below |tokens|²; scoring is
+    two posting-list equi-joins (the q_rag_retrieval shape) and a
+    per-doc sum. The exploded bigram table feeds three branches, so it
+    persists once (the _doc_probe_tf reasoning)."""
+    from pyspark import StorageLevel
+
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    arrs = docs.select(
+        "doc_id", TX.tokens(F.lower(F.col("text"))).alias("arr")
+    ).filter(F.size("arr") >= 2)
+    big = arrs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(arr) - 1),"
+                " i -> concat(arr[i - 1], ' ', arr[i]))"
+            )
+        ).alias("bg"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    c12 = big.groupBy("bg").agg(F.count("*").cast("bigint").alias("c12"))
+    c1 = (
+        big.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").cast("bigint").alias("c1"))
+    )
+    scored = (
+        big.join(c12, "bg")
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.expr("c1 div c12"))) - F.lit(1))
+            .cast("bigint")
+            .alias("bb"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("bb").cast("bigint").alias("surprisal_bits"),
+    )
