@@ -39,6 +39,8 @@ ALLOWED_CROSS = {
     "q_doc_surprisal",  # 1-row corpus-count broadcast onto the token scan
     "q_untapped_customers",  # 1-row (total, n) global-average broadcast
     "q_semdedup",  # K-row coarse-centroid broadcast (kmeans.assign)
+    "q_ivfpq_residual_topk",  # K-row centroid/codebook broadcasts (residual IVFADC)
+    "q_ivfpq_residual_recall",  # same pipeline + k-row overlap join
 }
 
 # Streaming memory-sink queries execute eagerly on construction; the
