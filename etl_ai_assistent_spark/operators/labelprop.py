@@ -1,0 +1,71 @@
+"""Synchronous label-propagation community detection (LPA), made
+deterministic.
+
+Classic LPA is notoriously nondeterministic (random update order,
+random tie-breaks). This variant is fully specified so any engine
+replays it bit-for-bit — the same determinism discipline as
+operators/pagerank.py and operators/kmeans.py:
+
+- SYNCHRONOUS rounds: every node updates from the round-(t-1) labels.
+- New label = the most frequent label among NEIGHBORS (the node's own
+  label does not vote); ties break on the SMALLEST label.
+- A node with no neighbors keeps its label.
+- Initial label = node id. Fixed iteration count (fixed-point loops
+  would need a convergence collect; the unrolled form keeps the
+  oracle replayable — q_kmeans_step's one-step-then-induction
+  pattern).
+
+The argmax-with-min-tie-break is the packed-bigint idiom:
+p = (MAXC − count) · PACK + label, then min(p) — strictly decreasing
+in count, increasing in label, so min(p) picks (max count, min label).
+
+Scale per round: one edges⋈labels equi-join (labels side is
+|nodes|-rows — broadcastable for dimension-sized graphs, shuffled
+otherwise) + one partial-agg'd (node, label) count + one packed min
+per node. k bounded shuffles total, the Pregel shape without a graph
+engine; lineage stays flat because nothing iterates data-dependently.
+
+Reference parity: graph-family extension beyond the reference's scope
+(§2.8); the verified-iteration pattern follows queries/graph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LP_PACK = 1 << 20  # label < LP_PACK; count < LP_MAXC
+LP_MAXC = 1 << 40
+
+
+def label_propagation(
+    edges: DataFrame, nodes: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """edges: (src, dst) DIRECTED rows of an undirected graph (both
+    orientations present, no self-loops); nodes: (node). Returns
+    (node, label) after `iterations` synchronous rounds."""
+    labels = nodes.select("node", F.col("node").cast("bigint").alias("label"))
+    for _ in range(iterations):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+        packed = votes.groupBy("node").agg(
+            F.min(
+                (F.lit(LP_MAXC) - F.col("cnt")) * F.lit(LP_PACK)
+                + F.col("label")
+            ).alias("p")
+        )
+        winners = packed.select(
+            "node", F.expr(f"p % {LP_PACK}").cast("bigint").alias("new_label")
+        )
+        labels = (
+            labels.join(winners, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").cast("bigint").alias("label"),
+            )
+        )
+    return labels

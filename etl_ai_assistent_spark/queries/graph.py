@@ -177,3 +177,115 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate and its two joins
     oriented = TR.orient_by_degree(u).persist()
     return TR.per_node_counts(TR.triangles(oriented))
+
+
+# --- label-propagation communities ------------------------------------------
+
+LP_ITERS = 3
+
+
+def _lp_iter_cte(i: int) -> str:
+    from ..operators.labelprop import LP_MAXC, LP_PACK
+
+    prev = f"lbl{i - 1}"
+    return f"""
+lbl{i} AS (
+  SELECT l.node,
+         CAST(COALESCE(w.new_label, l.label) AS BIGINT) AS label
+  FROM {prev} l
+  LEFT JOIN (
+    SELECT node, CAST(p % {LP_PACK} AS BIGINT) AS new_label
+    FROM (
+      SELECT v.node,
+             min(({LP_MAXC} - v.cnt) * {LP_PACK} + v.label) AS p
+      FROM (
+        SELECT e.dst AS node, p.label, CAST(count(*) AS BIGINT) AS cnt
+        FROM sym e JOIN {prev} p ON e.src = p.node
+        GROUP BY 1, 2
+      ) v
+      GROUP BY v.node
+    )
+  ) w ON w.node = l.node
+)"""
+
+
+_LP_ORACLE = (
+    """
+WITH dir_edges AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+),
+u AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM dir_edges WHERE src <> dst
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM u
+  UNION ALL
+  SELECT b AS src, a AS dst FROM u
+),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+lbl0 AS (SELECT node, CAST(node AS BIGINT) AS label FROM nodes),"""
+    + ",".join(_lp_iter_cte(i) for i in range(1, LP_ITERS + 1))
+    + f"""
+SELECT nat.n_name, lb.label AS community,
+       CAST(count(*) OVER (PARTITION BY lb.label) AS BIGINT) AS community_size
+FROM lbl{LP_ITERS} lb JOIN nation nat ON lb.node = nat.n_nationkey
+"""
+)
+
+
+@register("q_label_propagation", oracle=_LP_ORACLE)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by deterministic synchronous label
+    propagation (operators/labelprop.py) over the undirected nation
+    trade graph: {LP_ITERS} rounds of every node adopting its
+    neighbors' most frequent label (ties to the smallest), then
+    community sizes via a window. The packed-bigint argmax makes each
+    round engine-exact, so the oracle unrolls the rounds as CTEs —
+    the q_pagerank_nations verification pattern applied to LPA.
+
+    Scale: per round one edges⋈labels equi-join + one (node, label)
+    count + one packed min — k bounded shuffles, no collect, flat
+    lineage. On power-law graphs the (node, label) count partial-
+    aggregates map-side, so hub fan-in arrives pre-combined."""
+    from ..operators.labelprop import label_propagation
+
+    li = io.load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = io.load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = io.load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = io.load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = io.load_table(spark, sf_dir, "nation")
+    dir_edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .distinct()
+    )
+    u = (
+        dir_edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    sym = u.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        u.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    labels = label_propagation(sym, nodes, iterations=LP_ITERS)
+    w = Window.partitionBy("label")
+    return (
+        labels.join(nation, labels.node == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.col("label").alias("community"),
+            F.count("*").over(w).cast("bigint").alias("community_size"),
+        )
+    )
