@@ -647,3 +647,116 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_bigrams"),
         F.sum("bb").cast("bigint").alias("surprisal_bits"),
     )
+
+
+# --- PMI collocations (doc-level association mining) -----------------------
+
+PMI_VOCAB = 50  # df-ranked vocabulary cap — bounds per-doc pair fan-out
+PMI_MIN_AB = 2  # ignore singleton co-occurrences
+
+
+@register(
+    "q_token_pmi",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok
+  FROM (SELECT doc_id, text FROM documents)
+),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok),
+df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df,
+         row_number() OVER (ORDER BY count(*) DESC, tok) AS rnk
+  FROM tok GROUP BY tok
+),
+vocab AS (SELECT tok, df FROM df WHERE rnk <= {PMI_VOCAB}),
+vt AS (
+  SELECT t.doc_id, t.tok, v.df FROM tok t JOIN vocab v ON v.tok = t.tok
+),
+pairs AS (
+  SELECT a.tok AS token_a, b.tok AS token_b,
+         CAST(count(*) AS BIGINT) AS n_ab,
+         max(a.df) AS df_a, max(b.df) AS df_b
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+)
+SELECT token_a, token_b, n_ab, df_a, df_b,
+       CAST(length(bin((n_ab * n.n_docs) // (df_a * df_b))) - 1 AS BIGINT)
+         AS pmi_bits
+FROM pairs, n
+WHERE n_ab >= {PMI_MIN_AB} AND n_ab * n.n_docs >= df_a * df_b
+""",
+)
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining — positively associated token pairs at
+    the DOCUMENT level: PMI = log2(c_ab·N / (c_a·c_b)) in whole bits
+    via the floor-log2 = bitlength−1 idiom (kept alongside the exact
+    integer counts, so finer scoring is a post-processing division
+    away; only pairs with non-negative PMI and c_ab ≥ {PMI_MIN_AB}
+    emit — the collocation set). The q_doc_surprisal discipline: no
+    floating logs anywhere.
+
+    Scale: the pair fan-out is the quadratic hazard of co-occurrence
+    mining, bounded here the standard way — a df-ranked top-{PMI_VOCAB}
+    vocabulary (deterministic ties on the token) prunes the doc-token
+    table BEFORE the per-doc self-join, capping pairs per document at
+    C({PMI_VOCAB},2) regardless of document length. One distinct-
+    tokenize pass feeds df, N, and the join (persisted); the self-join
+    keys on doc_id, so co-located rows pair without a second shuffle.
+    The 1-row corpus count broadcasts."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window as W
+
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (
+        docs.select(
+            "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = tok.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    df_tbl = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    vocab = (
+        df_tbl.withColumn(
+            "rnk", F.row_number().over(W.orderBy(F.desc("df"), F.asc("tok")))
+        )
+        .filter(F.col("rnk") <= PMI_VOCAB)
+        .select("tok", "df")
+    )
+    vt = tok.join(F.broadcast(vocab), "tok").select("doc_id", "tok", "df")
+    a = vt.select(
+        "doc_id", F.col("tok").alias("token_a"), F.col("df").alias("dfa")
+    )
+    b = vt.select(
+        "doc_id", F.col("tok").alias("token_b"), F.col("df").alias("dfb")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_ab"),
+            F.max("dfa").alias("df_a"),
+            F.max("dfb").alias("df_b"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("n_ab") >= PMI_MIN_AB)
+            & (F.col("n_ab") * F.col("n_docs") >= F.col("df_a") * F.col("df_b"))
+        )
+        .select(
+            "token_a",
+            "token_b",
+            "n_ab",
+            "df_a",
+            "df_b",
+            (
+                F.length(F.bin(F.expr("(n_ab * n_docs) div (df_a * df_b)")))
+                - F.lit(1)
+            )
+            .cast("bigint")
+            .alias("pmi_bits"),
+        )
+    )

@@ -41,6 +41,7 @@ ALLOWED_CROSS = {
     "q_semdedup",  # K-row coarse-centroid broadcast (kmeans.assign)
     "q_ivfpq_residual_topk",  # K-row centroid/codebook broadcasts (residual IVFADC)
     "q_ivfpq_residual_recall",  # same pipeline + k-row overlap join
+    "q_token_pmi",  # 1-row corpus-count broadcast onto the pair table
 }
 
 # Streaming memory-sink queries execute eagerly on construction; the
