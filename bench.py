@@ -99,6 +99,18 @@ HEADLINE = [
     "q_zorder_stats",
     "q_snapshot_diff",
     "q_pq_multiquery_topk",
+    # round-6 families: multi-join TPC-H shapes, bloom-pruned join,
+    # semantic dedup, residual IVFADC (shares the cached coarse/PQ
+    # index — run 1 pays the residual-codebook build), bigram LM,
+    # PMI collocations, LPA communities
+    "q_trade_volume",
+    "q_market_share",
+    "q_bloom_join",
+    "q_semdedup",
+    "q_ivfpq_residual_topk",
+    "q_bigram_surprisal",
+    "q_token_pmi",
+    "q_label_propagation",
 ]
 
 
