@@ -760,3 +760,71 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pmi_bits"),
         )
     )
+
+
+# --- trigram-index substring search ----------------------------------------
+
+NEEDLE = "spark window"  # the fixed search phrase (≈6% of docs match)
+
+
+@register(
+    "q_trigram_search",
+    oracle=f"""
+SELECT doc_id,
+       CAST((length(lower(text)) - length(replace(lower(text), '{NEEDLE}', '')))
+            // {len(NEEDLE)} AS BIGINT) AS n_matches
+FROM documents
+WHERE contains(lower(text), '{NEEDLE}')
+""",
+)
+def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search accelerated by a trigram index — the
+    pg_trgm/code-search pattern: docs are pruned to those containing
+    EVERY trigram of the needle (posting-list equi-join + a
+    count-match), and only candidates pay the exact `contains` verify.
+    Pruning is pass-through (a doc containing the needle contains all
+    its trigrams — no false negatives), so the oracle is the plain
+    full-scan LIKE and the gate proves the index path exact.
+
+    Scale: the full scan is O(corpus bytes) per query; the trigram
+    path reads the posting index (built once, here in-plan as one
+    explode+distinct) keyed on the needle's {len(NEEDLE) - 2}
+    trigrams — a |needle|-row broadcast against the posting table,
+    then candidates-only verification, the q_bloom_join shape applied
+    to substring search. Occurrence counts via the exact
+    length-difference division (integer, engine-identical)."""
+    docs = io.load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("t")
+    )
+    needle_tris = sorted(
+        {NEEDLE[i : i + 3] for i in range(len(NEEDLE) - 2)}
+    )
+    posting = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
+        ).alias("tri"),
+    ).distinct()
+    tri_df = F.broadcast(
+        spark.createDataFrame([(t,) for t in needle_tris], "tri string")
+    )
+    cands = (
+        posting.join(tri_df, "tri")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tri"))
+        .filter(F.col("n_tri") == len(needle_tris))
+        .select("doc_id")
+    )
+    return (
+        docs.join(cands, "doc_id")
+        .filter(F.col("t").contains(NEEDLE))
+        .select(
+            "doc_id",
+            (
+                (F.length("t") - F.length(F.replace(F.col("t"), F.lit(NEEDLE), F.lit(""))))
+                / F.lit(len(NEEDLE))
+            )
+            .cast("bigint")
+            .alias("n_matches"),
+        )
+    )
