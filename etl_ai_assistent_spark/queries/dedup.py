@@ -691,6 +691,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("bigint").alias("cid"), F.col("qv").alias("cv")
     )
     a1 = KM.assign(q, c0).select("vec_id", "cluster")
+    # the clustered+normed table feeds BOTH sides of the pair join —
+    # persist it or the quantize/assign chain executes twice per run
+    # (build-once/scan-twice, the _doc_probe_tf reasoning)
     normed = (
         emb.join(a1, "vec_id")
         .select(
@@ -699,6 +702,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             F.sqrt(V.dot("embedding", "embedding")).alias("nr"),
         )
+        .persist()
     )
     a = normed.select(
         "cluster",

@@ -278,6 +278,10 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = u.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         u.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
+    # every LPA round joins against sym — persist it or the 4-way
+    # fact-table edge derivation re-executes per round (the
+    # pagerank_int edges-persist rule)
+    sym = sym.persist()
     nodes = nation.select(F.col("n_nationkey").alias("node"))
     labels = label_propagation(sym, nodes, iterations=LP_ITERS)
     w = Window.partitionBy("label")
