@@ -16,6 +16,7 @@ Streaming-specific constraints shape the designs:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import register
 from ..streaming import pipeline as SP
@@ -503,4 +504,110 @@ def q_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(v), int(n), bool(k)) for v, n, k in plan],
         "version int, n_rows bigint, kept boolean",
+    )
+
+
+# --- streaming mergeable-sketch maintenance (HLL over a stream) -------------
+
+_SHLL_H = "md5('hll|' || CAST(user_id AS VARCHAR))"
+from ..operators.sketch import ALPHA_256 as _ALPHA_256  # noqa: E402
+
+
+@register(
+    "q_stream_hll",
+    oracle=f"""
+WITH regs AS (
+  SELECT event_type, register, max(rho) AS max_rho
+  FROM (
+    SELECT event_type,
+           CAST(CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS INT) AS register,
+           CAST(CASE WHEN CAST(('0x' || substr(h, 3, 8)) AS BIGINT) = 0 THEN 33
+                     ELSE 33 - length(bin(CAST(('0x' || substr(h, 3, 8)) AS BIGINT)))
+                END AS INT) AS rho
+    FROM (SELECT event_type, {_SHLL_H} AS h FROM events)
+  )
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS filled,
+         round(CAST({_ALPHA_256!r} AS DOUBLE) * 65536.0 /
+               (sum(1.0 / CAST(CAST(1 AS BIGINT) << max_rho AS DOUBLE))
+                + (256 - count(*)) * 1.0), 6) AS hll_estimate
+  FROM regs GROUP BY 1
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, e.filled, e.hll_estimate, x.n_exact
+FROM est e JOIN exact x USING (event_type)
+""",
+)
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count maintenance via a MERGEABLE sketch: the
+    4-micro-batch events stream maintains a per-event-type HLL register
+    table — each micro-batch computes its own batch sketch and merges
+    it into the committed state by union + re-max (the defining
+    mergeability property; no raw key is ever revisited). Register
+    state is 5×256 rows FOREVER, the reason sketch stores beat
+    count-distinct state at 100 TB (a streaming exact distinct holds
+    every key in the state store).
+
+    Versioning follows the CDC exemplars: batch b reads reg_v{{b}} and
+    OVERWRITES reg_v{{b+1}} (a pure function of the deterministic batch
+    id → checkpoint replays rewrite the same version, never
+    double-merge; max is idempotent anyway — belt and braces). The
+    drained state's raw estimate is bit-equal to the BATCH sketch over
+    the whole table (merge associativity), which is what the shared
+    oracle construction checks, alongside the exact per-type distinct."""
+    import os
+
+    from .. import io
+    from ..operators import sketch as SK
+    from ..streaming import pipeline as SP
+
+    tag = io.fixture_tag(sf_dir, "events")
+    root = f"/tmp/spark_graft_stream_hll_{tag}"
+    done = os.path.join(root, ".hll_complete")
+    n_parts = 4
+
+    if not os.path.exists(done):
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            regs_b = SK.hll_registers(batch_df, "user_id", ["event_type"])
+            prev_dir = os.path.join(root, f"reg_v{batch_id}")
+            if os.path.exists(os.path.join(prev_dir, "_SUCCESS")):
+                prev = batch_df.sparkSession.read.parquet(prev_dir)
+                regs_b = (
+                    prev.unionByName(regs_b)
+                    .groupBy("event_type", "register")
+                    .agg(F.max("max_rho").alias("max_rho"))
+                )
+            regs_b.write.mode("overwrite").parquet(
+                os.path.join(root, f"reg_v{batch_id + 1}")
+            )
+
+        stream = SP.read_events_stream_split(spark, sf_dir, parts=n_parts)
+        q = (
+            stream.select("user_id", "event_type")
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        open(done, "w").close()
+
+    regs = spark.read.parquet(os.path.join(root, f"reg_v{n_parts}"))
+    est = SK.hll_estimate(regs, ["event_type"])
+    exact = (
+        io.load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "filled", "hll_estimate", "n_exact"
     )

@@ -57,6 +57,7 @@ STREAMING = {
     "q_stream_doc_ingest",
     "q_stream_cdc_merge",
     "q_stream_cdc_mor",
+    "q_stream_hll",
 }
 
 # The docx queries materialize a 500-file fixture corpus first — slow to
