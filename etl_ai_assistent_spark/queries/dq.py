@@ -342,3 +342,44 @@ def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("skew_factor_ppm"),
         "n_hot_keys",
     )
+
+
+# --- k-anonymity audit (privacy-preserving release gate) -------------------
+
+K_ANON = 5
+_QI_BAL = "CAST(floor(c_acctbal / 2000) AS BIGINT)"
+
+
+@register(
+    "q_k_anonymity",
+    oracle=f"""
+SELECT c_nationkey, c_mktsegment, {_QI_BAL} AS bal_band,
+       CAST(count(*) AS BIGINT) AS group_size,
+       count(*) < {K_ANON} AS at_risk
+FROM customer
+GROUP BY 1, 2, 3
+""",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    market segment, account-balance band): every QI group's size next
+    to its re-identification verdict (size < {K_ANON} → the group's
+    rows are linkable and must be suppressed or generalized before
+    release). The privacy gate of a training-data release pipeline,
+    sitting beside the PII scrub (q_pii_scrub) — scrubbing removes
+    direct identifiers; k-anonymity catches the INDIRECT ones.
+
+    Scale: one partial-aggregated scan (the groupBy combines map-side;
+    the report is QI-cardinality-sized, never data-sized). The
+    balance band generalizes a continuous column the standard way —
+    widening the band is the remediation lever when groups fail."""
+    c = io.load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bal_band"),
+        )
+        .agg(F.count("*").cast("bigint").alias("group_size"))
+        .withColumn("at_risk", F.col("group_size") < K_ANON)
+    )

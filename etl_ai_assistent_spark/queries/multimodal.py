@@ -180,3 +180,113 @@ def q_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes, exercised through the production mapInPandas path so the
     batch shape, schema, and projection are all real and verified."""
     return MM.decode_image_meta(_assets(spark, sf_dir))
+
+
+# --- modality-weighted shard packing ---------------------------------------
+
+MM_SHARD_BUDGET = 4000  # cost units per training shard
+MM_SHARD_BUCKETS = 8
+
+
+@register(
+    "q_multimodal_shards",
+    oracle=f"""
+WITH {_ASSETS_CTE},
+costed AS (
+  SELECT a.asset_id AS doc_id,
+         CAST(CAST(('0x' || substr(md5('mshard|' || CAST(a.asset_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {MM_SHARD_BUCKETS} AS BIGINT) AS bucket,
+         len(string_split_regex(trim(a.text), '\\s+')) +
+         CASE a.kind
+           WHEN 'image' THEN (16 * (1 + b1 % 120) * 16 * (1 + b2 % 68)) // 4096
+           WHEN 'audio' THEN CAST(500 + b2 % 60000 AS BIGINT) // 1000
+           ELSE CAST(30 + b2 % 900 AS BIGINT)
+         END AS cost
+  FROM assets a
+),
+packed AS (
+  SELECT doc_id, bucket, cost,
+         COALESCE(sum(cost) OVER (PARTITION BY bucket ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cost_before
+  FROM costed
+)
+SELECT CAST(bucket * 100000 + cost_before // {MM_SHARD_BUDGET} AS BIGINT)
+         AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(cost) AS BIGINT) AS shard_cost,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM packed
+GROUP BY 1
+""",
+)
+def q_multimodal_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality-weighted training-shard packing — q_token_shards
+    generalized to mixed media: each document's cost is its text token
+    count PLUS its asset's modality units (image → pixel patches /
+    4096, the ViT accounting; audio → whole seconds; video → frames),
+    then the same hash-bucketed running-sum cut packs ~{MM_SHARD_BUDGET}
+    cost units per shard. This is how a multimodal pretraining loader
+    balances batches so a video-heavy shard doesn't starve the step
+    budget that a text-only shard undershoots.
+
+    Scale: the cost column is a narrow codegen map over the asset
+    catalog (no media decode — metadata IS the cost model); packing is
+    one windowed pass per hash bucket + a shard-sized groupBy, the
+    exact q_token_shards shape. All integer, engine-exact."""
+    from pyspark.sql import Window
+
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assets = MM.make_assets(docs)
+    costed = (
+        assets.join(docs, assets.asset_id == docs.doc_id)
+        .select(
+            "doc_id",
+            (
+                MM.md5_bucket(F.col("doc_id").cast("string"), salt="mshard|")
+                % MM_SHARD_BUCKETS
+            ).alias("bucket"),
+            (
+                F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                + F.when(
+                    F.col("kind") == "image",
+                    F.expr("(width * height) div 4096"),
+                )
+                .when(
+                    F.col("kind") == "audio",
+                    F.expr("duration_ms div 1000"),
+                )
+                .otherwise(F.col("n_frames"))
+            )
+            .cast("bigint")
+            .alias("cost"),
+        )
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = costed.withColumn(
+        "cost_before", F.coalesce(F.sum("cost").over(w), F.lit(0))
+    )
+    return (
+        packed.select(
+            "doc_id",
+            "cost",
+            (
+                F.col("bucket") * 100000
+                + F.expr(f"cost_before div {MM_SHARD_BUDGET}")
+            )
+            .cast("bigint")
+            .alias("shard_id"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("cost").cast("bigint").alias("shard_cost"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
