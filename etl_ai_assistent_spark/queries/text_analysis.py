@@ -828,3 +828,120 @@ def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_matches"),
         )
     )
+
+
+# --- BPE merge application (tokenizer training, iteration 2) ---------------
+
+
+@register(
+    "q_bpe_merge_apply",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS tok
+  FROM (SELECT text FROM documents)
+),
+spaced AS (
+  SELECT ' ' || regexp_replace(tok, '(.)', '\\1 ', 'g') AS sp
+  FROM tok WHERE length(tok) >= 2
+),
+top1 AS (
+  SELECT pair FROM (
+    SELECT substr(tok, u.i, 2) AS pair
+    FROM (SELECT tok FROM tok WHERE length(tok) >= 2) t,
+         unnest(generate_series(1, length(t.tok) - 1)) u(i)
+  ) GROUP BY 1 ORDER BY count(*) DESC, pair LIMIT 1
+),
+merged AS (
+  SELECT replace(s.sp,
+                 ' ' || substr(t.pair, 1, 1) || ' ' || substr(t.pair, 2, 1) || ' ',
+                 ' ' || t.pair || ' ') AS sp
+  FROM spaced s, top1 t
+),
+syms AS (
+  SELECT string_split(trim(sp), ' ') AS arr FROM merged
+),
+pairs2 AS (
+  SELECT u.p AS pair
+  FROM (SELECT list_transform(generate_series(1, len(arr) - 1),
+               i -> arr[i] || ' ' || arr[i + 1]) AS ps
+        FROM syms WHERE len(arr) >= 2) t,
+       unnest(t.ps) u(p)
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs2 GROUP BY 1
+ORDER BY n DESC, pair
+LIMIT 20
+""",
+)
+def q_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training, iteration TWO: take iteration one's winning pair
+    (q_bpe_pairs' rank-1, deterministic ties on the pair), APPLY the
+    merge corpus-wide, and emit the post-merge top-20 adjacent-symbol
+    counts — the candidates for merge #2, now over a symbol table that
+    contains the merged unit. With q_bpe_pairs this closes the
+    count→merge→recount loop by the one-step-then-induction pattern
+    (q_kmeans_step's): each iteration is bit-verifiable, so the loop is.
+
+    Merge application is pure codegen string algebra: tokens go to a
+    space-joined symbol form (' t h e '), and one replace() performs
+    the standard leftmost non-overlapping merge pass — Spark, DuckDB,
+    and Python replace() semantics agree exactly (including the
+    overlapping-run case ' a a a ' → ' aa a ', checked in
+    tests/test_text_functions-adjacent suites). Scale: the merge is a
+    narrow map over tokens; both count passes are shuffles bounded by
+    the symbol-pair vocabulary; the 1-row winning pair broadcasts."""
+    docs = io.load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    # iteration 1's counts → the winning pair (1 row, broadcast)
+    top1 = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1),"
+                    " i -> substring(tok, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(1)
+        .select("pair")
+    )
+    spaced = toks.select(
+        F.concat(
+            F.lit(" "), F.regexp_replace(F.col("tok"), "(.)", "$1 ")
+        ).alias("sp")
+    )
+    merged = spaced.crossJoin(F.broadcast(top1)).select(
+        F.replace(
+            F.col("sp"),
+            F.concat(
+                F.lit(" "),
+                F.substring("pair", 1, 1),
+                F.lit(" "),
+                F.substring("pair", 2, 1),
+                F.lit(" "),
+            ),
+            F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+        ).alias("sp")
+    )
+    syms = merged.select(F.split(F.trim(F.col("sp")), " ").alias("arr")).filter(
+        F.size("arr") >= 2
+    )
+    pairs2 = syms.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(arr) - 1),"
+                " i -> concat(arr[i - 1], ' ', arr[i]))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs2.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

@@ -336,3 +336,24 @@ def test_pluggable_embedder_pad_truncate(spark):
         pluggable_embedder(lambda: _ShortLong(), dim=1)("text").alias("e")
     ).collect()
     assert truncated[0]["e"] == [1.0]
+
+
+def test_bpe_merge_replace_semantics_cross_engine(spark):
+    """The BPE merge pass (q_bpe_merge_apply) leans on replace() being
+    leftmost-non-overlapping with scan-continue-after-replacement on
+    every engine. Adversarial overlapping runs, checked Spark vs
+    Python vs DuckDB."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    cases = [" a a a ", " a a a a a ", " b a a b ", " a a ", " x ", " a a a a "]
+    con = duckdb.connect()
+    df = spark.createDataFrame([(c,) for c in cases], "s string").select(
+        "s", F.replace(F.col("s"), F.lit(" a a "), F.lit(" aa ")).alias("r")
+    )
+    for row in df.collect():
+        py = row["s"].replace(" a a ", " aa ")
+        duck = con.execute(
+            "select replace(?, ' a a ', ' aa ')", [row["s"]]
+        ).fetchone()[0]
+        assert row["r"] == py == duck, (row["s"], row["r"], py, duck)
