@@ -111,6 +111,9 @@ HEADLINE = [
     "q_bigram_surprisal",
     "q_token_pmi",
     "q_label_propagation",
+    # the end-to-end composition: gate + exact dedup + semantic dedup
+    # + shard pack as one audited disposition query
+    "q_curation_pipeline",
 ]
 
 

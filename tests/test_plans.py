@@ -43,6 +43,7 @@ ALLOWED_CROSS = {
     "q_ivfpq_residual_recall",  # same pipeline + k-row overlap join
     "q_token_pmi",  # 1-row corpus-count broadcast onto the pair table
     "q_bpe_merge_apply",  # 1-row winning-pair broadcast onto the token scan
+    "q_curation_pipeline",  # embeds q_semdedup's K-row centroid broadcast
 }
 
 # Streaming memory-sink queries execute eagerly on construction; the
