@@ -44,6 +44,21 @@ def label_propagation(
     """edges: (src, dst) DIRECTED rows of an undirected graph (both
     orientations present, no self-loops); nodes: (node). Returns
     (node, label) after `iterations` synchronous rounds."""
+    # Packed-bigint domain guards, enforced IN the plan (raise_error,
+    # no extra driver action): a label >= LP_PACK or a vote count
+    # >= LP_MAXC would silently truncate through `p % LP_PACK` —
+    # corrupt results, not an error (r6 ADVICE). The guard runs on
+    # every vote row at codegen speed and fails the job loudly instead.
+    guarded_label = F.expr(
+        f"CASE WHEN label >= {LP_PACK} THEN CAST(raise_error("
+        f"'label_propagation: node id >= 2^20 overflows the packed-bigint"
+        f" argmax; re-id nodes densely first') AS BIGINT) ELSE label END"
+    )
+    guarded_cnt = F.expr(
+        f"CASE WHEN cnt >= {LP_MAXC}L THEN CAST(raise_error("
+        f"'label_propagation: vote count >= 2^40 overflows the"
+        f" packed-bigint argmax') AS BIGINT) ELSE cnt END"
+    )
     labels = nodes.select("node", F.col("node").cast("bigint").alias("label"))
     for _ in range(iterations):
         votes = (
@@ -54,8 +69,8 @@ def label_propagation(
         )
         packed = votes.groupBy("node").agg(
             F.min(
-                (F.lit(LP_MAXC) - F.col("cnt")) * F.lit(LP_PACK)
-                + F.col("label")
+                (F.lit(LP_MAXC) - guarded_cnt) * F.lit(LP_PACK)
+                + guarded_label
             ).alias("p")
         )
         winners = packed.select(

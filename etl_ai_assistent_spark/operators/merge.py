@@ -46,13 +46,17 @@ def merge_apply(
         F.col(op_col).alias("_op"),
         *[F.col(col).alias(f"_c_{col}") for col in cols if col != key],
     )
-    joined = t.join(c, t["_t_key"] == c["_c_key"], "full_outer")
+    # eqNullSafe: NULL is a real key value — a null-key change row must
+    # match the null-key target row (otherwise replaying
+    # snapshot_diff(v0, v1) duplicates instead of updating it and the
+    # merge(v0, diff(v0, v1)) == v1 law breaks; see
+    # test_snapshot_diff_null_key_roundtrip).
+    joined = t.join(c, t["_t_key"].eqNullSafe(c["_c_key"]), "full_outer")
     # Keep every row whose change op is not D: matched D disappears
     # (delete), unmatched D is a no-op (its only row is the change side,
     # dropped here), and rows with no change (op NULL) pass through.
-    # NOTE: the predicate must depend ONLY on _op — testing _t_key would
-    # silently drop a target row whose KEY VALUE is NULL (it never
-    # equi-joins, so it arrives as a target-only row with _t_key NULL).
+    # NOTE: the predicate must depend ONLY on _op — testing _t_key is
+    # wrong anyway because NULL is a legal key value.
     kept = joined.filter(
         F.col("_op").isNull() | (F.col("_op") != F.lit("D"))
     )
@@ -103,7 +107,12 @@ def snapshot_diff(
         *[F.col(c).alias(f"_n_{c}") for c in cols if c != key],
         F.lit(1).alias("_n_present"),
     )
-    j = o.join(n, o["_o_key"] == n["_n_key"], "full_outer")
+    # eqNullSafe: a null-key row present in BOTH snapshots must match
+    # itself (plain equality would emit a spurious D+I pair, and
+    # replaying that diff through merge_apply — which keeps unmatched
+    # null-key target rows — would duplicate the row, breaking the
+    # merge(v0, diff(v0, v1)) == v1 law).
+    j = o.join(n, o["_o_key"].eqNullSafe(n["_n_key"]), "full_outer")
     changed = None
     for c in cols:
         if c == key:

@@ -35,10 +35,12 @@ def subvectors(vectors: DataFrame, m: int, dim: int) -> list[DataFrame]:
     beats silent ragged subspaces). ``dim`` is the caller-declared
     vector width — taking it as a parameter keeps index CONSTRUCTION
     free of driver-side Spark jobs (probing the width with `.first()`
-    would cost one job per subvectors call); the declared width is
-    enforced against the data lazily by the slice arithmetic itself
-    (a narrower array yields short slices → codebook/encode mismatch,
-    surfacing as a loud count/size error, never silent truncation)."""
+    would cost one job per subvectors call). Lazy enforcement is
+    ASYMMETRIC: a NARROWER array yields short slices → loud
+    codebook/encode size mismatch; a WIDER array is silently truncated
+    to `dim` by F.slice — acceptable only because every call site
+    passes the shared DIM constant (tests/test_pq.py pins the
+    truncation behavior so a drift here is caught)."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     w = dim // m

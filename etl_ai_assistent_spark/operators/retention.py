@@ -38,9 +38,13 @@ def snapshot_versions(root: str, prefix: str = "snap_v") -> list[tuple[int, int]
         path = os.path.join(root, d)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             continue  # uncommitted/torn: owned by its replaying batch
+        # recursive walk: MoR compaction (operators/mor.compact) writes
+        # bucket=N/ subdirectories (partitionBy layout), so a flat
+        # listdir would silently count 0 rows for compacted snapshots
         n = sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            for f in os.listdir(path)
+            pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
+            for dirpath, _, files in os.walk(path)
+            for f in files
             if f.endswith(".parquet")
         )
         out.append((int(d[len(prefix):]), n))

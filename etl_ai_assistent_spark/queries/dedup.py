@@ -624,11 +624,14 @@ SEM_K = 8  # coarse clusters
 SEM_THRESHOLD = 0.3  # within-cluster cosine duplicate threshold
 
 
-def _semdedup_oracle() -> str:
-    from .clustering import DIM, _D2, _QUANT
+def _sem_assign_ctes() -> str:
+    """The coarse-assignment CTE prefix (quantize → seed → packed
+    argmin) shared by the q_semdedup result oracle and the
+    q_semdedup_balance diagnostic oracle — one definition so the two
+    can never drift apart."""
+    from .clustering import _D2, _QUANT
 
-    return f"""
-WITH q AS (
+    return f"""q AS (
   SELECT vec_id, {_QUANT} AS qv FROM embeddings
 ),
 c0 AS (
@@ -640,7 +643,14 @@ d1 AS (
 a1 AS (
   SELECT vec_id, CAST(min(p) % 1000000 AS BIGINT) AS cluster
   FROM d1 GROUP BY vec_id
-),
+)"""
+
+
+def _semdedup_oracle() -> str:
+    from .clustering import DIM
+
+    return f"""
+WITH {_sem_assign_ctes()},
 nrm AS (
   SELECT e.vec_id, a.cluster, e.embedding,
          sqrt(list_sum(list_transform(e.embedding,
@@ -685,12 +695,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import vector as V
     from ..operators import kmeans as KM
 
-    emb = io.load_table(spark, sf_dir, "embeddings")
-    q = emb.select("vec_id", KM.quantize("embedding").alias("qv"))
-    c0 = q.filter(F.col("vec_id") < SEM_K).select(
-        F.col("vec_id").cast("bigint").alias("cid"), F.col("qv").alias("cv")
-    )
-    a1 = KM.assign(q, c0).select("vec_id", "cluster")
+    emb, a1 = _sem_assign(spark, sf_dir)
     # the clustered+normed table feeds BOTH sides of the pair join —
     # persist it or the quantize/assign chain executes twice per run
     # (build-once/scan-twice, the _doc_probe_tf reasoning)
@@ -729,3 +734,74 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id_a").cast("bigint").alias("dup_of"),
         F.max("cos").alias("max_cos"),
     )
+
+
+def _sem_assign(spark: SparkSession, sf_dir: str):
+    """(embeddings, coarse assignment) — the SemDeDup clustering pass,
+    shared by the dedup query and its balance diagnostic."""
+    from ..operators import kmeans as KM
+
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", KM.quantize("embedding").alias("qv"))
+    c0 = q.filter(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").cast("bigint").alias("cid"), F.col("qv").alias("cv")
+    )
+    return emb, KM.assign(q, c0).select("vec_id", "cluster")
+
+
+def cluster_balance(assign: DataFrame) -> DataFrame:
+    """Cluster-balance diagnostic over a (.., cluster) assignment — the
+    measured evidence behind SemDeDup's Σ|c|² tractability claim
+    (r6 verdict #4): max-cluster share (ppm, integer-exact) and the
+    actual candidate-pair count vs the all-pairs worst case. A
+    max_share_ppm near 1e6 means one cluster absorbed the corpus and
+    the within-cluster pair join degrades toward n² — re-seed or raise
+    K before running the dedup at scale. q_skew_stats applied to
+    cluster sizes.
+
+    Scale: one partial-agg'd groupBy on the cluster key + a 1-row
+    reduction; strictly cheaper than the dedup's pair join it gates."""
+    sizes = assign.groupBy("cluster").agg(F.count("*").alias("n"))
+    return sizes.agg(
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.max("n").cast("bigint").alias("max_cluster_rows"),
+        F.expr("max(n) * 1000000 div sum(n)")
+        .cast("bigint")
+        .alias("max_share_ppm"),
+        F.expr("sum(n * (n - 1) div 2)")
+        .cast("bigint")
+        .alias("candidate_pairs"),
+        F.expr(
+            "sum(n * (n - 1) div 2) * 1000000"
+            " div (sum(n) * (sum(n) - 1) div 2)"
+        )
+        .cast("bigint")
+        .alias("pair_fraction_ppm"),
+    )
+
+
+@register(
+    "q_semdedup_balance",
+    oracle=f"""
+WITH {_sem_assign_ctes()},
+sizes AS (SELECT cluster, count(*) AS n FROM a1 GROUP BY 1)
+SELECT CAST(sum(n) AS BIGINT) AS n_vectors,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(max(n) AS BIGINT) AS max_cluster_rows,
+       CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS max_share_ppm,
+       CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs,
+       CAST(sum(n * (n - 1) // 2) * 1000000
+            // (sum(n) * (sum(n) - 1) // 2) AS BIGINT)
+         AS pair_fraction_ppm
+FROM sizes
+""",
+)
+def q_semdedup_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_semdedup companion diagnostic: replays the SAME coarse
+    assignment (shared _sem_assign / _sem_assign_ctes, so query and
+    diagnostic can never diverge) and reduces cluster sizes to the
+    balance evidence — see cluster_balance. On the testdata corpus the
+    pair_fraction_ppm column IS the measured Σ|c|²/n² saving."""
+    _, a1 = _sem_assign(spark, sf_dir)
+    return cluster_balance(a1)

@@ -33,3 +33,37 @@ def test_banded_near_dup_subset_of_allpairs(spark, sf_small):
     if exact:
         recall = len(banded) / len(exact)
         assert recall >= 0.25, f"recall collapsed: {recall:.2f}"
+
+
+def test_cluster_balance_flags_imbalance(spark):
+    """The SemDeDup balance diagnostic on a deliberately imbalanced
+    assignment (r6 verdict #4): one cluster holding 90/100 vectors must
+    report a ~0.9e6 max share and a candidate-pair count dominated by
+    that cluster — measured evidence, not an assumed bound."""
+    from pyspark.sql import functions as F
+
+    from etl_ai_assistent_spark.queries.dedup import cluster_balance
+
+    assign = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") < 90, F.lit(0))
+        .otherwise(F.col("id") % 5 + 1)
+        .cast("bigint")
+        .alias("cluster"),
+    )
+    row = cluster_balance(assign).collect()[0]
+    assert row["n_vectors"] == 100
+    assert row["n_clusters"] == 6
+    assert row["max_cluster_rows"] == 90
+    assert row["max_share_ppm"] == 900_000
+    # 90-cluster pairs 4005, plus 5 clusters of 2 rows -> 1 pair each
+    assert row["candidate_pairs"] == 4005 + 5
+    assert row["pair_fraction_ppm"] == (4010 * 1_000_000) // (100 * 99 // 2)
+    # a balanced assignment of the same corpus scores far lower
+    balanced = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 10).cast("bigint").alias("cluster"),
+    )
+    brow = cluster_balance(balanced).collect()[0]
+    assert brow["max_share_ppm"] == 100_000
+    assert brow["candidate_pairs"] == 10 * (10 * 9 // 2)

@@ -36,3 +36,20 @@ def test_partition_invariance(spark):
     a = sorted(map(tuple, label_propagation(edges.repartition(1), nodes, 3).collect()))
     b = sorted(map(tuple, label_propagation(edges.repartition(13), nodes, 3).collect()))
     assert a == b
+
+
+def test_packed_domain_guard_fires(spark):
+    """A node id >= 2^20 must raise loudly, not silently truncate
+    through the packed-bigint argmax (r6 ADVICE). The guard lives in
+    the plan (raise_error), so it costs nothing on valid graphs."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    big = 1 << 21
+    edges = _sym(spark, [(0, big)])
+    nodes = spark.createDataFrame(
+        [(0,), (big,)], "node bigint"
+    )
+    with pytest.raises(Exception) as ei:
+        label_propagation(edges, nodes, 1).collect()
+    assert "packed-bigint" in str(ei.value)

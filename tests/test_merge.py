@@ -101,6 +101,32 @@ def test_snapshot_diff_roundtrip_laws(spark):
     assert snapshot_diff(base, base, key="k").count() == 0
 
 
+def test_snapshot_diff_null_key_roundtrip(spark):
+    """A null-key row present in both snapshots matches ITSELF
+    (eqNullSafe join): unchanged → no diff rows; changed → one U, and
+    merge(v0, diff(v0, v1)) == v1 still holds. Plain key equality used
+    to emit a D+I pair that duplicated the row on replay (r6 ADVICE)."""
+    from etl_ai_assistent_spark.operators.merge import (
+        merge_apply,
+        snapshot_diff,
+    )
+
+    v0 = spark.createDataFrame(
+        [(1, "a", 10), (None, "nk", 99)], "k int, v string, m int"
+    )
+    # unchanged null-key row: diff must be empty
+    assert snapshot_diff(v0, v0, key="k").count() == 0
+    # changed null-key row: exactly one U, and the replay law holds
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (None, "nk2", 100)], "k int, v string, m int"
+    )
+    diff = snapshot_diff(v0, v1, key="k")
+    assert [tuple(r) for r in diff.collect()] == [(None, "U", "nk2", 100)]
+    replayed = merge_apply(v0, diff, key="k")
+    assert replayed.exceptAll(v1).count() == 0
+    assert v1.exceptAll(replayed).count() == 0
+
+
 def test_snapshot_diff_rejects_schema_mismatch(spark):
     import pytest
 

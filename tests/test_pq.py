@@ -95,3 +95,52 @@ def test_multiquery_adc_matches_single_query_path(spark, sf_small):
             assert multi[(qid, rnk)] == (r["vec_id"], r["adc_dist"])
     # every probe got exactly k results
     assert len(multi) == nq * TOPK
+
+
+def test_subvectors_truncates_wider_vectors_by_design(spark):
+    """Pins the documented asymmetry: a vector WIDER than the declared
+    dim is truncated to dim by F.slice (narrower fails loudly later).
+    All production call sites pass the shared DIM constant; this test
+    exists so any drift in that behavior is caught, per the
+    operators/pq.py subvectors docstring."""
+    v = spark.createDataFrame(
+        [(0, list(range(12)))], "vec_id bigint, qv array<bigint>"
+    )
+    subs = PQ.subvectors(v, m=2, dim=8)  # declared 8, actual 12
+    got = [r["qv"] for s in subs for r in s.collect()]
+    assert got == [[0, 1, 2, 3], [4, 5, 6, 7]]  # elements 8..11 dropped
+
+
+def test_probe_vector_matches_spark_quantize(spark, sf_small):
+    """_probe_vector (DuckDB footer read + Python math.floor) must be
+    bit-identical to KM.quantize of the same row — the invariant that
+    let the index build drop its driver-side Spark first() probe
+    (r6 verdict #6)."""
+    from etl_ai_assistent_spark.queries.clustering import _probe_vector
+
+    got = _probe_vector(sf_small)
+    want = (
+        io.load_table(spark, sf_small, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(KM.quantize("embedding").alias("qv"))
+        .first()["qv"]
+    )
+    assert got == list(want)
+
+
+def test_index_cache_evicts_other_sf_dirs(spark, sf_small):
+    """_INDEX_CACHE is bounded (r6 verdict #7): touching a second
+    sf_dir unpersists and drops the first one's index artifacts."""
+    from etl_ai_assistent_spark.queries import clustering as C
+
+    emb1, _, codes1, _, _ = C._pq_index(spark, sf_small)
+    assert any(k[2] == sf_small for k in C._INDEX_CACHE)
+    assert codes1.storageLevel.useMemory
+
+    other = sf_small.replace("sf0.001", "sf0.01")
+    C._pq_index(spark, other)
+    assert not any(k[2] == sf_small for k in C._INDEX_CACHE)
+    assert not codes1.storageLevel.useMemory  # storage released
+    # moving back works and in turn evicts the other sf_dir
+    C._pq_index(spark, sf_small)
+    assert not any(k[2] == other for k in C._INDEX_CACHE)
