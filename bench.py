@@ -37,7 +37,14 @@ HEADLINE = [
     "q_running_revenue",
     "q_grouping_sets",
     "q_value_percentiles",
-    # events / temporal
+    # events / temporal.
+    # q_asof_purchase_signup's r5→r6 1.85x swing (0.347→0.642 s) was
+    # audited in r7: the executed plan is unchanged since r4 — two
+    # pushed-filter scans of events (purchase/signup), ONE hash
+    # exchange on the user key, sort + last()-window; no broadcast
+    # exists in this plan to lose, and isolated re-runs on this host
+    # swing 0.35–0.85 s with an identical plan. Environmental noise,
+    # not a plan regression (the r4→r5 pattern repeating).
     "q_asof_purchase_signup",
     "q_sessionize",
     # dedup family
@@ -114,7 +121,51 @@ HEADLINE = [
     # the end-to-end composition: gate + exact dedup + semantic dedup
     # + shard pack as one audited disposition query
     "q_curation_pipeline",
+    # round-6 stragglers (r6 verdict #3): substring search, privacy
+    # audit, shard packing, tokenizer-merge apply, sampling, retention
+    # metadata, HLL rollup, the ANN recall audits, TPC-H Q22
+    "q_trigram_search",
+    "q_k_anonymity",
+    "q_multimodal_shards",
+    "q_bpe_merge_apply",
+    "q_stratified_sample",
+    "q_snapshot_retention",
+    "q_hll_merge_rollup",
+    "q_ivfpq_recall",
+    "q_ivfpq_residual_recall",
+    "q_untapped_customers",
+    # round-7: SemDeDup cluster-balance diagnostic, incremental
+    # join-view maintenance, TPC-H Q21 shape, join-size estimation,
+    # right-to-be-forgotten cascade
+    "q_semdedup_balance",
+    "q_delta_join_view",
+    "q_order_waiters",
+    "q_selfjoin_cardinality",
+    "q_takedown_propagation",
+    # round-7: replica-repair fingerprints, dictionary encoding,
+    # PPS weighted sampling (stream delta-join stays out of the
+    # headline like the other micro-batch streaming queries)
+    "q_table_repair",
+    "q_vocab_encode",
+    "q_weighted_sample",
 ]
+
+# ANN serving/recall queries whose FIRST run in this process pays the
+# one-time index build (codebook training, coarse cells, residual
+# books — cached per app+sf by clustering._INDEX_CACHE). The headline
+# `queries` number is min-of-runs (warm scoring throughput, what the
+# compressed store exists for); `cold` records that first run so the
+# build-vs-serve split is recorded evidence, not a commit message
+# (r6 verdict #3). Queries later in HEADLINE inherit earlier builds —
+# cold is per-process-order, stated here so readers compare in order.
+ANN_COLD = (
+    "q_pq_adc_topk",
+    "q_ivfpq_topk",
+    "q_pq_multiquery_topk",
+    "q_ivfpq_residual_topk",
+    "q_ivfpq_recall",
+    "q_ivfpq_residual_recall",
+)
 
 
 def _sf_from_dir(path: str) -> float:
@@ -157,18 +208,21 @@ def main() -> None:
     # contention; the minimum is the reproducible cost of the plan.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         # Fail-soft: one broken query must never zero the whole round's
         # perf signal — record the error and keep timing the rest.
-        best = float("inf")
+        run_times: list[float] = []
         try:
             for _ in range(runs):
                 t0 = time.perf_counter()
                 df = qs[name](spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+                run_times.append(time.perf_counter() - t0)
+            timings[name] = round(min(run_times), 3)
+            if name in ANN_COLD:
+                cold[name] = round(run_times[0], 3)
         except Exception as exc:  # noqa: BLE001 — report, don't crash
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         # Drop persisted intermediates (histogram stats, pagerank edges,
@@ -183,6 +237,10 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
         "runs_per_query": runs,
+        # first-run wall clock for the ANN serving family: includes the
+        # one-time index build (see ANN_COLD note) — warm serving is the
+        # same query's entry under "queries"
+        "cold": cold,
     }
     if errors:
         out["errors"] = errors

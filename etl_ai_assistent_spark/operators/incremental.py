@@ -98,3 +98,76 @@ def incremental_group_sums(
         .alias("sum_measure"),
     )
     return merged.filter(F.col("n") > 0)
+
+
+# --- incremental JOIN-view maintenance (Z-relations / DBSP algebra) --------
+#
+# A row-level join view V = A ⋈ B updates under signed-multiset deltas
+# (weight +1 = insert, -1 = retract; an update is retract+insert) by
+# the bilinear identity
+#
+#   Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+#
+# with weights multiplying across the join — the classic incremental
+# view maintenance rule (Blakeley et al. 1986; the Z-relation form is
+# DBSP/Differential Dataflow's). Maintenance cost is O(|ΔA|·fanout +
+# |ΔB|·fanout + |ΔA⋈ΔB|): the delta sides broadcast against the big
+# bases at 100 TB, and the stored view is touched only additively —
+# never re-joined from scratch.
+
+
+def delta_join(
+    a: DataFrame,
+    da: DataFrame,
+    b: DataFrame,
+    db: DataFrame,
+    key: str,
+    weight_col: str = "_w",
+) -> DataFrame:
+    """The signed delta of the join view A ⋈ B. `a`/`b` are the
+    PRE-change sides (implicit weight +1 per row); `da`/`db` carry
+    `weight_col` (signed bigint). Non-key columns of the two sides must
+    be disjoint (the join view's schema). Returns rows of the joined
+    schema plus `weight_col` — NOT normalized; feed through
+    apply_delta (or an aggregate) to collapse weights."""
+    overlap = (set(a.columns) & set(b.columns)) - {key}
+    if overlap:
+        raise ValueError(f"delta_join: non-key columns collide: {overlap}")
+    if set(da.columns) != set(a.columns) | {weight_col}:
+        raise ValueError("delta_join: da schema must be a's + weight")
+    if set(db.columns) != set(b.columns) | {weight_col}:
+        raise ValueError("delta_join: db schema must be b's + weight")
+
+    a1 = a.withColumn(weight_col, F.lit(1).cast("bigint"))
+    b1 = b.withColumn(weight_col, F.lit(1).cast("bigint"))
+
+    def _term(left, right):
+        lw = F.col(f"_lw").cast("bigint")
+        rw = F.col(f"_rw").cast("bigint")
+        return (
+            left.withColumnRenamed(weight_col, "_lw")
+            .join(right.withColumnRenamed(weight_col, "_rw"), key)
+            .withColumn(weight_col, (lw * rw).cast("bigint"))
+            .drop("_lw", "_rw")
+        )
+
+    out = _term(da, b1)
+    out = out.unionByName(_term(a1, db))
+    return out.unionByName(_term(da, db))
+
+
+def apply_delta(
+    view: DataFrame, dv: DataFrame, weight_col: str = "_w"
+) -> DataFrame:
+    """Add a signed delta to a Z-relation snapshot: union, sum weights
+    per distinct row, drop zero-weight rows. With bigint weights this
+    is exact and associative — apply_delta(apply_delta(v, d1), d2) ==
+    apply_delta(v, d1 ∪ d2), the law tests/test_property_laws.py
+    randomizes."""
+    cols = [c for c in view.columns if c != weight_col]
+    return (
+        view.unionByName(dv.select(*view.columns))
+        .groupBy(*cols)
+        .agg(F.sum(weight_col).cast("bigint").alias(weight_col))
+        .filter(F.col(weight_col) != 0)
+    )

@@ -681,3 +681,195 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sampled_id_xor"),
     )
+
+
+# --- takedown / right-to-be-forgotten cascade --------------------------------
+
+FORGET_MOD = 64  # the forget-list: customers with salted hash bucket 0
+
+
+@register(
+    "q_takedown_propagation",
+    oracle=f"""
+WITH forget AS (
+  SELECT c_custkey FROM customer
+  WHERE {_BUCKET.format(x="'forget|' || CAST(c_custkey AS VARCHAR)")}
+        % {FORGET_MOD} = 0
+),
+del_o AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM forget)
+),
+del_li AS (
+  SELECT l_orderkey, l_linenumber FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)
+),
+t AS (
+  SELECT 'customer' AS table_name,
+         (SELECT count(*) FROM customer) AS rows_before,
+         (SELECT count(*) FROM forget) AS rows_deleted,
+         (SELECT coalesce(bit_xor(c_custkey), 0) FROM forget) AS deleted_xor
+  UNION ALL
+  SELECT 'orders',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM del_o),
+         (SELECT coalesce(bit_xor(o_orderkey), 0) FROM del_o)
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM del_li),
+         (SELECT coalesce(bit_xor(l_orderkey * 8 + l_linenumber), 0)
+          FROM del_li)
+)
+SELECT table_name,
+       CAST(rows_before AS BIGINT) AS rows_before,
+       CAST(rows_deleted AS BIGINT) AS rows_deleted,
+       CAST(rows_before - rows_deleted AS BIGINT) AS rows_after,
+       CAST(deleted_xor AS BIGINT) AS deleted_xor
+FROM t
+""",
+)
+def q_takedown_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten / takedown propagation — the compliance
+    pass every training-data pipeline needs: given a forget-list of
+    customers (deterministic salted-hash bucket, standing in for a DSAR
+    batch), CASCADE the deletion through the foreign-key graph
+    (customer → their orders → those orders' lineitems) and emit the
+    audit a data-protection officer signs: per-table rows before,
+    deleted, after, plus an xor fingerprint of the deleted keys so the
+    gate proves ROW-LEVEL selection equality across engines, not just
+    matching counts (the q_stratified_sample discipline). The actual
+    deletes are then ordinary CDC D-batches into merge_apply / MoR —
+    this query is the planning+evidence step that decides them.
+
+    Scale: each hop is one semi-join keyed on the parent's key — the
+    forget list and the deleted-order list stay tiny relative to the
+    tables they prune (AQE broadcasts them when they fit); nothing
+    rewrites until the audit is approved, and no driver-side key list
+    ever materializes."""
+    c = io.load_table(spark, sf_dir, "customer").select("c_custkey")
+    forget = c.filter(
+        md5_bucket(F.col("c_custkey").cast("string"), salt="forget|")
+        % FORGET_MOD
+        == 0
+    )
+    o = io.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    del_o = o.join(
+        forget, o.o_custkey == forget.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    li = io.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    del_li = li.join(
+        del_o, li.l_orderkey == del_o.o_orderkey, "left_semi"
+    )
+
+    def _audit(name, total_df, del_df, xor_expr):
+        total = total_df.agg(
+            F.count("*").cast("bigint").alias("rows_before")
+        )
+        deleted = del_df.agg(
+            F.count("*").cast("bigint").alias("rows_deleted"),
+            F.coalesce(F.expr(xor_expr), F.lit(0))
+            .cast("bigint")
+            .alias("deleted_xor"),
+        )
+        return total.crossJoin(deleted).select(
+            F.lit(name).alias("table_name"),
+            "rows_before",
+            "rows_deleted",
+            (F.col("rows_before") - F.col("rows_deleted"))
+            .cast("bigint")
+            .alias("rows_after"),
+            "deleted_xor",
+        )
+
+    return (
+        _audit("customer", c, forget, "bit_xor(c_custkey)")
+        .unionByName(_audit("orders", o, del_o, "bit_xor(o_orderkey)"))
+        .unionByName(
+            _audit(
+                "lineitem",
+                li,
+                del_li,
+                "bit_xor(l_orderkey * 8 + l_linenumber)",
+            )
+        )
+    )
+
+
+# --- weighted Bernoulli sampling (token-budget mixes) ------------------------
+
+W_CAP = 200_000  # chars at/above this are kept with probability 1
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+WITH s AS (
+  SELECT lang, doc_id, n_chars,
+         {_BUCKET.format(x="'wsamp|' || CAST(doc_id AS VARCHAR)")}
+           * {W_CAP} < CAST(n_chars AS BIGINT) * 4294967296 AS keep
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+         AS sampled_chars,
+       CAST(sum(least(CAST(n_chars AS BIGINT), {W_CAP})) * 1000000
+            // ({W_CAP} * count(*)) AS BIGINT) AS expected_ppm,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS actual_ppm,
+       CAST(coalesce(bit_xor(CASE WHEN keep THEN doc_id END), 0) AS BIGINT)
+         AS sampled_id_xor
+FROM s
+GROUP BY 1
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling, integer-exact — q_stratified_sample's
+    companion where inclusion probability is PROPORTIONAL TO SIZE
+    (p_i = min(1, n_chars/{W_CAP})): the keep decision is the pure
+    integer comparison hash32(doc_id) · {W_CAP} < n_chars · 2^32, so
+    no float thresholds and no RNG state exist anywhere — any engine,
+    partitioning, or re-run selects the identical document set. This
+    is the PPS (probability-proportional-to-size) pass a token-budget
+    pretraining mix uses to favor long documents without a sort; the
+    output records expected vs realized sampling rate per language
+    (ppm, both exact integers) and the xor of sampled ids for
+    row-level cross-engine equality.
+
+    Scale: a narrow map on the scan (the weight column rides the
+    footer-pruned projection) + one stratum-sized aggregate; nothing
+    shuffles but the per-language summary."""
+    docs = io.load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    keep = (
+        md5_bucket(F.col("doc_id").cast("string"), salt="wsamp|") * W_CAP
+        < F.col("n_chars").cast("bigint") * F.lit(4294967296)
+    )
+    s = docs.select("lang", "doc_id", "n_chars", keep.alias("keep"))
+    return s.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_sampled"),
+        F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("sampled_chars"),
+        F.expr(
+            f"CAST(sum(least(CAST(n_chars AS BIGINT), {W_CAP})) * 1000000"
+            f" div ({W_CAP} * count(*)) AS BIGINT)"
+        ).alias("expected_ppm"),
+        F.expr(
+            "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("actual_ppm"),
+        F.coalesce(
+            F.expr("bit_xor(CASE WHEN keep THEN doc_id END)"), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("sampled_id_xor"),
+    )

@@ -1088,3 +1088,217 @@ def q_untapped_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.sum("bal_cents").cast("bigint").alias("sum_bal_cents"),
     )
+
+
+# --- incremental JOIN-view maintenance (Z-relation deltas) -----------------
+
+LATE_MOD = 97   # o_orderkey % LATE_MOD == 0 → the late-arriving fact batch
+MOVE_MOD = 89   # c_custkey % MOVE_MOD == 0 → dimension rows reassigned
+MOVE_SHIFT = 7  # reassigned nation = (c_nationkey + MOVE_SHIFT) % 25
+
+
+@register(
+    "q_delta_join_view",
+    oracle=f"""
+WITH mod_cust AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % {MOVE_MOD} = 0
+              THEN (c_nationkey + {MOVE_SHIFT}) % 25
+              ELSE c_nationkey END AS c_nationkey
+  FROM customer
+)
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN mod_cust c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+)
+def q_delta_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an aggregate over a JOIN view
+    (operators/incremental.delta_join — the Z-relation/DBSP bilinear
+    rule Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB with weights multiplying),
+    extending q_incremental_agg from single-table group sums to the
+    realistic matview: per-nation order count + revenue over
+    orders ⋈ customer, kept current under SIMULTANEOUS changes on both
+    sides — a late-arriving fact batch (orders with key % {LATE_MOD}
+    == 0, weight +1) and a dimension reassignment (customers with key
+    % {MOVE_MOD} == 0 move nations: −1 at the old row, +1 at the new).
+    The Spark side never re-joins the bases: it aggregates the stored
+    pre-change view once and ADDS the signed delta contributions. The
+    oracle IS the full recompute over the post-change tables, so the
+    gate proves delta maintenance ≡ recomputation bit-for-bit (bigint
+    cents; weights and counts are exact integers).
+
+    Scale: the three delta terms join batch-sized inputs against the
+    bases (delta sides broadcast; ΔA⋈ΔB is batch×batch); the stored
+    view is touched only by a groups-sized full-outer merge —
+    O(|ΔA| + |ΔB| + |groups|) per refresh, never a fact-table rescan.
+    At 100 TB that is the difference between a seconds-long refresh
+    and re-running the warehouse's biggest join."""
+    from ..operators.incremental import delta_join
+
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    orders = io.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        cents.alias("rev_cents"),
+    )
+    base_a = orders.filter(F.col("o_orderkey") % LATE_MOD != 0).drop(
+        "o_orderkey"
+    )
+    da = (
+        orders.filter(F.col("o_orderkey") % LATE_MOD == 0)
+        .drop("o_orderkey")
+        .withColumn("_w", F.lit(1).cast("bigint"))
+    )
+
+    cust = io.load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    moved = cust.filter(F.col("custkey") % MOVE_MOD == 0)
+    db = moved.select(
+        "custkey", "c_nationkey", F.lit(-1).cast("bigint").alias("_w")
+    ).unionByName(
+        moved.select(
+            "custkey",
+            ((F.col("c_nationkey") + MOVE_SHIFT) % 25).alias("c_nationkey"),
+            F.lit(1).cast("bigint").alias("_w"),
+        )
+    )
+
+    # the stored view: aggregated once over the PRE-change join (in a
+    # deployment this is yesterday's materialized table, not a scan)
+    view0 = (
+        base_a.join(cust, "custkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("rev_cents").cast("bigint").alias("rev"),
+        )
+    )
+    dv = delta_join(base_a, da, cust, db, key="custkey")
+    dvagg = dv.groupBy("c_nationkey").agg(
+        F.sum("_w").cast("bigint").alias("dn"),
+        F.sum(F.col("_w") * F.col("rev_cents")).cast("bigint").alias("dm"),
+    )
+    merged = view0.join(dvagg, "c_nationkey", "full_outer").select(
+        "c_nationkey",
+        (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+        .cast("bigint")
+        .alias("n_orders"),
+        (F.coalesce("rev", F.lit(0)) + F.coalesce("dm", F.lit(0)))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+    return merged.filter(F.col("n_orders") > 0)
+
+
+# --- TPC-H Q21 shape: suppliers who kept orders waiting ---------------------
+
+WAIT_DAYS = 80      # "late" := shipped more than this after the order date
+WAIT_NATIONS = 10   # Q21 audits one nation; a band keeps testdata output full
+WAIT_TOPN = 100
+
+
+@register(
+    "q_order_waiters",
+    oracle=f"""
+WITH late_li AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate + INTERVAL {WAIT_DAYS} DAY) AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM late_li GROUP BY 1
+),
+waiters AS (
+  SELECT li.l_suppkey, count(*) AS numwait
+  FROM late_li li JOIN per_order p ON li.l_orderkey = p.l_orderkey
+  WHERE li.is_late AND p.n_supp >= 2 AND p.n_late_supp = 1
+  GROUP BY 1
+)
+SELECT s.s_name, CAST(w.numwait AS BIGINT) AS numwait
+FROM waiters w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+WHERE s.s_nationkey < {WAIT_NATIONS}
+ORDER BY numwait DESC, s.s_name
+LIMIT {WAIT_TOPN}
+""",
+)
+def q_order_waiters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape (suppliers who kept orders waiting — reference
+    capability extension §2.6 multi-join family): suppliers whose late
+    lineitem is the ONLY late one in a multi-supplier finished order.
+    The textbook formulation is EXISTS + NOT EXISTS — two extra
+    self-joins of the biggest table. The Spark-first rewrite computes
+    both quantifiers in ONE per-order aggregate (distinct suppliers,
+    distinct LATE suppliers) and turns the pair into codegen
+    predicates: n_supp >= 2 replaces EXISTS(other supplier),
+    n_late_supp = 1 replaces NOT EXISTS(other late supplier) given the
+    row itself is late. "Late" is shipdate > orderdate + {WAIT_DAYS}d
+    (the testdata schema carries no commit/receipt dates; date
+    arithmetic is exact on both engines).
+
+    Scale: lineitem is scanned and shuffled ONCE — the (order,
+    supplier) pre-aggregate collapses it before anything is reused; the
+    persisted per_os table (bounded by distinct order×supplier pairs,
+    a fraction of lineitem) feeds both the per-order quantifier
+    aggregate and the winner join, so the textbook plan's two extra
+    lineitem exchanges never happen. Orders' status filter pushes to
+    the scan. Top-{WAIT_TOPN} is TakeOrderedAndProject with the
+    (numwait DESC, s_name) total order, so the result set is
+    deterministic."""
+    li = io.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        io.load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late_li = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {WAIT_DAYS} DAYS")
+        ).alias("is_late"),
+    )
+    # (order, supplier) granularity first: everything downstream needs
+    # only late-row counts per pair, and this table feeds TWO branches
+    # (the per-order quantifiers and the winner join) — persist it or
+    # the lineitem⋈orders join above executes twice
+    per_os = (
+        late_li.groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.count(F.when(F.col("is_late"), 1))
+            .cast("bigint")
+            .alias("n_late_rows")
+        )
+        .persist()
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.count(F.when(F.col("n_late_rows") > 0, 1)).alias("n_late_supp"),
+    )
+    waiters = (
+        per_os.filter(F.col("n_late_rows") > 0)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.sum("n_late_rows").cast("bigint").alias("numwait"))
+    )
+    s = io.load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") < WAIT_NATIONS
+    )
+    return (
+        waiters.join(s, waiters.l_suppkey == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(WAIT_TOPN)
+    )

@@ -576,3 +576,220 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+# --- join-size estimation by deterministic key sampling ---------------------
+
+JCARD_MOD = 64  # sample keys whose salted md5 bucket ≡ 0 (mod this)
+
+
+@register(
+    "q_selfjoin_cardinality",
+    oracle=f"""
+WITH per_key AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c,
+         CAST(('0x' || substr(md5('jcard|' || CAST(l_partkey AS VARCHAR)),
+                              1, 8)) AS BIGINT) % {JCARD_MOD} = 0 AS sampled
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS true_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(count(CASE WHEN sampled THEN 1 END) AS BIGINT)
+           AS n_sampled_keys,
+         CAST(coalesce(sum(CASE WHEN sampled THEN c * c END), 0)
+              * {JCARD_MOD} AS BIGINT) AS est_rows
+  FROM per_key
+)
+SELECT true_rows, est_rows, n_keys, n_sampled_keys,
+       CAST(abs(est_rows - true_rows) * 1000000 // true_rows AS BIGINT)
+         AS err_ppm
+FROM tot
+""",
+)
+def q_selfjoin_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation before paying the join — the optimizer
+    statistic (self-join size = second frequency moment F2 = Σ c(k)²,
+    AMS'96's motivating quantity) computed two ways in one pass:
+    exactly, and from a DETERMINISTIC 1/{JCARD_MOD} key sample (salted
+    md5 bucket of the key — any engine, any partitioning, any re-run
+    samples the identical key set), with the estimate's error in ppm as
+    recorded evidence. The estimator is unbiased over keys: E[est] =
+    true under hash-uniformity, and heavy keys dominate F2, so the
+    sample's hit-or-miss on them IS the err_ppm column — the audit a
+    planner needs before trusting the estimate to pick shuffle vs
+    broadcast or pre-salt a skewed self-join (q_skew_stats' companion
+    for JOIN OUTPUT size rather than input key skew).
+
+    Scale: the audit pays one partial-agg'd groupBy on the key (same
+    exchange the join would need). A production estimator drops the
+    exact column and filters BEFORE the aggregate — the hash predicate
+    is a narrow map on the scan, so the shuffle carries ~1/{JCARD_MOD}
+    of the keys and the estimate costs a fraction of the join it
+    sizes."""
+    from ..operators.dedup import md5_bucket
+
+    per_key = (
+        io.load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .withColumn(
+            "sampled",
+            md5_bucket(F.col("l_partkey").cast("string"), salt="jcard|")
+            % JCARD_MOD
+            == 0,
+        )
+    )
+    tot = per_key.agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("true_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.count(F.when(F.col("sampled"), 1))
+        .cast("bigint")
+        .alias("n_sampled_keys"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("sampled"), F.col("c") * F.col("c"))),
+                F.lit(0),
+            )
+            * JCARD_MOD
+        )
+        .cast("bigint")
+        .alias("est_rows"),
+    )
+    return tot.select(
+        "true_rows",
+        "est_rows",
+        "n_keys",
+        "n_sampled_keys",
+        F.expr("abs(est_rows - true_rows) * 1000000 div true_rows")
+        .cast("bigint")
+        .alias("err_ppm"),
+    )
+
+
+# --- anti-entropy replica repair (merkle-style bucket fingerprints) ---------
+
+RB_BUCKETS = 64    # fingerprint granularity: repair ships whole buckets
+RB_DRIFT = 128     # 1/RB_DRIFT of replica B's rows carry a drifted balance
+RB_DROP = 131      # 1/RB_DROP of replica B's rows are missing entirely
+
+_RB_B = (
+    "CAST(('0x' || substr(md5('rb|' || CAST(c_custkey AS VARCHAR)), 1, 8))"
+    " AS BIGINT) % 64"
+)
+_RB_ROWHASH = (
+    "CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' ||"
+    " CAST({bal} AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+
+@register(
+    "q_table_repair",
+    oracle=f"""
+WITH a AS (
+  SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+  FROM customer
+),
+b AS (  -- the drifted replica: some rows corrupted, some missing
+  SELECT c_custkey,
+         CASE WHEN CAST(('0x' || substr(md5('drift|' ||
+                    CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % {RB_DRIFT} = 0
+              THEN bal + 1 ELSE bal END AS bal
+  FROM a
+  WHERE CAST(('0x' || substr(md5('drop|' || CAST(c_custkey AS VARCHAR)),
+              1, 8)) AS BIGINT) % {RB_DROP} <> 0
+),
+fa AS (
+  SELECT {_RB_B} AS bucket, CAST(count(*) AS BIGINT) AS n_a,
+         CAST(coalesce(bit_xor({_RB_ROWHASH.format(bal="bal")}), 0)
+              AS BIGINT) AS h_a
+  FROM a GROUP BY 1
+),
+fb AS (
+  SELECT {_RB_B} AS bucket, CAST(count(*) AS BIGINT) AS n_b,
+         CAST(coalesce(bit_xor({_RB_ROWHASH.format(bal="bal")}), 0)
+              AS BIGINT) AS h_b
+  FROM b GROUP BY 1
+)
+SELECT fa.bucket, fa.n_a, coalesce(fb.n_b, 0) AS n_b,
+       (fa.n_a <> coalesce(fb.n_b, 0) OR fa.h_a <> coalesce(fb.h_b, 0))
+         AS divergent
+FROM fa LEFT JOIN fb ON fa.bucket = fb.bucket
+""",
+)
+def q_table_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy replica comparison — the merkle/rsync pattern for
+    keeping two copies of a 100 TB table in sync without shipping
+    either: both replicas reduce to {RB_BUCKETS} bucket fingerprints
+    (row count + xor of a per-row hash over key AND payload), the
+    fingerprint tables join on bucket id, and only DIVERGENT buckets'
+    rows ever cross the wire. Replica B is derived deterministically
+    (1/{RB_DRIFT} of rows payload-drifted, 1/{RB_DROP} missing), so
+    the divergence set is stable and the oracle replays the whole
+    audit; xor-of-hash catches value drift that row counts alone miss,
+    while count mismatches catch missing rows xor could cancel.
+
+    Scale: each replica pays one partial-agg'd scan into a
+    {RB_BUCKETS}-row fingerprint table — the comparison exchange is
+    KILOBYTES regardless of table size, and repair cost is bounded by
+    the divergent fraction (here ~{RB_BUCKETS} buckets × their rows).
+    Deepening to a merkle TREE (buckets of buckets) turns re-sync into
+    log-depth drill-down; one level is enough to demonstrate the
+    algebra."""
+    from ..operators.dedup import md5_bucket
+
+    a = io.load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("bal"),
+    )
+    drift = (
+        md5_bucket(F.col("c_custkey").cast("string"), salt="drift|")
+        % RB_DRIFT
+        == 0
+    )
+    b = a.filter(
+        md5_bucket(F.col("c_custkey").cast("string"), salt="drop|")
+        % RB_DROP
+        != 0
+    ).select(
+        "c_custkey",
+        F.when(drift, F.col("bal") + 1).otherwise(F.col("bal")).alias("bal"),
+    )
+
+    def fingerprints(df, n_col, h_col):
+        bucket = (
+            md5_bucket(F.col("c_custkey").cast("string"), salt="rb|")
+            % RB_BUCKETS
+        )
+        rowhash = md5_bucket(
+            F.concat(
+                F.col("c_custkey").cast("string"),
+                F.lit("|"),
+                F.col("bal").cast("string"),
+            )
+        )
+        return (
+            df.select(bucket.alias("bucket"), rowhash.alias("rh"))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").cast("bigint").alias(n_col),
+                F.coalesce(F.expr("bit_xor(rh)"), F.lit(0))
+                .cast("bigint")
+                .alias(h_col),
+            )
+        )
+
+    fa = fingerprints(a, "n_a", "h_a")
+    fb = fingerprints(b, "n_b", "h_b")
+    return fa.join(fb, "bucket", "left").select(
+        "bucket",
+        "n_a",
+        F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        (
+            (F.col("n_a") != F.coalesce("n_b", F.lit(0)))
+            | (F.col("h_a") != F.coalesce("h_b", F.lit(0)))
+        ).alias("divergent"),
+    )

@@ -611,3 +611,184 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").select(
         "event_type", "filled", "hll_estimate", "n_exact"
     )
+
+
+# --- streaming incremental JOIN-view maintenance ----------------------------
+
+_DJ_SCHEMA = "custkey bigint, rev_cents bigint"
+_DJ_BATCHES = 3
+
+
+def _delta_join_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """The late-arriving fact batches of q_delta_join_view
+    (o_orderkey % LATE_MOD == 0) split into {_DJ_BATCHES} single-file
+    parquet batches by orderkey residue — each order lands in exactly
+    one batch, and the maintained view is a sum, so the drained result
+    is independent of micro-batch arrival order."""
+    import os
+
+    from .. import io
+    from .relational import LATE_MOD
+
+    root = f"/tmp/spark_graft_dj_{io.fixture_tag(sf_dir, 'orders')}_v1"
+    out = os.path.join(root, "changes")
+    done = os.path.join(root, ".changes_complete")
+    if os.path.exists(done):
+        return root
+    o = io.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % LATE_MOD == 0
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    for i in range(_DJ_BATCHES):
+        (
+            o.filter(
+                F.expr(
+                    f"(o_orderkey div {LATE_MOD}) % {_DJ_BATCHES} = {i}"
+                )
+            )
+            .select(
+                F.col("o_custkey").alias("custkey"),
+                cents.alias("rev_cents"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out)
+        )
+    open(done, "w").close()
+    return root
+
+
+@register(
+    "q_stream_delta_join",
+    oracle="""
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+)
+def q_stream_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental JOIN-view maintenance — the streaming cell
+    of the IVM matrix (q_incremental_agg maintains a single-table agg,
+    q_delta_join_view a join view under a one-shot batch; this keeps
+    the SAME per-nation orders ⋈ customer matview current as fact
+    batches ARRIVE): a maxFilesPerTrigger=1 file stream delivers the
+    late-order batches, and foreachBatch folds each one's signed delta
+    contribution into a versioned 25-row view table (read view_v{b},
+    add the batch's per-nation deltas, overwrite view_v{b+1} — the
+    q_stream_cdc_merge versioning, so checkpoint replays rewrite their
+    own version instead of double-counting). The delta comes from the
+    GENERAL operator (incremental.delta_join with an empty dimension
+    delta): Catalyst's empty-relation propagation folds the A⋈ΔB and
+    ΔA⋈ΔB terms away at plan time, so the general algebra costs
+    exactly the specialized ΔA⋈B join. The oracle is the full
+    recompute over ALL orders — base and streamed batches — joined to
+    customer, so the gate proves base-view + streamed deltas ≡
+    recomputation.
+
+    Scale: per micro-batch one batch×dimension equi-join (batch side
+    broadcasts) + a groups-sized rewrite; the fact table is never
+    rescanned after the initial view build."""
+    import os
+
+    from .. import io
+    from ..operators.incremental import delta_join
+    from .relational import LATE_MOD
+
+    root = _delta_join_fixture(spark, sf_dir)
+    final_marker = os.path.join(root, ".view_final")
+
+    cust = io.load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+
+    if not os.path.exists(final_marker):
+        view0_dir = os.path.join(root, "view_v0")
+        if not os.path.exists(os.path.join(view0_dir, "_SUCCESS")):
+            cents = F.floor(
+                F.col("o_totalprice") * 100 + F.lit(0.5)
+            ).cast("bigint")
+            base_a = (
+                io.load_table(spark, sf_dir, "orders")
+                .filter(F.col("o_orderkey") % LATE_MOD != 0)
+                .select(
+                    F.col("o_custkey").alias("custkey"),
+                    cents.alias("rev_cents"),
+                )
+            )
+            (
+                base_a.join(cust, "custkey")
+                .groupBy("c_nationkey")
+                .agg(
+                    F.count("*").cast("bigint").alias("n_orders"),
+                    F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
+                )
+                .write.mode("overwrite")
+                .parquet(view0_dir)
+            )
+
+        empty_a = spark.createDataFrame([], _DJ_SCHEMA)
+        empty_db = spark.createDataFrame(
+            [], "custkey bigint, c_nationkey bigint, _w bigint"
+        )
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            da = batch_df.withColumn("_w", F.lit(1).cast("bigint"))
+            dv = delta_join(empty_a, da, cust, empty_db, key="custkey")
+            dvagg = dv.groupBy("c_nationkey").agg(
+                F.sum("_w").cast("bigint").alias("dn"),
+                F.sum(F.col("_w") * F.col("rev_cents"))
+                .cast("bigint")
+                .alias("dm"),
+            )
+            cur = spark.read.parquet(
+                os.path.join(root, f"view_v{batch_id}")
+            )
+            merged = cur.join(dvagg, "c_nationkey", "full_outer").select(
+                "c_nationkey",
+                (
+                    F.coalesce("n_orders", F.lit(0))
+                    + F.coalesce("dn", F.lit(0))
+                )
+                .cast("bigint")
+                .alias("n_orders"),
+                (
+                    F.coalesce("revenue_cents", F.lit(0))
+                    + F.coalesce("dm", F.lit(0))
+                )
+                .cast("bigint")
+                .alias("revenue_cents"),
+            )
+            merged.write.mode("overwrite").parquet(
+                os.path.join(root, f"view_v{batch_id + 1}")
+            )
+
+        stream = (
+            spark.readStream.schema(_DJ_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(root, "changes"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        latest = max(
+            int(d.rsplit("_v", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("view_v")
+            and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+        )
+        with open(final_marker, "w") as f:
+            f.write(str(latest))
+
+    latest = int(open(final_marker).read())
+    return spark.read.parquet(
+        os.path.join(root, f"view_v{latest}")
+    ).filter(F.col("n_orders") > 0)

@@ -945,3 +945,85 @@ def q_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+# --- dictionary encoding (token -> dense id) ---------------------------------
+
+VOCAB_TOP = 4096  # dense ids 1..N by (df DESC, token); everything else OOV=0
+
+
+@register(
+    "q_vocab_encode",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok,
+         generate_subscripts({_TOKS}, 1) AS pos
+  FROM documents
+),
+vocab AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY count(*) DESC, tok) AS BIGINT)
+           AS token_id
+  FROM tok GROUP BY tok
+  QUALIFY token_id <= {VOCAB_TOP}
+),
+enc AS (
+  SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS token_id
+  FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(CASE WHEN token_id = 0 THEN 1 END) AS BIGINT) AS n_oov,
+       CAST(sum(token_id) AS BIGINT) AS id_sum,
+       CAST(bit_xor((token_id + 1) * pos) AS BIGINT) AS id_pos_xor
+FROM enc GROUP BY 1
+""",
+)
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary encoding — the string→dense-int compression every
+    shuffle-heavy text pipeline should run FIRST (ids shuffle in 8
+    bytes; the strings they replace average far more, and downstream
+    joins/aggs on ids stay in codegen integer compares): global
+    frequency ranking assigns ids 1..{VOCAB_TOP} by (count DESC,
+    token) — deterministic total order, so any engine builds the
+    IDENTICAL dictionary — and everything rarer maps to the OOV id 0.
+    Per-document audit: token/OOV counts, id sum, and a
+    position-weighted xor that proves the SEQUENCE of assigned ids
+    (not just the multiset) matches across engines.
+
+    Scale: the dictionary build is one partial-agg'd token count + a
+    top-{VOCAB_TOP} rank (TakeOrdered-sized); encoding is a broadcast
+    left join of the dictionary against the token stream — the corpus
+    never shuffles as strings at all."""
+    from pyspark.sql.window import Window as W
+
+    from ..functions import text as TXF
+
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(TXF.tokens(F.lower(F.col("text")))).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    # lower() above mirrors _TOKS; tokens() already trims
+    w = F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("tok")))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("token_id", w.cast("bigint"))
+        .filter(F.col("token_id") <= VOCAB_TOP)
+        .select("tok", "token_id")
+    )
+    enc = tok.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("token_id", F.lit(0)).cast("bigint").alias("token_id"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.count(F.when(F.col("token_id") == 0, 1))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.sum("token_id").cast("bigint").alias("id_sum"),
+        F.expr("bit_xor((token_id + 1) * pos)")
+        .cast("bigint")
+        .alias("id_pos_xor"),
+    )

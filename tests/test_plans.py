@@ -44,6 +44,8 @@ ALLOWED_CROSS = {
     "q_token_pmi",  # 1-row corpus-count broadcast onto the pair table
     "q_bpe_merge_apply",  # 1-row winning-pair broadcast onto the token scan
     "q_curation_pipeline",  # embeds q_semdedup's K-row centroid broadcast
+    "q_semdedup_balance",  # K-row coarse-centroid broadcast (kmeans.assign)
+    "q_takedown_propagation",  # 1-row before-count x 1-row deleted-count audits
 }
 
 # Streaming memory-sink queries execute eagerly on construction; the
@@ -60,6 +62,7 @@ STREAMING = {
     "q_stream_cdc_merge",
     "q_stream_cdc_mor",
     "q_stream_hll",
+    "q_stream_delta_join",
 }
 
 # The docx queries materialize a 500-file fixture corpus first — slow to

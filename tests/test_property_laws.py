@@ -300,3 +300,77 @@ def test_zorder_pruning_lossless_and_dominates_1d_sort(spark, tmp_path, data):
     assert scanned_counts[("z", "b")] < n_files
     # (3) the z layout also prunes a-bands (the 1-D sort's home turf)
     assert scanned_counts[("z", "a")] < n_files
+
+
+# --- join-view delta law (operators/incremental.delta_join) ----------------
+
+_ROW_A = st.tuples(st.integers(0, 3), st.integers(0, 2))  # (key, payload_a)
+_ROW_B = st.tuples(st.integers(0, 3), st.integers(0, 2))  # (key, payload_b)
+_W = st.integers(min_value=-2, max_value=2).filter(lambda w: w != 0)
+
+
+def _zjoin_model(a: dict, b: dict) -> dict:
+    """Pure-Python Z-relation join: weights multiply, zeros drop."""
+    out: dict = {}
+    for (ka, pa), wa in a.items():
+        for (kb, pb), wb in b.items():
+            if ka == kb:
+                row = (ka, pa, pb)
+                out[row] = out.get(row, 0) + wa * wb
+    return {r: w for r, w in out.items() if w != 0}
+
+
+def _zapply_model(rel: dict, delta: dict) -> dict:
+    out = dict(rel)
+    for r, w in delta.items():
+        out[r] = out.get(r, 0) + w
+    return {r: w for r, w in out.items() if w != 0}
+
+
+@given(
+    a=st.sets(_ROW_A, max_size=6),
+    b=st.sets(_ROW_B, max_size=6),
+    da=st.dictionaries(_ROW_A, _W, max_size=4),
+    db=st.dictionaries(_ROW_B, _W, max_size=4),
+)
+@_SETTINGS
+def test_delta_join_bilinearity(spark, a, b, da, db):
+    """The IVM identity behind q_delta_join_view, on arbitrary
+    Z-relations: applying delta_join's signed delta to the old join
+    view equals re-joining the post-change sides — including retracts
+    of rows that were never present (negative weights must flow through
+    the algebra, not be clamped)."""
+    from etl_ai_assistent_spark.operators.incremental import (
+        apply_delta,
+        delta_join,
+    )
+
+    a_df = spark.createDataFrame(
+        [(k, p) for k, p in a] or [], "k int, pa int"
+    )
+    b_df = spark.createDataFrame(
+        [(k, p) for k, p in b] or [], "k int, pb int"
+    )
+    da_df = spark.createDataFrame(
+        [(k, p, w) for (k, p), w in da.items()] or [],
+        "k int, pa int, _w bigint",
+    )
+    db_df = spark.createDataFrame(
+        [(k, p, w) for (k, p), w in db.items()] or [],
+        "k int, pb int, _w bigint",
+    )
+    view0 = (
+        a_df.join(b_df, "k")
+        .groupBy("k", "pa", "pb")
+        .agg(F.count("*").cast("bigint").alias("_w"))
+    )
+    dv = delta_join(a_df, da_df, b_df, db_df, key="k")
+    got = {
+        (r["k"], r["pa"], r["pb"]): r["_w"]
+        for r in apply_delta(view0, dv).collect()
+    }
+
+    a_z = {r: 1 for r in a}
+    b_z = {r: 1 for r in b}
+    want = _zjoin_model(_zapply_model(a_z, da), _zapply_model(b_z, db))
+    assert got == want
