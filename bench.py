@@ -148,6 +148,9 @@ HEADLINE = [
     "q_table_repair",
     "q_vocab_encode",
     "q_weighted_sample",
+    # round-7: banded interval-overlap join, deterministic epoch shuffle
+    "q_interval_join",
+    "q_epoch_shuffle",
 ]
 
 # ANN serving/recall queries whose FIRST run in this process pays the

@@ -873,3 +873,90 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sampled_id_xor"),
     )
+
+
+# --- deterministic epoch shuffle (training-order manifests) ------------------
+
+N_EPOCHS = 2
+EPOCH_SHARD = 256  # consecutive positions per shard in the epoch order
+
+
+@register(
+    "q_epoch_shuffle",
+    oracle=f"""
+WITH ep AS (
+  SELECT e.epoch, d.doc_id,
+         md5('epoch|' || CAST(e.epoch AS VARCHAR) || '|'
+             || CAST(d.doc_id AS VARCHAR)) AS h
+  FROM documents d,
+       (SELECT unnest(generate_series(0, {N_EPOCHS - 1})) AS epoch) e
+),
+pos AS (
+  SELECT epoch, doc_id,
+         CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+              AS BIGINT) AS pos
+  FROM ep
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CAST((pos - 1) // {EPOCH_SHARD} AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(bit_xor(doc_id * pos) AS BIGINT) AS order_xor,
+       CAST(min(pos) AS BIGINT) AS first_pos,
+       CAST(max(pos) AS BIGINT) AS last_pos
+FROM pos GROUP BY 1, 2
+""",
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffling — the training-order manifest:
+    every epoch reads the corpus in a DIFFERENT pseudorandom
+    permutation, yet the permutation is a pure function of
+    (epoch, doc_id) via an md5 sort key, so any engine, any
+    partitioning, and any restart reproduces byte-identical epoch
+    manifests with zero RNG state (the data-loader determinism
+    contract large training runs require for resumability). Positions
+    chunk into {EPOCH_SHARD}-doc shards; the per-shard
+    position-weighted xor pins the exact ORDER, not just membership.
+
+    Scale: one range exchange per epoch (row_number over the hash key
+    — Spark's sort path); at petabyte scale the same key instead
+    hash-buckets into shard files directly (bucket = hash prefix) and
+    sorts within shards, keeping the global-sort barrier out — the
+    manifest stays identical because the key, not the plan, defines
+    the order."""
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id")
+    ep = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(N_EPOCHS)])
+        ).alias("epoch"),
+    ).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit("epoch|"),
+                F.col("epoch").cast("string"),
+                F.lit("|"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    from pyspark.sql.window import Window as W
+
+    pos = ep.select(
+        "epoch",
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("epoch").orderBy("h", "doc_id"))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    return pos.groupBy(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        F.expr(f"(pos - 1) div {EPOCH_SHARD}").cast("bigint").alias("shard_id"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr("bit_xor(doc_id * pos)").cast("bigint").alias("order_xor"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+        F.max("pos").cast("bigint").alias("last_pos"),
+    )

@@ -991,3 +991,159 @@ def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().alias("is_gap"),
         )
     )
+
+
+# --- interval-overlap join via day banding -----------------------------------
+
+_SESS_CTES = f"""
+e AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+                   OR ts_s - lag(ts_s) OVER w > {SESSION_GAP_S}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         min(ts_s) AS start_s, max(ts_s) AS end_s
+  FROM sess GROUP BY user_id, session_id
+)"""
+
+DAY_S = 86400
+PROMO_DAYS = 2  # each promo window spans [day_i, day_i + 2 days]
+
+
+@register(
+    "q_interval_join",
+    oracle=f"""
+WITH {_SESS_CTES},
+b AS (
+  SELECT min(start_s) // {DAY_S} AS d0, max(end_s) // {DAY_S} AS d1
+  FROM sessions
+),
+promos AS (
+  SELECT CAST(i AS BIGINT) AS promo_id,
+         (d0 + i) * {DAY_S} AS p_start_s,
+         (d0 + i + {PROMO_DAYS}) * {DAY_S} AS p_end_s
+  FROM b, unnest(generate_series(0, CAST(d1 - d0 AS BIGINT))) t(i)
+),
+joined AS (
+  SELECT p.promo_id, p.p_start_s, s.user_id,
+         least(s.end_s, p.p_end_s) - greatest(s.start_s, p.p_start_s) AS ov
+  FROM promos p JOIN sessions s
+    ON s.start_s <= p.p_end_s AND p.p_start_s <= s.end_s
+)
+SELECT promo_id, p_start_s,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(ov) AS BIGINT) AS total_overlap_s
+FROM joined GROUP BY 1, 2
+""",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join at scale — the operator Spark has no
+    native strategy for (a raw `ON a.start <= b.end AND b.start <=
+    a.end` theta join is a nested-loop cartesian): user sessions
+    (gap-sessionized, same recipe as q_sessionize) joined to
+    overlapping {PROMO_DAYS}-day promo windows by DAY BANDING — both
+    interval sets explode to the day buckets they cover
+    (sequence+explode, codegen), candidates meet in an ordinary hash
+    EQUI-join on the day, duplicates from multi-day spans collapse via
+    the pre-aggregated pair row, and the exact overlap predicate
+    verifies candidates. The oracle runs the naive theta join, so the
+    gate proves the banding rewrite finds exactly the overlap set.
+
+    Scale: cost is Σ days-covered per interval (sessions ≈ 1-2
+    buckets, promos {PROMO_DAYS}+1) instead of |sessions|×|promos|;
+    the band width is the classic selectivity/duplication knob.
+    Promo windows derive from the sessions' own day span entirely
+    in-plan (1-row bounds, sequence explode — no driver action, no
+    literal dates)."""
+    e = _events_s(spark, sf_dir)
+    sessions = (
+        sessionize(
+            e,
+            key="user_id",
+            ts="ts_s",
+            gap=SESSION_GAP_S,
+            order_tiebreak="event_id",
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_s").alias("start_s"),
+            F.max("ts_s").alias("end_s"),
+        )
+        # feeds THREE branches (bounds agg → promos, plus the banded
+        # join side) — persist or the sessionize window executes per
+        # branch
+        .persist()
+    )
+    b = sessions.agg(
+        F.expr(f"min(start_s) div {DAY_S}").alias("d0"),
+        F.expr(f"max(end_s) div {DAY_S}").alias("d1"),
+    )
+    promos = b.select(
+        F.posexplode(F.sequence(F.lit(0), (F.col("d1") - F.col("d0")).cast("int"))).alias("promo_id", "i"),
+        "d0",
+    ).select(
+        F.col("promo_id").cast("bigint").alias("promo_id"),
+        ((F.col("d0") + F.col("i")) * DAY_S).cast("bigint").alias("p_start_s"),
+        ((F.col("d0") + F.col("i") + PROMO_DAYS) * DAY_S)
+        .cast("bigint")
+        .alias("p_end_s"),
+    )
+    p_banded = promos.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"p_start_s div {DAY_S}"),
+                F.expr(f"p_end_s div {DAY_S}"),
+            )
+        ).alias("day"),
+    )
+    s_banded = sessions.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_s div {DAY_S}"), F.expr(f"end_s div {DAY_S}")
+            )
+        ).alias("day"),
+    )
+    pairs = (
+        p_banded.join(s_banded, "day")
+        .filter(
+            (F.col("start_s") <= F.col("p_end_s"))
+            & (F.col("p_start_s") <= F.col("end_s"))
+        )
+        # one row per (promo, session) regardless of shared-band count
+        .select(
+            "promo_id",
+            "p_start_s",
+            "p_end_s",
+            "user_id",
+            "session_id",
+            "start_s",
+            "end_s",
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "promo_id",
+        "p_start_s",
+        "user_id",
+        (
+            F.least("end_s", "p_end_s") - F.greatest("start_s", "p_start_s")
+        ).alias("ov"),
+    ).groupBy("promo_id", "p_start_s").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("ov").cast("bigint").alias("total_overlap_s"),
+    )
