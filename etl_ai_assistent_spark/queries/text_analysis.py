@@ -1003,13 +1003,18 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(TXF.tokens(F.lower(F.col("text")))).alias("pos0", "tok"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    # lower() above mirrors _TOKS; tokens() already trims
+    # lower() above mirrors _TOKS; tokens() already trims.
+    # TakeOrdered-limit FIRST, then rank: a bare row_number window over
+    # the full vocabulary would drag every distinct token through one
+    # partition — the limit bounds the single-partition sort to
+    # VOCAB_TOP rows no matter how large the corpus vocabulary grows
     w = F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("tok")))
     vocab = (
         tok.groupBy("tok")
         .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(VOCAB_TOP)
         .withColumn("token_id", w.cast("bigint"))
-        .filter(F.col("token_id") <= VOCAB_TOP)
         .select("tok", "token_id")
     )
     enc = tok.join(F.broadcast(vocab), "tok", "left").select(
