@@ -148,9 +148,11 @@ HEADLINE = [
     "q_table_repair",
     "q_vocab_encode",
     "q_weighted_sample",
-    # round-7: banded interval-overlap join, deterministic epoch shuffle
+    # round-7: banded interval-overlap join, deterministic epoch shuffle,
+    # reciprocal-rank fusion (hybrid lexical+vector retrieval)
     "q_interval_join",
     "q_epoch_shuffle",
+    "q_rag_fusion",
 ]
 
 # ANN serving/recall queries whose FIRST run in this process pays the

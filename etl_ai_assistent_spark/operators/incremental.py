@@ -171,3 +171,15 @@ def apply_delta(
         .agg(F.sum(weight_col).cast("bigint").alias(weight_col))
         .filter(F.col(weight_col) != 0)
     )
+
+
+def empty_delta(spark, schema: str) -> DataFrame:
+    """A KNOWN-empty delta relation (LocalRelation <empty>, not an
+    RDD-backed empty DataFrame): Catalyst's PropagateEmptyRelation can
+    only erase join terms whose emptiness is visible in the plan —
+    `createDataFrame([], schema)` produces a LogicalRDD that defeats
+    the rule, while a LocalRelation.limit(0) folds, so delta_join with
+    an empty side costs exactly the non-empty terms
+    (tests/test_incremental.py pins both facts)."""
+    row = tuple(None for _ in schema.split(","))
+    return spark.createDataFrame([row], schema).limit(0)

@@ -494,6 +494,15 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting lists, document length and df attach by equi-join, and the
     corpus stats (N, avgdl) ride a 1-row broadcast — the same bounded
     join set as q_tfidf_retrieval with one extra doc-keyed join."""
+    ranked = _bm25_ranked(spark, sf_dir)
+    return ranked.filter(F.col("rank") <= TOP_K).select(
+        "probe_id", "rank", "doc_id", "score_scaled"
+    )
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(probe_id, doc_id, score_scaled, rank) — the full BM25 ranking,
+    shared by q_bm25_retrieval (top-5) and q_rag_fusion (depth-20)."""
     doc_tf, probe_tf = _doc_probe_tf(spark, sf_dir)
     dl = doc_tf.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("dl"))
     stats = dl.agg(
@@ -525,11 +534,7 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("score_scaled"), F.asc("doc_id")
     )
-    return (
-        bm.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("probe_id", "rank", "doc_id", "score_scaled")
-    )
+    return bm.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 # --- LLM-judged per-row metrics (the RAGAS dataset scorer seam) ------------
@@ -672,5 +677,131 @@ def q_testset_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice("tok", 3, 10), " ").alias("question"),
             F.col("text").alias("ground_truth"),
             F.size("tok").cast("bigint").alias("n_source_tokens"),
+        )
+    )
+
+
+# --- reciprocal rank fusion (hybrid retrieval) ------------------------------
+
+RRF_K = 60          # the standard RRF dampening constant
+RRF_DEPTH = 20      # fuse the top-20 from each ranker
+RRF_SCALE = 10_000_000  # integer 1/(k+rank): floor(SCALE/(RRF_K+rank))
+
+_BM25_RANKED_CTES = f"""
+dl AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl FROM doc_tf GROUP BY 1
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) // count(*) AS BIGINT) AS avgdl
+  FROM dl
+),
+dfr AS (
+  SELECT tok_h, CAST(count(*) AS BIGINT) AS dfb FROM doc_tf GROUP BY 1
+),
+term_scores AS (
+  SELECT p.probe_id, d.doc_id,
+         CAST(({BM25_SCALE}::BIGINT * (s.n_docs + 1) * 44 * p.c * d.c * s.avgdl)
+              // ((f.dfb + 1) * (20 * d.c * s.avgdl + 6 * s.avgdl + 18 * l.dl))
+              AS BIGINT) AS ts
+  FROM probe_tf p
+  JOIN doc_tf d ON d.tok_h = p.tok_h
+  JOIN dfr f ON f.tok_h = p.tok_h
+  JOIN dl l ON l.doc_id = d.doc_id
+  CROSS JOIN stats s
+),
+bm_ranked AS (
+  SELECT probe_id, doc_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY sum_ts DESC, doc_id) AS rank
+  FROM (SELECT probe_id, doc_id, CAST(sum(ts) AS BIGINT) AS sum_ts
+        FROM term_scores GROUP BY 1, 2)
+)"""
+
+
+@register(
+    "q_rag_fusion",
+    oracle=f"""
+WITH {_SCORED_CTES},
+{_BM25_RANKED_CTES},
+cands AS (
+  SELECT coalesce(b.probe_id, c.probe_id) AS probe_id,
+         coalesce(b.doc_id, c.doc_id) AS doc_id,
+         coalesce(b.rank, 0) AS bm25_rank,
+         coalesce(c.rank, 0) AS cos_rank,
+         (CASE WHEN b.rank IS NULL THEN 0
+               ELSE {RRF_SCALE} // ({RRF_K} + b.rank) END)
+         + (CASE WHEN c.rank IS NULL THEN 0
+                 ELSE {RRF_SCALE} // ({RRF_K} + c.rank) END) AS fused
+  FROM (SELECT * FROM bm_ranked WHERE rank <= {RRF_DEPTH}) b
+  FULL OUTER JOIN
+       (SELECT probe_id, doc_id, rank FROM scored
+        WHERE rank <= {RRF_DEPTH}) c
+    ON b.probe_id = c.probe_id AND b.doc_id = c.doc_id
+)
+SELECT probe_id, CAST(rank AS INT) AS rank, doc_id,
+       CAST(fused AS BIGINT) AS fused_score,
+       CAST(bm25_rank AS INT) AS bm25_rank,
+       CAST(cos_rank AS INT) AS cos_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY fused DESC, doc_id) AS rank
+  FROM cands
+)
+WHERE rank <= {TOP_K}
+""",
+)
+def q_rag_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion — the standard hybrid-retrieval combiner
+    (Cormack et al. 2009, what production search uses to merge lexical
+    and vector rankers without score calibration): top-{RRF_DEPTH}
+    BM25 and top-{RRF_DEPTH} TF-cosine lists merge per probe on a
+    FULL OUTER (probe, doc) join, each presence contributing
+    floor({RRF_SCALE}/({RRF_K}+rank)) — rank-only, so the two rankers'
+    incomparable score scales never touch — and the fused list
+    re-ranks by (fused DESC, doc_id). Integer floor-division keeps the
+    fusion bit-identical across engines (the float 1/(k+r) would be,
+    too, but the integer form needs no rounding discipline at all).
+
+    Scale: both input rankings come off the SAME persisted posting
+    index (_doc_probe_tf) — the fusion itself touches only
+    2·{RRF_DEPTH} rows per probe, so the combiner costs nothing
+    against the rankers it merges; rankers can be added by union
+    rather than schema change."""
+    bm = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= RRF_DEPTH)
+    cos = (
+        _scored(spark, sf_dir)
+        .filter(F.col("rank") <= RRF_DEPTH)
+        .select("probe_id", "doc_id", F.col("rank").alias("cos_rank"))
+    )
+    b = bm.select("probe_id", "doc_id", F.col("rank").alias("bm25_rank"))
+    rrf = F.lit(RRF_SCALE)
+    cands = b.join(cos, ["probe_id", "doc_id"], "full_outer").select(
+        "probe_id",
+        "doc_id",
+        F.coalesce("bm25_rank", F.lit(0)).cast("int").alias("bm25_rank"),
+        F.coalesce("cos_rank", F.lit(0)).cast("int").alias("cos_rank"),
+        (
+            F.when(
+                F.col("bm25_rank").isNotNull(),
+                F.expr(f"{RRF_SCALE} div ({RRF_K} + bm25_rank)"),
+            ).otherwise(F.lit(0))
+            + F.when(
+                F.col("cos_rank").isNotNull(),
+                F.expr(f"{RRF_SCALE} div ({RRF_K} + cos_rank)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("fused_score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("fused_score"), F.asc("doc_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id", "rank", "doc_id", "fused_score", "bm25_rank",
+            "cos_rank",
         )
     )

@@ -729,9 +729,11 @@ def q_stream_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .parquet(view0_dir)
             )
 
-        empty_a = spark.createDataFrame([], _DJ_SCHEMA)
-        empty_db = spark.createDataFrame(
-            [], "custkey bigint, c_nationkey bigint, _w bigint"
+        from ..operators.incremental import empty_delta
+
+        empty_a = empty_delta(spark, _DJ_SCHEMA)
+        empty_db = empty_delta(
+            spark, "custkey bigint, c_nationkey bigint, _w bigint"
         )
 
         def apply_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -78,3 +78,33 @@ def test_upsert_fallthrough_and_noop_delete(spark):
         ],
     )
     assert got == {("a", 2, 30), ("b", 2, 70), ("c", 2, 120)}
+
+
+def test_delta_join_empty_terms_fold_away(spark):
+    """q_stream_delta_join's claim: calling the GENERAL delta_join with
+    empty deltas costs nothing extra — Catalyst's empty-relation
+    propagation erases the A⋈ΔB and ΔA⋈ΔB terms, leaving exactly ONE
+    join (ΔA⋈B) in the optimized plan."""
+    from pyspark.sql import functions as F
+
+    from etl_ai_assistent_spark.operators.incremental import (
+        delta_join,
+        empty_delta,
+    )
+
+    a = empty_delta(spark, "k int, pa int")
+    da = spark.createDataFrame([(1, 10, 1)], "k int, pa int, _w bigint")
+    b = spark.createDataFrame([(1, 7)], "k int, pb int")
+    db = empty_delta(spark, "k int, pb int, _w bigint")
+    dv = delta_join(a, da, b, db, key="k")
+    plan = dv._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 1, plan
+    assert [tuple(r) for r in dv.select("k", "pa", "pb", "_w").collect()] == [
+        (1, 10, 7, 1)
+    ]
+    # and the trap the helper exists for: an RDD-backed empty DataFrame
+    # is NOT visibly empty, so the rule cannot fire
+    a_rdd = spark.createDataFrame([], "k int, pa int")
+    db_rdd = spark.createDataFrame([], "k int, pb int, _w bigint")
+    dv_rdd = delta_join(a_rdd, da, b, db_rdd, key="k")
+    assert dv_rdd._jdf.queryExecution().optimizedPlan().toString().count("Join") == 3

@@ -357,3 +357,16 @@ def test_bpe_merge_replace_semantics_cross_engine(spark):
             "select replace(?, ' a a ', ' aa ')", [row["s"]]
         ).fetchone()[0]
         assert row["r"] == py == duck, (row["s"], row["r"], py, duck)
+
+
+def test_vocab_ranking_is_a_bounded_sort(spark, sf_small):
+    """q_vocab_encode's dictionary build must not global-sort the whole
+    vocabulary through one partition: the limit keeps the single-
+    partition window input at VOCAB_TOP rows, visible in the plan as a
+    TakeOrderedAndProject (or a LocalLimit under AQE) feeding the
+    rank."""
+    from etl_ai_assistent_spark.queries.text_analysis import q_vocab_encode
+
+    df = q_vocab_encode(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan, plan
