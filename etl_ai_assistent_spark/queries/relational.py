@@ -1302,3 +1302,179 @@ def q_order_waiters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(WAIT_TOPN)
     )
+
+
+# --- TPC-H Q13 shape: outer-join count distribution ------------------------
+
+@register(
+    "q_order_count_distribution",
+    oracle="""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(coalesce(o.n_orders, 0) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN (
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY o_custkey
+  ) o ON o.o_custkey = c.c_custkey
+)
+GROUP BY c_count
+""",
+)
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed exactly k non-urgent orders, INCLUDING the zero bucket —
+    the outer-join-then-double-aggregate pattern, where the filter
+    lives in the ON clause (equivalently, pre-applied to the orders
+    side) so filtered-out customers still appear with count 0, which
+    a WHERE after the join would silently drop.
+
+    Scale: the textbook plan outer-joins raw orders onto customer and
+    counts after — shuffling every order row keyed by customer. Here
+    orders is pre-aggregated to ONE row per customer first (partial
+    agg combines map-side), so the outer join carries |customers|
+    rows on each side, and the second aggregate's input is exactly
+    |customers| rows collapsing to a few dozen count buckets. Both
+    shuffles are on already-collapsed data; the priority filter pushes
+    to the parquet scan."""
+    c = io.load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        io.load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    counts = c.join(
+        per_cust, c.c_custkey == per_cust.o_custkey, "left_outer"
+    ).select(
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("c_count")
+    )
+    return counts.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
+# --- TPC-H Q18 shape: aggregate semi-join (large-quantity orders) ----------
+
+BULK_QTY = 250  # sum(l_quantity) threshold; non-empty at every test sf
+
+
+@register(
+    "q_bulk_orders",
+    oracle=f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(b.sum_qty AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > {BULK_QTY}
+) b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def q_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): customers whose order
+    totals more than {BULK_QTY} units. The textbook form is
+    `o_orderkey IN (SELECT l_orderkey ... HAVING sum > N)` — an
+    aggregate-driven semi-join; here the HAVING aggregate IS the
+    driving table and the quantity rides along, so the subquery is
+    joined once instead of evaluated as a separate semi-join pass.
+
+    Scale: lineitem collapses to per-order sums first (map-side
+    partial agg, one shuffle on l_orderkey); the HAVING filter cuts
+    that to the rare bulk orders (~1% of orders), so the joins against
+    orders and customer move only qualifying rows — AQE will convert
+    both to broadcasts at any scale where the filter is selective.
+    DECIMAL sums keep the threshold comparison and output exact."""
+    li = io.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    bulk = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > BULK_QTY)
+    )
+    o = io.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = io.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        bulk.join(o, bulk.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+# --- TPC-H Q15 shape: argmax against an aggregate (top supplier) -----------
+
+@register(
+    "q_top_revenue_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+           AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+FROM rev r
+JOIN (SELECT max(total_rev) AS mx FROM rev) m ON r.total_rev = m.mx
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+""",
+)
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) with maximum
+    quarterly revenue — TPC-H's create-view-then-self-compare, kept
+    tie-faithful: every supplier AT the max survives, as the spec
+    demands, rather than an arbitrary LIMIT 1.
+
+    Scale: revenue is one filtered scan + partial agg keyed on
+    suppkey (|suppliers| rows out); the max is a 1-row re-aggregation
+    of that small table, broadcast back as an equi-join on the EXACT
+    DECIMAL revenue (float equality would be a correctness landmine;
+    decimal equality is not), so no global sort and no single-
+    partition window appears anywhere. The shipdate band pushes to
+    the parquet scan."""
+    li = io.load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount", 3, 2)))
+            .alias("total_rev")
+        )
+        .persist()  # feeds both the max and the winner join
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = io.load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx.mx)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
