@@ -299,3 +299,54 @@ def fingerprint(text: Column | str, modulus: int = MERSENNE31) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, t: (acc * 31 + t) % modulus,
     )
+
+
+def shared_span_stats(docs: DataFrame, k: int) -> DataFrame:
+    """Cross-document repeated-span statistics: every overlapping
+    k-token span of every document is hashed (32-bit md5 prefix of the
+    joined tokens); a span present in >= 2 DISTINCT documents is
+    "shared". Returns one row per document with >= k tokens:
+    (doc_id, n_grams, n_shared, max_partners, shared_ppm). Input needs
+    (doc_id, text). The dataflow is the q_cross_doc_spans plan; see
+    that query's docstring for the scale analysis (stride-1 k-gram
+    hashing standing in for the ExactSubstr suffix array)."""
+    toks = TX.tokens(F.lower(F.col("text")))
+    base = docs.select("doc_id", toks.alias("tok")).filter(F.size("tok") >= k)
+    gram = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("tok") - k + 1),
+            lambda i: F.concat_ws(" ", F.slice("tok", i, k)),
+        )
+    )
+    grams = (
+        base.select("doc_id", gram.alias("gram"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("gram_h"),
+        )
+        .distinct()
+        .persist()  # feeds the frequency agg AND the join back
+    )
+    freq = grams.groupBy("gram_h").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    shared = F.col("n_docs") >= 2
+    return (
+        grams.join(freq, "gram_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.coalesce(F.count(F.when(shared, 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_shared"),
+            F.coalesce(F.max(F.when(shared, F.col("n_docs"))), F.lit(0))
+            .cast("bigint")
+            .alias("max_partners"),
+            F.expr(
+                "CAST(1000000 * count(CASE WHEN n_docs >= 2 THEN 1 END)"
+                " div count(*) AS BIGINT)"
+            ).alias("shared_ppm"),
+        )
+    )

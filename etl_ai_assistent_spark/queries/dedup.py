@@ -805,3 +805,65 @@ def q_semdedup_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_fraction_ppm column IS the measured Σ|c|²/n² saving."""
     _, a1 = _sem_assign(spark, sf_dir)
     return cluster_balance(a1)
+
+
+# --- cross-document repeated spans (ExactSubstr-style audit) ---------------
+
+CDS_K = 8  # tokens per span; Lee et al. use 50-token substrings at web scale
+
+
+@register(
+    "q_cross_doc_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS.strip()} AS tok FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS gram_h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(tok) - {CDS_K} + 1),
+                                 i -> array_to_string(tok[i:i+{CDS_K}-1], ' ')))
+             AS gram
+    FROM toks WHERE len(tok) >= {CDS_K}
+  )
+),
+freq AS (
+  SELECT gram_h, CAST(count(*) AS BIGINT) AS n_docs FROM grams GROUP BY 1
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(coalesce(count(*) FILTER (f.n_docs >= 2), 0) AS BIGINT) AS n_shared,
+       CAST(coalesce(max(f.n_docs) FILTER (f.n_docs >= 2), 0) AS BIGINT)
+         AS max_partners,
+       CAST(1000000 * count(*) FILTER (f.n_docs >= 2) // count(*) AS BIGINT)
+         AS shared_ppm
+FROM grams g JOIN freq f USING (gram_h)
+GROUP BY 1
+""",
+)
+def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span audit — the corpus-level exact-
+    substring duplication signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": boilerplate and
+    licence blocks repeat VERBATIM across documents that no whole-doc
+    or near-dup pass catches). Every overlapping {CDS_K}-token span is
+    hashed; a span seen in >= 2 DISTINCT documents is shared, and each
+    document reports its distinct-span count, shared-span count, the
+    widest fan-out (max_partners), and shared_ppm — the integer
+    fraction a span-level cleaner would rewrite. Complements
+    q_span_dedup, which is strictly INTRA-document.
+
+    Scale: the suffix-array construction of the paper is replaced by
+    the shuffle-native equivalent — stride-1 k-gram hashing. Span rows
+    are ~|tokens| per doc, deduped per (doc, span) map-side; the
+    frequency table is one partial-agg'd groupBy on the span hash, and
+    the join back fans each (doc, span) row to exactly ONE frequency
+    row, so total join volume is |distinct spans per doc| — never
+    quadratic. A boilerplate span shared by millions of docs makes a
+    hot reducer key bounded by its own doc count; salting the count
+    aggregation handles it, and the 32-bit span hash (collision-safe
+    at test scale) widens to 128-bit at corpus scale."""
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.shared_span_stats(docs, CDS_K)

@@ -711,7 +711,7 @@ term_scores AS (
   CROSS JOIN stats s
 ),
 bm_ranked AS (
-  SELECT probe_id, doc_id,
+  SELECT probe_id, doc_id, CAST(sum_ts AS BIGINT) AS score_scaled,
          row_number() OVER (PARTITION BY probe_id
                             ORDER BY sum_ts DESC, doc_id) AS rank
   FROM (SELECT probe_id, doc_id, CAST(sum(ts) AS BIGINT) AS sum_ts
@@ -768,27 +768,42 @@ def q_rag_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     2·{RRF_DEPTH} rows per probe, so the combiner costs nothing
     against the rankers it merges; rankers can be added by union
     rather than schema change."""
-    bm = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= RRF_DEPTH)
+    bm = (
+        _bm25_ranked(spark, sf_dir)
+        .filter(F.col("rank") <= RRF_DEPTH)
+        .select("probe_id", "doc_id", F.col("rank").alias("bm25_rank"))
+    )
     cos = (
         _scored(spark, sf_dir)
         .filter(F.col("rank") <= RRF_DEPTH)
         .select("probe_id", "doc_id", F.col("rank").alias("cos_rank"))
     )
-    b = bm.select("probe_id", "doc_id", F.col("rank").alias("bm25_rank"))
-    rrf = F.lit(RRF_SCALE)
-    cands = b.join(cos, ["probe_id", "doc_id"], "full_outer").select(
+    return rrf_fuse(bm, cos).filter(F.col("rank") <= TOP_K)
+
+
+def rrf_fuse(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fuse two per-probe rankings — (probe_id, doc_id, <name>_rank)
+    each — by reciprocal rank: floor({RRF_SCALE}/({RRF_K}+rank)) per
+    presence, full-outer on (probe, doc), re-ranked by (fused DESC,
+    doc_id). Rank columns must be named distinctly (e.g. bm25_rank /
+    cos_rank); absent entries contribute 0 and report rank 0.
+    Factored out of q_rag_fusion so the rank-only invariance law
+    (fusion ignores scores entirely) is testable on arbitrary
+    rankings (tests/test_property_laws.py)."""
+    ra, rb = a.columns[2], b.columns[2]
+    cands = a.join(b, ["probe_id", "doc_id"], "full_outer").select(
         "probe_id",
         "doc_id",
-        F.coalesce("bm25_rank", F.lit(0)).cast("int").alias("bm25_rank"),
-        F.coalesce("cos_rank", F.lit(0)).cast("int").alias("cos_rank"),
+        F.coalesce(ra, F.lit(0)).cast("int").alias(ra),
+        F.coalesce(rb, F.lit(0)).cast("int").alias(rb),
         (
             F.when(
-                F.col("bm25_rank").isNotNull(),
-                F.expr(f"{RRF_SCALE} div ({RRF_K} + bm25_rank)"),
+                F.col(ra).isNotNull(),
+                F.expr(f"{RRF_SCALE} div ({RRF_K} + {ra})"),
             ).otherwise(F.lit(0))
             + F.when(
-                F.col("cos_rank").isNotNull(),
-                F.expr(f"{RRF_SCALE} div ({RRF_K} + cos_rank)"),
+                F.col(rb).isNotNull(),
+                F.expr(f"{RRF_SCALE} div ({RRF_K} + {rb})"),
             ).otherwise(F.lit(0))
         )
         .cast("bigint")
@@ -797,11 +812,67 @@ def q_rag_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("fused_score"), F.asc("doc_id")
     )
-    return (
-        cands.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= TOP_K)
-        .select(
-            "probe_id", "rank", "doc_id", "fused_score", "bm25_rank",
-            "cos_rank",
+    return cands.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "probe_id", "rank", "doc_id", "fused_score", ra, rb
+    )
+
+
+# --- hard-negative mining (retriever training data) -------------------------
+
+HN_K = 5  # negatives mined per probe
+
+
+@register(
+    "q_hard_negatives",
+    oracle=f"""
+WITH {_SCORED_CTES},
+{_BM25_RANKED_CTES},
+gold AS (
+  SELECT probe_id, CAST(min(rank) AS INT) AS gold_rank
+  FROM bm_ranked WHERE doc_id = probe_id GROUP BY 1
+),
+negs AS (
+  SELECT probe_id, doc_id, score_scaled,
+         row_number() OVER (PARTITION BY probe_id ORDER BY rank) AS neg_rank
+  FROM bm_ranked
+  WHERE doc_id <> probe_id AND rank <= {HN_K + 1}
+)
+SELECT n.probe_id, CAST(n.neg_rank AS INT) AS neg_rank, n.doc_id,
+       n.score_scaled, g.gold_rank
+FROM negs n JOIN gold g ON g.probe_id = n.probe_id
+WHERE n.neg_rank <= {HN_K}
+""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the DPR/ANCE training-data op: for each
+    probe, the top-{HN_K} BM25-ranked documents that are NOT the gold
+    document (here gold = the probe's source doc, since probes are
+    token spans sliced from it), plus the gold's own rank as the
+    mining-quality signal (a gold ranked deep means the miner is
+    harvesting negatives harder than the positive — the label-noise
+    regime ANCE filters for).
+
+    Scale: one pass over the shared BM25 ranking (persisted — it feeds
+    the gold-rank branch and the negatives branch), candidates bounded
+    to rank <= {HN_K + 1} before the per-probe re-rank, and the gold
+    table is |probes| rows riding a broadcast join. Nothing here
+    touches the corpus beyond the posting-list joins the ranking
+    already did."""
+    full = _bm25_ranked(spark, sf_dir).persist()
+    gold = (
+        full.filter(F.col("doc_id") == F.col("probe_id"))
+        .groupBy("probe_id")
+        .agg(F.min("rank").cast("int").alias("gold_rank"))
+    )
+    wn = Window.partitionBy("probe_id").orderBy(F.asc("rank"))
+    negs = (
+        full.filter(
+            (F.col("doc_id") != F.col("probe_id"))
+            & (F.col("rank") <= HN_K + 1)
         )
+        .withColumn("neg_rank", F.row_number().over(wn).cast("int"))
+        .filter(F.col("neg_rank") <= HN_K)
+    )
+    return negs.join(F.broadcast(gold), "probe_id").select(
+        "probe_id", "neg_rank", "doc_id", "score_scaled", "gold_rank"
     )

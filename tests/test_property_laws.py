@@ -374,3 +374,87 @@ def test_delta_join_bilinearity(spark, a, b, da, db):
     b_z = {r: 1 for r in b}
     want = _zjoin_model(_zapply_model(a_z, da), _zapply_model(b_z, db))
     assert got == want
+
+
+# --- reciprocal rank fusion: rank-only fusion matches the pure model --------
+
+# per probe: a subset of docs each ranker saw, as a permutation order
+_DOCS = st.lists(
+    st.integers(min_value=0, max_value=14), unique=True, min_size=0, max_size=6
+)
+
+
+@given(docs_a=_DOCS, docs_b=_DOCS)
+@_SETTINGS
+def test_rrf_fusion_matches_model_and_ignores_scores(spark, docs_a, docs_b):
+    """rrf_fuse == the pure-Python RRF model on arbitrary rankings,
+    and (the law that makes RRF what it is) the result is a function
+    of RANKS ONLY — any score column a ranker carries never enters."""
+    from etl_ai_assistent_spark.queries.rag import RRF_K, RRF_SCALE, rrf_fuse
+
+    a_rows = [(0, d, r + 1) for r, d in enumerate(docs_a)]
+    b_rows = [(0, d, r + 1) for r, d in enumerate(docs_b)]
+    a = spark.createDataFrame(
+        a_rows or [], "probe_id bigint, doc_id bigint, a_rank int"
+    )
+    b = spark.createDataFrame(
+        b_rows or [], "probe_id bigint, doc_id bigint, b_rank int"
+    )
+    got = {
+        (r["doc_id"], r["rank"], r["fused_score"])
+        for r in rrf_fuse(a, b).collect()
+    }
+
+    ra = {d: r + 1 for r, d in enumerate(docs_a)}
+    rb = {d: r + 1 for r, d in enumerate(docs_b)}
+    fused = {
+        d: (RRF_SCALE // (RRF_K + ra[d]) if d in ra else 0)
+        + (RRF_SCALE // (RRF_K + rb[d]) if d in rb else 0)
+        for d in set(ra) | set(rb)
+    }
+    order = sorted(fused, key=lambda d: (-fused[d], d))
+    want = {(d, i + 1, fused[d]) for i, d in enumerate(order)}
+    assert got == want
+
+
+# --- cross-document spans: planted spans are found, unique text is clean ----
+
+@given(
+    lens=st.lists(st.integers(min_value=8, max_value=20), min_size=3, max_size=6),
+    plant_at=st.integers(min_value=0, max_value=5),
+    data=st.data(),
+)
+@_SETTINGS
+def test_shared_span_stats_finds_planted_spans_only(spark, lens, plant_at, data):
+    """Documents built from per-document-unique vocabularies share no
+    span by construction; planting one 8-token span verbatim into two
+    of them makes exactly those two report n_shared >= 1 with
+    max_partners == 2, and everyone else stays at zero."""
+    from etl_ai_assistent_spark.operators.dedup import shared_span_stats
+
+    k = 8
+    i, j = sorted(
+        data.draw(
+            st.lists(
+                st.integers(0, len(lens) - 1), min_size=2, max_size=2, unique=True
+            )
+        )
+    )
+    plant = " ".join(f"planted{t}" for t in range(k))
+    rows = []
+    for d, n in enumerate(lens):
+        toks = [f"d{d}w{t}" for t in range(n)]
+        if d in (i, j):
+            pos = min(plant_at, len(toks))
+            toks = toks[:pos] + plant.split() + toks[pos:]
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in shared_span_stats(docs, k).collect()}
+
+    for d in range(len(lens)):
+        if d in (i, j):
+            assert got[d]["n_shared"] >= 1, got[d]
+            assert got[d]["max_partners"] == 2, got[d]
+            assert 0 < got[d]["shared_ppm"] <= 1_000_000
+        else:
+            assert got[d]["n_shared"] == 0 and got[d]["max_partners"] == 0
