@@ -793,3 +793,85 @@ def q_table_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("h_a") != F.coalesce("h_b", F.lit(0)))
         ).alias("divergent"),
     )
+
+
+# --- exact median without a global sort (two-pass histogram prune) ----------
+
+TPM_BUCKET_CENTS = 10_000  # pass-1 bucket width: $100 of price
+
+
+@register(
+    "q_two_pass_median",
+    oracle="""
+WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+m AS (SELECT cents FROM c ORDER BY cents
+      LIMIT 1 OFFSET (SELECT (n + 1) // 2 - 1 FROM n))
+SELECT n.n AS n_rows, m.cents AS median_cents,
+       CAST(m.cents AS DOUBLE) / 100 AS median_price
+FROM n, m
+""",
+)
+def q_two_pass_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median (lower median, rank (n+1) div 2) with NO
+    global sort — the two-pass prune that replaces `ORDER BY` on
+    100 TB. Pass 1 buckets every price into ${TPM_BUCKET_CENTS}/100
+    ranges and counts per bucket (map-side partial agg; the shuffle
+    carries |buckets| rows). The cumulative over the bounded bucket
+    table locates the ONE bucket containing rank k; pass 2 re-scans
+    with `bucket = target` (codegen'd filter), counts per exact cent
+    value — again bounded, at most {TPM_BUCKET_CENTS} distinct keys —
+    and the cumulative over THAT picks the k-th value exactly. The
+    oracle computes the same rank by brute-force ORDER BY/OFFSET,
+    proving prune == sort. Contrast q_histogram_quantiles, which keeps
+    the full-sort percentile as its teaching foil: this is the shape
+    that makes the foil unnecessary (p95/p99 are the same prune with a
+    different k; more passes narrow any long-tail bucket).
+
+    The two single-partition windows run over BOUNDED tables (bucket
+    count, within-bucket value count) — that is the point of the
+    prune; the raw rows never enter a sort."""
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    c = io.load_table(spark, sf_dir, "lineitem").select(cents.alias("cents"))
+    from pyspark.sql import Window
+
+    buckets = (
+        c.select((F.col("cents") - (F.col("cents") % TPM_BUCKET_CENTS)).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    n_row = c.agg(F.count("*").cast("bigint").alias("n")).persist()
+    cum = (
+        buckets.withColumn("cum", F.sum("cnt").over(wb))
+        .crossJoin(F.broadcast(n_row))
+        .withColumn("k", F.expr("(n + 1) div 2"))
+    )
+    target = (
+        cum.filter(F.col("cum") >= F.col("k"))
+        .orderBy("b")
+        .limit(1)
+        .select("b", (F.col("cum") - F.col("cnt")).alias("cum_before"), "k")
+    )
+    in_bucket = c.join(
+        F.broadcast(target),
+        (F.col("cents") - (F.col("cents") % TPM_BUCKET_CENTS)) == F.col("b"),
+    )
+    wv = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    vals = (
+        in_bucket.groupBy("cents", "cum_before", "k")
+        .agg(F.count("*").cast("bigint").alias("vc"))
+        .withColumn("vcum", F.sum("vc").over(wv))
+    )
+    median = (
+        vals.filter(F.col("cum_before") + F.col("vcum") >= F.col("k"))
+        .orderBy("cents")
+        .limit(1)
+        .select("cents")
+    )
+    return n_row.crossJoin(F.broadcast(median)).select(
+        F.col("n").alias("n_rows"),
+        F.col("cents").alias("median_cents"),
+        (F.col("cents").cast("double") / 100).alias("median_price"),
+    )

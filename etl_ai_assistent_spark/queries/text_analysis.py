@@ -1032,3 +1032,108 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("id_pos_xor"),
     )
+
+
+# --- train/val distribution-shift audit (total variation, integer) ----------
+
+@register(
+    "q_split_drift",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, text,
+         CASE WHEN {SPLIT_BUCKET} < 80 THEN 'train'
+              WHEN {SPLIT_BUCKET} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+tok AS (
+  SELECT split, unnest({_TOKS.strip()}) AS t
+  FROM assigned WHERE split IN ('train', 'val')
+),
+cnt AS (
+  SELECT t,
+         CAST(count(*) FILTER (split = 'train') AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (split = 'val') AS BIGINT) AS n_b
+  FROM tok GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS na, CAST(sum(n_b) AS BIGINT) AS nb,
+         CAST(count(*) FILTER (n_a > 0) AS BIGINT) AS vocab_a,
+         CAST(count(*) FILTER (n_b > 0) AS BIGINT) AS vocab_b,
+         CAST(sum(abs(n_a * (SELECT sum(n_b) FROM cnt)
+                      - n_b * (SELECT sum(n_a) FROM cnt))) AS BIGINT) AS s
+  FROM cnt
+)
+SELECT na AS n_tokens_train, nb AS n_tokens_val, vocab_a AS vocab_train,
+       vocab_b AS vocab_val,
+       CAST(1000000 * s // (2 * na * nb) AS BIGINT) AS tvd_ppm
+FROM tot
+""",
+)
+def q_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val distribution-shift audit: total variation distance
+    between the two splits' token distributions, in integer ppm —
+    TVD = \u00bd\u00b7\u03a3|p_t \u2212 q_t| computed as the exact rational
+    \u03a3|n_a\u00b7Nb \u2212 n_b\u00b7Na| / (2\u00b7Na\u00b7Nb), so there is NO log (KL's numeric
+    headache) and NO float anywhere: the audit a pipeline runs before
+    trusting a held-out set actually to represent training data.
+
+    Scale: token counts per split are one exploded groupBy (map-side
+    partial agg \u2014 shuffle is |vocab| keys, not |tokens| rows); both
+    splits count in the SAME aggregate via conditional sums, so the
+    splits never join. The per-token table is persisted (it feeds the
+    totals row and the deviation sum); the totals ride 1-row
+    broadcasts. Bigint products hold to ~1e18; at web scale the same
+    expression widens to DECIMAL(38,0)."""
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    toks = docs.select(
+        split.alias("split"), F.explode(TX.tokens(F.lower("text"))).alias("t")
+    ).filter(F.col("split").isin("train", "val"))
+    cnt = (
+        toks.groupBy("t")
+        .agg(
+            F.count(F.when(F.col("split") == "train", 1))
+            .cast("bigint")
+            .alias("n_a"),
+            F.count(F.when(F.col("split") == "val", 1))
+            .cast("bigint")
+            .alias("n_b"),
+        )
+        .persist()  # feeds the totals row AND the deviation sum
+    )
+    tot = cnt.agg(
+        F.sum("n_a").cast("bigint").alias("na"),
+        F.sum("n_b").cast("bigint").alias("nb"),
+        F.count(F.when(F.col("n_a") > 0, 1)).cast("bigint").alias("vocab_a"),
+        F.count(F.when(F.col("n_b") > 0, 1)).cast("bigint").alias("vocab_b"),
+    )
+    s = (
+        cnt.crossJoin(F.broadcast(tot.select("na", "nb")))
+        .agg(
+            F.sum(F.abs(F.col("n_a") * F.col("nb") - F.col("n_b") * F.col("na")))
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    return tot.crossJoin(F.broadcast(s)).select(
+        F.col("na").alias("n_tokens_train"),
+        F.col("nb").alias("n_tokens_val"),
+        F.col("vocab_a").alias("vocab_train"),
+        F.col("vocab_b").alias("vocab_val"),
+        F.expr("CAST(1000000 * s div (2 * na * nb) AS BIGINT)").alias("tvd_ppm"),
+    )
