@@ -794,3 +794,39 @@ def q_stream_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(
         os.path.join(root, f"view_v{latest}")
     ).filter(F.col("n_orders") > 0)
+
+
+@register(
+    "q_stream_outer_join",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, value FROM events
+)
+SELECT s.user_id, s.us AS signup_us, p.us AS purchase_us,
+       CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS purchase_cents
+FROM (SELECT * FROM e WHERE event_type = 'signup') s
+LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+  ON p.user_id = s.user_id
+ AND p.us >= s.us AND p.us < s.us + 86400000000
+""",
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join executed by the streaming
+    engine — the state-EVICTION side of the join surface (the inner
+    q_stream_join only exercises state lookup): an unmatched signup is
+    emitted null-extended only when the watermark proves no matching
+    purchase can still arrive. A final heartbeat micro-batch (the
+    production liveness-event pattern, deterministic here) pushes both
+    watermarks past every signup+24h deadline so the finite replay
+    flushes ALL outer state, and the drained sink equals the batch
+    LEFT JOIN the oracle runs. See
+    streaming/pipeline.stream_stream_purchase_left_join for the
+    watermark arithmetic — including why the sentinel user must be
+    dropped HERE, after the sink drains, and never inside the
+    streaming plan (predicate pushdown would starve the watermark)."""
+    drained = SP.run_to_memory(
+        SP.stream_stream_purchase_left_join(spark, sf_dir),
+        prefix="ssolj",
+        mode="append",
+    )
+    return drained.filter(F.col("user_id") != -1)

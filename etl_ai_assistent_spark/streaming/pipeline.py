@@ -460,3 +460,146 @@ def stream_stream_purchase_join(
         .cast("bigint")
         .alias("purchase_cents"),
     )
+
+
+def heartbeat_split_events_fixture(
+    spark: SparkSession, sf_dir: str, parts: int = 4
+) -> str:
+    """The split fixture plus ONE final heartbeat file: a sentinel
+    signup + purchase pair (user_id = -1) stamped max(ts) + 90 days.
+    Outer stream-stream joins emit their unmatched rows only when the
+    watermark passes the join deadline — which a finite replay's last
+    real event never does. The heartbeat is the production pattern
+    (periodic liveness events per source) made deterministic: it
+    advances BOTH sides' watermarks past every deadline, so the final
+    no-data micro-batch flushes the whole outer state. File mtimes are
+    forced strictly increasing because FileStreamSource orders pending
+    files by modification time — the heartbeat MUST be the last
+    micro-batch or everything after it would be dropped as late."""
+    tag = _fixture_tag(sf_dir)
+    out = f"/tmp/spark_graft_events_hb_{tag}_{parts}_v1"
+    marker = os.path.join(out, "_complete")
+    if not os.path.exists(marker):
+        from datetime import timedelta
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        os.makedirs(out, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        part_key = [int(v) % parts for v in t.column("event_id").to_pylist()]
+        t2 = t.append_column("__part", pa.array(part_key, type=pa.int32()))
+        for i in range(parts):
+            sub = t2.filter(pc.equal(t2.column("__part"), i)).drop(["__part"])
+            pq.write_table(sub, os.path.join(out, f"part_{i}.parquet"))
+        hb_ts = pc.max(t.column("ts")).as_py() + timedelta(days=90)
+        cols = []
+        for field in t.schema:
+            if field.name == "event_id":
+                vals = [-1, -2]
+            elif field.name == "ts":
+                vals = [hb_ts, hb_ts]
+            elif field.name == "user_id":
+                vals = [-1, -1]
+            elif field.name == "event_type":
+                vals = ["signup", "purchase"]
+            elif field.name == "value":
+                vals = [0.0, 0.0]
+            else:
+                vals = [None, None]
+            cols.append(pa.array(vals, type=field.type))
+        pq.write_table(
+            pa.Table.from_arrays(cols, schema=t.schema),
+            os.path.join(out, f"part_{parts}_hb.parquet"),
+        )
+        base = 1_600_000_000
+        for i in range(parts):
+            p = os.path.join(out, f"part_{i}.parquet")
+            os.utime(p, (base + 10 * i, base + 10 * i))
+        hb = os.path.join(out, f"part_{parts}_hb.parquet")
+        os.utime(hb, (base + 10 * parts, base + 10 * parts))
+        open(marker, "w").close()
+    return out
+
+
+def read_events_stream_hb(
+    spark: SparkSession, sf_dir: str, parts: int = 4
+) -> DataFrame:
+    """Streaming scan over the heartbeat fixture, one file per
+    micro-batch (parts real batches + the final heartbeat batch)."""
+    path = heartbeat_split_events_fixture(spark, sf_dir, parts)
+    schema = _events_stream_schema(spark, os.path.join(path, "part_0.parquet"))
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(path + "/part_*.parquet")
+    )
+    return _normalize_events(raw)
+
+
+def stream_stream_purchase_left_join(
+    spark: SparkSession, sf_dir: str, watermark: str = "60 days"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every signup, with its
+    within-24h purchases OR a null-extended row if none ever arrives.
+    The outer side is what makes this a different machine from
+    stream_stream_purchase_join: an unmatched signup can only be
+    emitted once the engine PROVES no matching purchase can still
+    arrive — i.e. the watermark has passed signup + 24h — so emission
+    is driven by watermark advancement, not data arrival. The fixture's
+    final heartbeat batch advances both watermarks past every deadline
+    (see heartbeat_split_events_fixture), making the finite replay emit
+    exactly the batch left-outer join, which the DuckDB oracle runs.
+
+    Watermark tuning is the same trade as the inner join: 60 days
+    covers the fixture's 30-day span so no mid-replay drops; the
+    heartbeat sits 90 days out so final watermark = max + 30 days
+    clears every signup + 24h deadline.
+
+    TRAP (measured, not theoretical): filtering the sentinel user
+    INSIDE this streaming plan breaks the flush — Catalyst pushes the
+    filter below the EventTimeWatermark node into the parquet scan
+    (and infers the mirror predicate for the other side through the
+    equi-join key), so the heartbeat rows never reach either
+    watermark tracker and the outer state never expires. The sentinel
+    must ride through the streaming plan and be dropped AFTER the
+    sink drains (see q_stream_outer_join)."""
+    def _src() -> DataFrame:
+        return read_events_stream_hb(spark, sf_dir)
+
+    signups = (
+        _src()
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"), F.col("ts_ts").alias("s_ts")
+        )
+        .withWatermark("s_ts", watermark)
+    )
+    purchases = (
+        _src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts_ts").alias("p_ts"),
+            F.col("value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = signups.join(
+        purchases,
+        F.expr(
+            "s_user = p_user AND p_ts >= s_ts"
+            " AND p_ts < s_ts + INTERVAL 24 HOURS"
+        ),
+        "left_outer",
+    )
+    return joined.select(
+        F.col("s_user").alias("user_id"),
+        F.unix_micros("s_ts").alias("signup_us"),
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("purchase_cents"),
+    )

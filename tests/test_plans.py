@@ -35,6 +35,7 @@ ALLOWED_CROSS = {
     "q_pq_multiquery_topk",  # probe-slice × K-row codebook lookup tables
     "q_bm25_retrieval",  # 1-row broadcast of corpus stats (N, avgdl)
     "q_rag_fusion",  # inherits q_bm25_retrieval's 1-row stats broadcast
+    "q_hard_negatives",  # inherits q_bm25_retrieval's 1-row stats broadcast
     "q_dq_constraints",  # 1-row orphan-count x 1-row checked-count joins
     "q_skew_stats",  # 1-row totals x 1-row hot-key-count joins
     "q_doc_surprisal",  # 1-row corpus-count broadcast onto the token scan
@@ -47,6 +48,8 @@ ALLOWED_CROSS = {
     "q_curation_pipeline",  # embeds q_semdedup's K-row centroid broadcast
     "q_semdedup_balance",  # K-row coarse-centroid broadcast (kmeans.assign)
     "q_takedown_propagation",  # 1-row before-count x 1-row deleted-count audits
+    "q_two_pass_median",  # 1-row count/target-bucket/median broadcasts
+    "q_split_drift",  # 1-row totals x 1-row deviation-sum broadcasts
 }
 
 # Streaming memory-sink queries execute eagerly on construction; the
@@ -64,6 +67,7 @@ STREAMING = {
     "q_stream_cdc_mor",
     "q_stream_hll",
     "q_stream_delta_join",
+    "q_stream_outer_join",
 }
 
 # The docx queries materialize a 500-file fixture corpus first — slow to

@@ -52,3 +52,33 @@ def test_foreach_batch_parquet_sink_exactly_once(spark, sf_small, tmp_path):
     # restart with same checkpoint: no new data -> no duplicates
     run()
     assert spark.read.parquet(out).count() == n_src
+
+
+def test_outer_join_sentinel_filter_pushdown_starves_watermark(spark, sf_small):
+    """The trap q_stream_outer_join's structure exists to avoid,
+    pinned so a refactor can't reintroduce it: putting the
+    sentinel-user filter INSIDE the streaming plan lets Catalyst push
+    it below the EventTimeWatermark node into the scan (and infer the
+    mirror predicate across the join key), so the heartbeat rows never
+    advance either watermark and ZERO unmatched rows flush. The
+    correct shape (filter after the sink drains) emits them all."""
+    from pyspark.sql import functions as F
+
+    from etl_ai_assistent_spark.streaming import pipeline as SP
+
+    good = SP.run_to_memory(
+        SP.stream_stream_purchase_left_join(spark, sf_small),
+        prefix="soj_good",
+        mode="append",
+    ).filter(F.col("user_id") != -1)
+    n_unmatched = good.filter(F.col("purchase_us").isNull()).count()
+    assert n_unmatched > 0
+
+    bad = SP.run_to_memory(
+        SP.stream_stream_purchase_left_join(spark, sf_small).filter(
+            F.col("user_id") != -1
+        ),
+        prefix="soj_bad",
+        mode="append",
+    )
+    assert bad.filter(F.col("purchase_us").isNull()).count() == 0
