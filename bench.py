@@ -153,6 +153,16 @@ HEADLINE = [
     "q_interval_join",
     "q_epoch_shuffle",
     "q_rag_fusion",
+    # round-7: TPC-H Q13/Q18/Q15 shapes, BM25 hard-negative mining,
+    # cross-document repeated-span audit
+    "q_order_count_distribution",
+    "q_bulk_orders",
+    "q_top_revenue_supplier",
+    "q_hard_negatives",
+    "q_cross_doc_spans",
+    # round-7: two-pass exact median (no global sort), split-drift TVD
+    "q_two_pass_median",
+    "q_split_drift",
 ]
 
 # ANN serving/recall queries whose FIRST run in this process pays the
