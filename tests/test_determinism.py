@@ -22,6 +22,10 @@ CLAIMED_INVARIANT = [
     "q_table_fingerprint",  # commutative aggregate checksum
     "q_pricing_summary",  # DECIMAL-exact aggregation
     "q_pagerank_nations",  # ppb fixed-point recurrence
+    "q_rag_fusion",  # integer reciprocal-rank arithmetic over bigint BM25
+    "q_cross_doc_spans",  # md5 span hashes + integer ppm
+    "q_two_pass_median",  # integer cents, rank arithmetic
+    "q_split_drift",  # exact bigint rational TVD
 ]
 
 
