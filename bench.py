@@ -44,7 +44,9 @@ HEADLINE = [
     # exchange on the user key, sort + last()-window; no broadcast
     # exists in this plan to lose, and isolated re-runs on this host
     # swing 0.35–0.85 s with an identical plan. Environmental noise,
-    # not a plan regression (the r4→r5 pattern repeating).
+    # not a plan regression (the r4→r5 pattern repeating). CONFIRMED
+    # on a quiet machine late r7: 0.391 s and 0.410 s back-to-back,
+    # under both the r5 value and the 0.45 s verdict bar.
     "q_asof_purchase_signup",
     "q_sessionize",
     # dedup family
