@@ -165,6 +165,10 @@ HEADLINE = [
     # round-7: two-pass exact median (no global sort), split-drift TVD
     "q_two_pass_median",
     "q_split_drift",
+    # round-7: exact set-similarity join (prefix filtering), sketch-space
+    # audience overlap (HLL inclusion-exclusion vs exact)
+    "q_jaccard_prefix_join",
+    "q_hll_intersection",
 ]
 
 # ANN serving/recall queries whose FIRST run in this process pays the

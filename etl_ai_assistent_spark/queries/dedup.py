@@ -867,3 +867,106 @@ def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     at test scale) widens to 128-bit at corpus scale."""
     docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return D.shared_span_stats(docs, CDS_K)
+
+
+# --- exact set-similarity join via prefix filtering (PPJoin family) --------
+
+JPJ_LIMIT = 400       # bounded subset keeps the oracle's all-pairs cheap
+JPJ_NUM, JPJ_DEN = 7, 10  # Jaccard threshold tau = 7/10
+
+
+@register(
+    "q_jaccard_prefix_join",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < {JPJ_LIMIT}
+),
+{_SHINGLES_CTE}
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(1000000 * len(list_intersect(a.sh, b.sh))
+            // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            AS BIGINT) AS jacc_ppm
+FROM shingled a JOIN shingled b ON a.id < b.id
+WHERE len(list_intersect(a.sh, b.sh)) * {JPJ_DEN}
+      >= {JPJ_NUM} * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+""",
+)
+def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity self-join via PREFIX FILTERING (the
+    AllPairs/PPJoin family, Bayardo et al. 2007 / Xiao et al. 2008) —
+    the deterministic complement to MinHash: every pair with shingle
+    Jaccard >= {JPJ_NUM}/{JPJ_DEN} is found, no probabilistic recall.
+    The theorem: order every doc's shingle set by one global total
+    order (document frequency ASC, then shingle — rare first), keep
+    only the first n - ceil(tau*n) + 1 entries as the PREFIX; any
+    qualifying pair MUST share a prefix entry (if not, their >= 
+    ceil(tau*max(n_a,n_b)) common shingles all fit in a suffix shorter
+    than that — contradiction). Candidates therefore come from an
+    equi-join on prefix shingles only; exact Jaccard verifies each.
+    The oracle runs the naive all-pairs theta join over the SAME
+    corpus, so result equality empirically proves the filter lossless.
+
+    Scale: df ranking and prefix extraction are two keyed shuffles +
+    one per-doc array_sort (no global sort — the order is (df, gram),
+    computable per element). Candidate volume is bounded by prefix
+    posting lists, and rare-first ordering makes those the SHORTEST
+    lists (a boilerplate shingle shared by everyone sits at the END of
+    every prefix order and rarely enters one). Verification touches
+    candidates only. The tau knob trades prefix length against
+    candidate count exactly as published."""
+    docs = (
+        io.load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < JPJ_LIMIT)
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    from ..functions import text as TX
+
+    sh = docs.select("id", TX.word_shingles("text").alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    ex = sh.select("id", F.explode("sh").alias("g"))
+    dfs = ex.groupBy("g").agg(F.count("*").cast("bigint").alias("df"))
+    ordered = (
+        ex.join(dfs, "g")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("arr"))
+        .persist()  # feeds prefix candidates AND the verify arrays
+    )
+    n = F.size("arr")
+    pref_len = (
+        n - F.expr(f"({JPJ_NUM} * size(arr) + {JPJ_DEN - 1}) div {JPJ_DEN}") + 1
+    )
+    cand = ordered.select(
+        "id",
+        F.explode(
+            F.transform(F.slice("arr", F.lit(1), pref_len), lambda x: x["g"])
+        ).alias("g"),
+    )
+    pairs = (
+        cand.alias("a")
+        .join(
+            cand.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = ordered.select(
+        "id", F.transform("arr", lambda x: x["g"]).alias("s")
+    )
+    sa = sets.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    union = F.size("s_a") + F.size("s_b") - inter
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_i", inter)
+        .withColumn("_u", union)
+        .filter(F.col("_i") * JPJ_DEN >= JPJ_NUM * F.col("_u"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("CAST(1000000 * _i div _u AS BIGINT)").alias("jacc_ppm"),
+        )
+    )

@@ -875,3 +875,129 @@ def q_two_pass_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").alias("median_cents"),
         (F.col("cents").cast("double") / 100).alias("median_price"),
     )
+
+
+# --- sketch-space set intersection (audience overlap without raw keys) ------
+
+HLL_SEG_A = "1-URGENT"
+HLL_SEG_B = "2-HIGH"
+_HLL_SEGS = f"""
+seg_regs AS (
+  SELECT o_orderpriority, register, max(rho) AS max_rho
+  FROM (
+    SELECT o_orderpriority,
+           CAST(CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS INT) AS register,
+           CAST(CASE WHEN CAST(('0x' || substr(h, 3, 8)) AS BIGINT) = 0 THEN 33
+                     ELSE 33 - length(bin(CAST(('0x' || substr(h, 3, 8)) AS BIGINT)))
+                END AS INT) AS rho
+    FROM (SELECT o_orderpriority, {_HLL_H} AS h FROM orders
+          WHERE o_orderpriority IN ('{HLL_SEG_A}', '{HLL_SEG_B}'))
+  )
+  GROUP BY 1, 2
+)
+"""
+
+
+@register(
+    "q_hll_intersection",
+    oracle=f"""
+WITH {_HLL_SEGS},
+est AS (
+  SELECT o_orderpriority,
+         round(CAST({SK.ALPHA_256!r} AS DOUBLE) * 65536.0 /
+               (sum(1.0 / CAST(CAST(1 AS BIGINT) << max_rho AS DOUBLE))
+                + (256 - count(*)) * 1.0), 6) AS e
+  FROM seg_regs GROUP BY 1
+),
+u AS (
+  SELECT round(CAST({SK.ALPHA_256!r} AS DOUBLE) * 65536.0 /
+               (sum(1.0 / CAST(CAST(1 AS BIGINT) << mr AS DOUBLE))
+                + (256 - count(*)) * 1.0), 6) AS e_union
+  FROM (SELECT register, max(max_rho) AS mr FROM seg_regs GROUP BY 1)
+),
+wide AS (
+  SELECT max(CASE WHEN o_orderpriority = '{HLL_SEG_A}' THEN e END) AS est_a,
+         max(CASE WHEN o_orderpriority = '{HLL_SEG_B}' THEN e END) AS est_b
+  FROM est
+),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_exact
+  FROM (SELECT o_custkey FROM orders
+        WHERE o_orderpriority IN ('{HLL_SEG_A}', '{HLL_SEG_B}')
+        GROUP BY o_custkey
+        HAVING count(DISTINCT o_orderpriority) = 2)
+)
+SELECT w.est_a, w.est_b, u.e_union AS est_union,
+       round(w.est_a + w.est_b - u.e_union, 6) AS est_intersection,
+       x.n_exact,
+       CAST(floor(abs(round(w.est_a + w.est_b - u.e_union, 6) - x.n_exact)
+                  * 1000000.0 / x.n_exact + 0.5) AS BIGINT) AS err_ppm
+FROM wide w, u, exact x
+""",
+)
+def q_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation in SKETCH SPACE: |A ∩ B| for the
+    urgent- and high-priority customer segments by inclusion-exclusion
+    over HLL sketches — est_a + est_b − est_union, where the union
+    sketch is the REGISTER-WISE MAX of the two segment sketches (the
+    merge operation is exact for unions; intersections have no native
+    sketch, which is why production systems do exactly this). The
+    exact overlap rides along with the ppm error: inclusion-exclusion
+    error compounds three estimates, the honest caveat this query
+    measures rather than hides.
+
+    Scale: both segment sketches come from ONE filtered scan and one
+    (priority, register) partial-agg shuffle — ≤ 2·256 rows; union
+    re-max, both estimates, and the subtraction are all sketch-sized.
+    The exact side is the expensive plan (global distinct + HAVING
+    over both segments) that the sketch replaces at 100 TB; the
+    register sums stay exact in doubles (≤256 powers of two in a
+    53-bit mantissa), so cross-engine parity is bit-level after the
+    shared round(…, 6)."""
+    segs = (
+        io.load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_custkey")
+        .filter(F.col("o_orderpriority").isin(HLL_SEG_A, HLL_SEG_B))
+    )
+    regs = SK.hll_registers(segs, "o_custkey", ["o_orderpriority"]).persist()
+    est = SK.hll_estimate(regs, ["o_orderpriority"])
+    wide = est.agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == HLL_SEG_A, F.col("hll_estimate"))
+        ).alias("est_a"),
+        F.max(
+            F.when(F.col("o_orderpriority") == HLL_SEG_B, F.col("hll_estimate"))
+        ).alias("est_b"),
+    )
+    union_regs = regs.groupBy("register").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    est_u = SK.hll_estimate(union_regs, []).select(
+        F.col("hll_estimate").alias("est_union")
+    )
+    exact = (
+        segs.groupBy("o_custkey")
+        .agg(F.count_distinct("o_orderpriority").alias("np"))
+        .filter(F.col("np") == 2)
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+    )
+    inter = F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 6)
+    return (
+        wide.crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            inter.alias("est_intersection"),
+            "n_exact",
+            F.floor(
+                F.abs(inter - F.col("n_exact"))
+                * F.lit(1000000.0)
+                / F.col("n_exact")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("err_ppm"),
+        )
+    )

@@ -50,6 +50,7 @@ ALLOWED_CROSS = {
     "q_takedown_propagation",  # 1-row before-count x 1-row deleted-count audits
     "q_two_pass_median",  # 1-row count/target-bucket/median broadcasts
     "q_split_drift",  # 1-row totals x 1-row deviation-sum broadcasts
+    "q_hll_intersection",  # 1-row union-estimate x 1-row exact-count broadcasts
 }
 
 # Streaming memory-sink queries execute eagerly on construction; the
