@@ -169,6 +169,12 @@ HEADLINE = [
     # audience overlap (HLL inclusion-exclusion vs exact)
     "q_jaccard_prefix_join",
     "q_hll_intersection",
+    # round-7: LSH recall audit vs exact truth, GPT-style sequence
+    # packing, bounded-round k-core, full BPE merge-table training
+    "q_minhash_recall",
+    "q_sequence_pack",
+    "q_kcore_prune",
+    "q_bpe_train",
 ]
 
 # ANN serving/recall queries whose FIRST run in this process pays the

@@ -289,6 +289,76 @@ def simhash_near_dup_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    num: int,
+    den: int,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT Jaccard self-join via PREFIX FILTERING (the AllPairs/PPJoin
+    family, Bayardo et al. 2007 / Xiao et al. 2008): every pair of docs
+    with shingle Jaccard >= num/den is returned, deterministically —
+    the lossless complement to the probabilistic MinHash path.
+
+    Order every doc's shingle set by one global total order (document
+    frequency ASC, then shingle — rare first) and keep the first
+    n - ceil(tau*n) + 1 entries as the PREFIX; any qualifying pair MUST
+    share a prefix entry, so candidates come from an equi-join on
+    prefix shingles only and exact Jaccard verifies each. Returns
+    (id_a, id_b, jacc_ppm) with id_a < id_b.
+
+    Scale: df ranking + prefix extraction are two keyed shuffles and a
+    per-doc array_sort (the (df, gram) order is computable per element,
+    no global sort). Rare-first ordering keeps prefix posting lists the
+    SHORTEST ones; verification touches candidates only."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), TX.word_shingles(text_col).alias("sh")
+    ).filter(F.size("sh") > 0)
+    ex = sh.select("id", F.explode("sh").alias("g"))
+    dfs = ex.groupBy("g").agg(F.count("*").cast("bigint").alias("df"))
+    ordered = (
+        ex.join(dfs, "g")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("arr"))
+        .persist()  # feeds prefix candidates AND the verify arrays
+    )
+    n = F.size("arr")
+    pref_len = n - F.expr(f"({num} * size(arr) + {den - 1}) div {den}") + 1
+    cand = ordered.select(
+        "id",
+        F.explode(
+            F.transform(F.slice("arr", F.lit(1), pref_len), lambda x: x["g"])
+        ).alias("g"),
+    )
+    pairs = (
+        cand.alias("a")
+        .join(
+            cand.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = ordered.select("id", F.transform("arr", lambda x: x["g"]).alias("s"))
+    sa = sets.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    union = F.size("s_a") + F.size("s_b") - inter
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_i", inter)
+        .withColumn("_u", union)
+        .filter(F.col("_i") * den >= num * F.col("_u"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("CAST(1000000 * _i div _u AS BIGINT)").alias("jacc_ppm"),
+        )
+    )
+
+
 def fingerprint(text: Column | str, modulus: int = MERSENNE31) -> Column:
     """Order-sensitive document fingerprint: left-to-right polynomial
     rolling hash over token buckets, h = (h*31 + bucket) mod 2^31-1.

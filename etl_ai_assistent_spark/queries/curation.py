@@ -960,3 +960,118 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pos").cast("bigint").alias("first_pos"),
         F.max("pos").cast("bigint").alias("last_pos"),
     )
+
+
+# --- fixed-length context-window packing (concatenate-and-chop) -------------
+
+SEQ_LEN = 512    # tokens per training context window
+SEQ_BUCKETS = 8  # parallel packing units (scale knob)
+_SEQ_BUCKET = (
+    "CAST(('0x' || substr(md5('seq|' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    f" AS BIGINT) % {SEQ_BUCKETS}"
+)
+
+
+@register(
+    "q_sequence_pack",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, {_SEQ_BUCKET} AS bucket, len({_TOKS}) AS n_tokens
+  FROM documents WHERE len({_TOKS}) > 0
+),
+packed AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS tok_start
+  FROM sized
+),
+spans AS (
+  SELECT bucket, doc_id, tok_start, n_tokens,
+         unnest(generate_series(tok_start // {SEQ_LEN},
+                                (tok_start + n_tokens - 1) // {SEQ_LEN})) AS w
+  FROM packed
+)
+SELECT CAST(bucket * 100000 + w AS BIGINT) AS window_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN tok_start // {SEQ_LEN} = w THEN 1 END) AS BIGINT)
+         AS n_starts,
+       CAST(sum(least(tok_start + n_tokens, (w + 1) * {SEQ_LEN})
+                - greatest(tok_start, w * {SEQ_LEN})) AS BIGINT) AS fill_tokens
+FROM spans
+GROUP BY 1
+""",
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in a stable
+    order and CHOP into fixed {SEQ_LEN}-token context windows — the
+    complement of q_token_shards (which keeps documents whole). Per
+    window: docs overlapping it, docs that START in it, and fill
+    (== {SEQ_LEN} except each bucket's last window). n_docs - n_starts
+    is the boundary-crossing count cross-attention masking pays for;
+    training-batch auditors track exactly these numbers.
+
+    Scale: documents hash into {SEQ_BUCKETS} independent packing
+    buckets (the parallelism unit), so the running offset is a per-
+    bucket window sum, never a global sort. Each doc explodes into
+    ceil(n_tokens/{SEQ_LEN}) + 1 window rows at most — output volume is
+    corpus_tokens/{SEQ_LEN}, a compression. All integer arithmetic:
+    window assignment is reproducible across engines and reruns."""
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from pyspark.sql import Window
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("seq|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % SEQ_BUCKETS
+    )
+    sized = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.size(TX.tokens(F.lower(F.col("text")))).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sized.withColumn(
+        "tok_start",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+    )
+    spans = packed.select(
+        "bucket",
+        "doc_id",
+        "tok_start",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.expr(f"tok_start div {SEQ_LEN}"),
+                F.expr(f"(tok_start + n_tokens - 1) div {SEQ_LEN}"),
+            )
+        ).alias("w"),
+    )
+    return spans.groupBy(
+        (F.col("bucket") * 100000 + F.col("w")).cast("bigint").alias("window_id")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(F.when(F.expr(f"tok_start div {SEQ_LEN}") == F.col("w"), 1))
+        .cast("bigint")
+        .alias("n_starts"),
+        F.sum(
+            F.least(
+                F.col("tok_start") + F.col("n_tokens"),
+                (F.col("w") + 1) * SEQ_LEN,
+            )
+            - F.greatest(F.col("tok_start"), F.col("w") * SEQ_LEN)
+        )
+        .cast("bigint")
+        .alias("fill_tokens"),
+    )

@@ -919,54 +919,114 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < JPJ_LIMIT)
         .select(F.col("doc_id").alias("id"), "text")
     )
-    from ..functions import text as TX
+    return D.jaccard_prefix_pairs(docs, JPJ_NUM, JPJ_DEN)
 
-    sh = docs.select("id", TX.word_shingles("text").alias("sh")).filter(
-        F.size("sh") > 0
+
+# --- MinHash recall audit against the exact prefix-join ground truth --------
+
+MHR_NUM, MHR_DEN = 1, 2  # tau = 0.5, matching q_minhash_near_dup's verify
+
+
+@register(
+    "q_minhash_recall",
+    oracle=f"""
+WITH {_NEAR_CORPUS_SQL},
+{_SHINGLES_CTE},
+truth AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM shingled a JOIN shingled b ON a.id < b.id
+  WHERE len(list_intersect(a.sh, b.sh)) * {MHR_DEN}
+        >= {MHR_NUM} * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+),
+sb AS (
+  SELECT id, sh, list_transform(sh, s -> {BUCKET.format(x='s')}) AS sb
+  FROM shingled
+),
+mh AS (
+  SELECT id, sh,
+         list_transform(generate_series(0, {K - 1}),
+           j -> list_min(list_transform(sb,
+                  x -> ((j * 2 + 1) * 1000003 * x + j * 7919 + 1) % 2147483647)))
+           AS m
+  FROM sb
+),
+banded AS (
+  SELECT id, b.band_idx,
+         md5(CAST(m[band_idx * {R} + 1] AS VARCHAR) || ',' ||
+             CAST(m[band_idx * {R} + 2] AS VARCHAR) || ',' ||
+             CAST(m[band_idx * {R} + 3] AS VARCHAR) || ',' ||
+             CAST(m[band_idx * {R} + 4] AS VARCHAR)) AS band_hash
+  FROM mh, (SELECT unnest(generate_series(0, {BANDS - 1})) AS band_idx) b
+),
+lsh AS (
+  SELECT DISTINCT c.id_a, c.id_b
+  FROM (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.id < b.id) c
+  JOIN shingled sa ON sa.id = c.id_a
+  JOIN shingled sb2 ON sb2.id = c.id_b
+  WHERE len(list_intersect(sa.sh, sb2.sh)) * {MHR_DEN}
+        >= {MHR_NUM} * (len(sa.sh) + len(sb2.sh)
+                        - len(list_intersect(sa.sh, sb2.sh)))
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM truth t JOIN lsh l ON t.id_a = l.id_a AND t.id_b = l.id_b)
+         AS n_hits,
+       CAST(1000000 * (SELECT count(*) FROM truth t JOIN lsh l
+                       ON t.id_a = l.id_a AND t.id_b = l.id_b)
+            // greatest((SELECT count(*) FROM truth), 1) AS BIGINT)
+         AS recall_ppm
+""",
+)
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the MinHash+LSH detector against EXACT ground
+    truth — the dedup twin of q_ann_recall: the prefix-filter join
+    (deterministic, lossless) enumerates every pair with true Jaccard
+    >= {MHR_NUM}/{MHR_DEN} over the near-copy corpus; the banded-LSH
+    path ({K} hashes, {BANDS} bands of {R}) reports what it recovered.
+    recall_ppm measures the banding curve 1-(1-s^r)^b empirically —
+    the number a production dedup run tunes bands/rows against.
+
+    Scale: truth is prefix-filter bounded (no all-pairs), LSH is banded
+    equi-join; the audit itself is one pair-keyed join of two already-
+    bounded pair sets + a global count. At 100 TB this runs on a
+    sampled corpus slice while K/bands are tuned, exactly like the ANN
+    recall loop."""
+    docs = (
+        io.load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < NEAR_LIMIT)
+        .select(F.col("doc_id").alias("id"), "text")
     )
-    ex = sh.select("id", F.explode("sh").alias("g"))
-    dfs = ex.groupBy("g").agg(F.count("*").cast("bigint").alias("df"))
-    ordered = (
-        ex.join(dfs, "g")
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("arr"))
-        .persist()  # feeds prefix candidates AND the verify arrays
-    )
-    n = F.size("arr")
-    pref_len = (
-        n - F.expr(f"({JPJ_NUM} * size(arr) + {JPJ_DEN - 1}) div {JPJ_DEN}") + 1
-    )
-    cand = ordered.select(
-        "id",
-        F.explode(
-            F.transform(F.slice("arr", F.lit(1), pref_len), lambda x: x["g"])
-        ).alias("g"),
-    )
-    pairs = (
-        cand.alias("a")
-        .join(
-            cand.alias("b"),
-            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("id") + 100000).alias("id"),
+            F.concat(F.col("text"), F.lit(" zza zzb zzc zzd")).alias("text"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    ).persist()  # feeds BOTH the truth and LSH branches
+    truth = D.jaccard_prefix_pairs(corpus, MHR_NUM, MHR_DEN).select(
+        "id_a", "id_b"
     )
-    sets = ordered.select(
-        "id", F.transform("arr", lambda x: x["g"]).alias("s")
-    )
-    sa = sets.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
-    sb = sets.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
-    inter = F.size(F.array_intersect("s_a", "s_b"))
-    union = F.size("s_a") + F.size("s_b") - inter
+    lsh = D.minhash_near_dup_pairs(
+        corpus, text_col="text", id_col="id", k=K, bands=BANDS, threshold=0.5
+    ).select("id_a", "id_b", F.lit(1).alias("hit"))
     return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("_i", inter)
-        .withColumn("_u", union)
-        .filter(F.col("_i") * JPJ_DEN >= JPJ_NUM * F.col("_u"))
+        truth.join(lsh.drop("hit"), ["id_a", "id_b"], "left_semi")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+        .crossJoin(
+            F.broadcast(truth.agg(F.count("*").cast("bigint").alias("n_true")))
+        )
+        .crossJoin(
+            F.broadcast(lsh.agg(F.count("*").cast("bigint").alias("n_lsh")))
+        )
         .select(
-            "id_a",
-            "id_b",
-            F.expr("CAST(1000000 * _i div _u AS BIGINT)").alias("jacc_ppm"),
+            "n_true",
+            "n_lsh",
+            "n_hits",
+            F.expr(
+                "CAST(1000000 * n_hits div greatest(n_true, 1) AS BIGINT)"
+            ).alias("recall_ppm"),
         )
     )

@@ -293,3 +293,117 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").over(w).cast("bigint").alias("community_size"),
         )
     )
+
+
+# --- iterated degree pruning (bounded-round k-core) --------------------------
+
+KC_PART_LIMIT = 200  # bipartite projection slice (bounds per-part fan-in)
+KC_NUM, KC_DEN = 5, 8  # threshold k = (5/8) * average degree
+KC_ITERS = 3
+
+
+def _kc_iter_cte(i: int) -> str:
+    prev = f"alive{i - 1}"
+    return f"""
+alive{i} AS (
+  SELECT dg.node FROM (
+    SELECT s.node AS node, count(*) AS d
+    FROM sym e
+    JOIN {prev} s ON e.src = s.node
+    JOIN {prev} t ON e.dst = t.node
+    GROUP BY 1
+  ) dg, kk WHERE dg.d >= kk.k
+)"""
+
+
+_KC_ORACLE = (
+    f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_partkey < {KC_PART_LIMIT}
+),
+u AS (
+  SELECT DISTINCT a.c AS a, b.c AS b
+  FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+),
+sym AS (SELECT a AS src, b AS dst FROM u UNION ALL SELECT b, a FROM u),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+kk AS (
+  SELECT CAST((2 * (SELECT count(*) FROM u) * {KC_NUM})
+              // ((SELECT count(*) FROM nodes) * {KC_DEN}) AS BIGINT) AS k
+),
+alive0 AS (SELECT node FROM nodes),"""
+    + ",".join(_kc_iter_cte(i) for i in range(1, KC_ITERS + 1))
+    + f"""
+SELECT dg.node AS custkey, CAST(dg.d AS BIGINT) AS core_degree
+FROM (
+  SELECT s.node AS node, count(*) AS d
+  FROM sym e
+  JOIN alive{KC_ITERS} s ON e.src = s.node
+  JOIN alive{KC_ITERS} t ON e.dst = t.node
+  GROUP BY 1
+) dg
+"""
+)
+
+
+@register("q_kcore_prune", oracle=_KC_ORACLE)
+def q_kcore_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-subgraph extraction by ITERATED DEGREE PRUNING — the
+    bounded-round k-core: project the customer–part bipartite graph
+    onto customers (co-purchasers of the same part are adjacent), set
+    k = {KC_NUM}/{KC_DEN} of the average degree (data-derived, so the
+    threshold tracks the graph across scale factors), then {KC_ITERS}
+    synchronous rounds of dropping every node whose degree within the
+    surviving subgraph fell below k. Each round is a strict superset of
+    the true k-core and the sequence is monotone decreasing, so fixed-R
+    output is well-defined whether or not the fixpoint was reached —
+    the LP_ITERS determinism pattern applied to core decomposition.
+    Returns the surviving nodes with their final in-subgraph degree.
+
+    Scale: the bipartite projection is a per-part self-join (fan-in
+    bounded by the part slice here; a production run caps or salts hot
+    parts first). Per round: two alive-set equi-joins (the alive set
+    only shrinks — broadcastable long before the edge set is) + one
+    partial-agg'd degree count. k bounded shuffles, no collect, no
+    driver-side loop state."""
+    li = io.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = io.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cp = (
+        li.filter(F.col("l_partkey") < KC_PART_LIMIT)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    u = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .select(F.col("a.c").alias("a"), F.col("b.c").alias("b"))
+        .distinct()
+        .persist()  # feeds sym AND the edge-count side of k
+    )
+    sym = u.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        u.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).persist()  # every pruning round joins against sym
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    kdf = (
+        u.agg(F.count("*").cast("bigint").alias("n_edges"))
+        .crossJoin(
+            F.broadcast(nodes.agg(F.count("*").cast("bigint").alias("n_nodes")))
+        )
+        .select(
+            F.expr(f"(2 * n_edges * {KC_NUM}) div (n_nodes * {KC_DEN})")
+            .cast("bigint")
+            .alias("k")
+        )
+    )
+    from ..operators.kcore import degree_prune
+
+    return degree_prune(sym, nodes, kdf, KC_ITERS).select(
+        F.col("node").alias("custkey"), F.col("d").alias("core_degree")
+    )

@@ -1137,3 +1137,113 @@ def q_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vocab_b").alias("vocab_val"),
         F.expr("CAST(1000000 * s div (2 * na * nb) AS BIGINT)").alias("tvd_ppm"),
     )
+
+
+# --- BPE training loop (the full merge-table derivation) --------------------
+
+BPE_ITERS = 4
+
+
+def _bpe_top_cte(i: int) -> str:
+    """topN over spaced{i-1}: the iteration-i winning merge."""
+    return f"""
+top{i} AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT u.p AS pair
+    FROM (SELECT list_transform(generate_series(1, len(arr) - 1),
+                 j -> arr[j] || ' ' || arr[j + 1]) AS ps
+          FROM (SELECT string_split(trim(sp), ' ') AS arr FROM spaced{i - 1})
+          WHERE len(arr) >= 2) t,
+         unnest(t.ps) u(p)
+  ) GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
+),
+spaced{i} AS (
+  SELECT replace(s.sp, ' ' || t.pair || ' ',
+                 ' ' || replace(t.pair, ' ', '') || ' ') AS sp
+  FROM spaced{i - 1} s, top{i} t
+)"""
+
+
+_BPE_TRAIN_ORACLE = (
+    f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS tok FROM (SELECT text FROM documents)
+),
+spaced0 AS (
+  SELECT ' ' || regexp_replace(tok, '(.)', '\\1 ', 'g') AS sp
+  FROM tok WHERE length(tok) >= 2
+),"""
+    + ",".join(_bpe_top_cte(i) for i in range(1, BPE_ITERS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, pair, n FROM top{i}"
+        for i in range(1, BPE_ITERS + 1)
+    )
+)
+
+
+@register("q_bpe_train", oracle=_BPE_TRAIN_ORACLE)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL BPE training loop, {BPE_ITERS} merges unrolled: count
+    adjacent symbol pairs corpus-wide, adopt the most frequent pair as
+    merge #i (ties to the lexicographically smallest), apply it with
+    one replace() pass, repeat on the merged symbol stream. Returns the
+    learned merge TABLE (rank, pair, count-at-selection) — the artifact
+    a tokenizer ships; q_bpe_pairs / q_bpe_merge_apply verified
+    iterations one and two stepwise, this emits the whole schedule.
+
+    Every iteration is engine-exact: pair counts are integers, the
+    argmax is ORDER BY (n DESC, pair), and merge application is the
+    shared leftmost-non-overlapping replace() semantics all three
+    engines agree on. Scale: per iteration one vocabulary-bounded
+    count shuffle + a 1-row broadcast + a narrow map over tokens; the
+    symbol stream shrinks monotonically. Each merged stream feeds the
+    next count AND the next merge, so it persists (a production run
+    checkpoints here instead — same plan shape)."""
+    docs = io.load_table(spark, sf_dir, "documents").select("text")
+    spaced = (
+        docs.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .select(
+            F.concat(
+                F.lit(" "), F.regexp_replace(F.col("tok"), "(.)", "$1 ")
+            ).alias("sp")
+        )
+    )
+    merges = []
+    for i in range(1, BPE_ITERS + 1):
+        spaced = spaced.persist()  # feeds this count AND the next merge
+        top = (
+            spaced.select(F.split(F.trim(F.col("sp")), " ").alias("arr"))
+            .filter(F.size("arr") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(arr) - 1),"
+                        " j -> concat(arr[j - 1], ' ', arr[j]))"
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+        )
+        merges.append(
+            top.select(F.lit(i).cast("bigint").alias("rank"), "pair", "n")
+        )
+        spaced = spaced.crossJoin(F.broadcast(top.select("pair"))).select(
+            F.replace(
+                F.col("sp"),
+                F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                F.concat(
+                    F.lit(" "),
+                    F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                    F.lit(" "),
+                ),
+            ).alias("sp")
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

@@ -26,6 +26,10 @@ CLAIMED_INVARIANT = [
     "q_cross_doc_spans",  # md5 span hashes + integer ppm
     "q_two_pass_median",  # integer cents, rank arithmetic
     "q_split_drift",  # exact bigint rational TVD
+    "q_jaccard_prefix_join",  # md5 shingle order + integer ppm verify
+    "q_sequence_pack",  # md5 bucketing + integer window offsets
+    "q_kcore_prune",  # integer degrees, integer threshold
+    "q_bpe_train",  # integer pair counts, deterministic argmax
 ]
 
 

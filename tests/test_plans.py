@@ -51,6 +51,9 @@ ALLOWED_CROSS = {
     "q_two_pass_median",  # 1-row count/target-bucket/median broadcasts
     "q_split_drift",  # 1-row totals x 1-row deviation-sum broadcasts
     "q_hll_intersection",  # 1-row union-estimate x 1-row exact-count broadcasts
+    "q_minhash_recall",  # 1-row truth-count x 1-row lsh-count broadcasts
+    "q_kcore_prune",  # 1-row edge-count x 1-row node-count -> threshold k
+    "q_bpe_train",  # per-iteration 1-row winning-merge broadcasts
 }
 
 # Streaming memory-sink queries execute eagerly on construction; the
