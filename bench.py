@@ -175,6 +175,9 @@ HEADLINE = [
     "q_sequence_pack",
     "q_kcore_prune",
     "q_bpe_train",
+    # round-7: last-touch attribution, TPC-H Q17 shape
+    "q_attribution",
+    "q_small_qty_revenue",
 ]
 
 # ANN serving/recall queries whose FIRST run in this process pays the

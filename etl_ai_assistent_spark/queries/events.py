@@ -1147,3 +1147,100 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.sum("ov").cast("bigint").alias("total_overlap_s"),
     )
+
+
+# --- marketing attribution (last-touch) --------------------------------------
+
+US_PER_MIN = 60_000_000
+
+
+@register(
+    "q_attribution",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END AS cents,
+         CASE WHEN event_type IN ('click', 'view') THEN event_type END AS touch,
+         CASE WHEN event_type IN ('click', 'view') THEN epoch_us(ts) END AS touch_us
+  FROM events WHERE event_type IN ('purchase', 'click', 'view')
+),
+attrib AS (
+  SELECT user_id, ts_us, event_type, cents,
+         last_value(touch IGNORE NULLS) OVER w AS last_touch,
+         last_value(touch_us IGNORE NULLS) OVER w AS last_touch_us
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT COALESCE(last_touch, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CAST(COALESCE(sum((ts_us - last_touch_us) // {US_PER_MIN}), 0) AS BIGINT)
+         AS total_wait_mins
+FROM attrib WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent click/view strictly before it in the
+    deterministic (ts, event_id) order; purchases with no prior touch
+    fall into the 'direct' channel. Per channel: purchases, exact
+    DECIMAL-derived revenue cents, and total minutes from touch to
+    conversion (integer microsecond floors — no calendar-boundary
+    date_diff semantics to disagree over).
+
+    The fill-forward window is the q_asof_purchase_signup plan shape
+    (one hash exchange on user_id, sort, last() over a preceding
+    frame) generalized to carry BOTH the touch type and its timestamp;
+    ties at the same microsecond break on event_id in both engines.
+    Scale: one keyed shuffle + one channel-bounded partial agg; no
+    joins at all."""
+    e = io.load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    ev = e.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_type") == "purchase",
+            (F.col("value").cast("decimal(12,2)") * 100).cast("bigint"),
+        ).alias("cents"),
+        F.when(is_touch, F.col("event_type")).alias("touch"),
+        F.when(is_touch, F.col("ts_us")).alias("touch_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attrib = ev.select(
+        "user_id",
+        "ts_us",
+        "event_type",
+        "cents",
+        F.last("touch", ignorenulls=True).over(w).alias("last_touch"),
+        F.last("touch_us", ignorenulls=True).over(w).alias("last_touch_us"),
+    )
+    return (
+        attrib.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("last_touch", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        f"(ts_us - last_touch_us) div {US_PER_MIN}"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("total_wait_mins"),
+        )
+    )

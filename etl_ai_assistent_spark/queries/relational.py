@@ -1478,3 +1478,82 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_rev").cast("double").alias("total_revenue"),
         )
     )
+
+
+# --- TPC-H Q17 shape: small-quantity-order revenue (correlated avg) ---------
+
+SQR_BRANDS = ("Brand#11", "Brand#23", "Brand#35")
+
+
+@register(
+    "q_small_qty_revenue",
+    oracle=f"""
+WITH pp AS (
+  SELECT p_partkey, p_brand FROM part
+  WHERE p_brand IN {SQR_BRANDS!r}
+),
+pli AS (
+  SELECT l.l_partkey, pp.p_brand,
+         CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) AS q_c,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem l JOIN pp ON l.l_partkey = pp.p_partkey
+),
+avgq AS (
+  SELECT l_partkey, CAST(sum(q_c) AS BIGINT) AS sum_q,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pli GROUP BY 1
+)
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_small_items,
+       CAST(sum(p.price_c) AS BIGINT) AS revenue_cents
+FROM pli p JOIN avgq a ON p.l_partkey = a.l_partkey
+WHERE p.q_c * 5 * a.n < a.sum_q
+GROUP BY 1
+""",
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked up in SMALL-QUANTITY line items
+    — items whose quantity is below 20% of their part's average. The
+    textbook correlated scalar subquery (avg per part, re-evaluated
+    per row) DECORRELATES into one per-part pre-aggregate joined back
+    to the same slice; the 0.2·avg comparison cross-multiplies to the
+    exact integer predicate q·5·n < Σq, so no float division ever
+    happens (the q_orders_above_cust_avg discipline on a fact×fact
+    shape). Quantities and prices enter as half-up cents.
+
+    Scale: the brand filter prunes PART first; the fact join then
+    touches only those parts' line items (at 100 TB a runtime bloom /
+    DPP filter does this scan-side — the q_bloom_join pattern
+    composes). The pre-aggregate and the join-back shuffle on the
+    SAME key (l_partkey), so the exchange is reused; the brand slice
+    persists because it feeds both branches."""
+    part = io.load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = io.load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pp = part.filter(F.col("p_brand").isin(*SQR_BRANDS))
+    pli = (
+        li.join(pp, li.l_partkey == pp.p_partkey)
+        .select(
+            "l_partkey",
+            "p_brand",
+            F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint").alias("q_c"),
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("price_c"),
+        )
+        .persist()  # feeds the per-part pre-aggregate AND the join-back
+    )
+    avgq = pli.groupBy("l_partkey").agg(
+        F.sum("q_c").cast("bigint").alias("sum_q"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return (
+        pli.join(avgq, "l_partkey")
+        .filter(F.col("q_c") * 5 * F.col("n") < F.col("sum_q"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_small_items"),
+            F.sum("price_c").cast("bigint").alias("revenue_cents"),
+        )
+    )

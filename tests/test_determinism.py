@@ -30,6 +30,8 @@ CLAIMED_INVARIANT = [
     "q_sequence_pack",  # md5 bucketing + integer window offsets
     "q_kcore_prune",  # integer degrees, integer threshold
     "q_bpe_train",  # integer pair counts, deterministic argmax
+    "q_attribution",  # DECIMAL cents + (ts, event_id)-ordered window
+    "q_small_qty_revenue",  # half-up cents, cross-multiplied predicate
 ]
 
 
