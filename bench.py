@@ -178,6 +178,9 @@ HEADLINE = [
     # round-7: last-touch attribution, TPC-H Q17 shape
     "q_attribution",
     "q_small_qty_revenue",
+    # round-7: interval union (gaps-and-islands), Benford DQ audit
+    "q_interval_union",
+    "q_benford_audit",
 ]
 
 # ANN serving/recall queries whose FIRST run in this process pays the

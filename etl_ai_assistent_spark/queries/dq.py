@@ -383,3 +383,87 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("group_size"))
         .withColumn("at_risk", F.col("group_size") < K_ANON)
     )
+
+
+# --- Benford first-digit audit ------------------------------------------------
+
+# log10(1 + 1/d) in ppm, the canonical Benford expectation
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_VALUES = ", ".join(f"({d}, {p})" for d, p in BENFORD_PPM.items())
+
+
+@register(
+    "q_benford_audit",
+    oracle=f"""
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice > 0
+),
+digits AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM cents
+),
+obs AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs),
+exp AS (SELECT * FROM (VALUES {_BENFORD_VALUES}) v(digit, benford_ppm))
+SELECT e.digit, COALESCE(o.n, 0) AS n,
+       CAST(1000000 * COALESCE(o.n, 0) // t.total AS BIGINT) AS observed_ppm,
+       CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+       CAST(abs(1000000 * COALESCE(o.n, 0) // t.total - e.benford_ppm)
+            AS BIGINT) AS dev_ppm
+FROM exp e LEFT JOIN obs o ON e.digit = o.digit, tot t
+""",
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the fraud /
+    fabricated-data screen: genuine multiplicative amounts put digit d
+    first with probability log10(1+1/d); fabricated ones drift uniform.
+    Per digit: observed count, observed_ppm (exact integer rational),
+    the canonical Benford ppm, and the absolute deviation. The leading
+    digit comes from the CENTS string (the *100 decimal shift never
+    changes the first significant digit of a positive amount), so no
+    float log10 near a power-of-ten boundary can flip a bucket.
+
+    Scale: one partial-agg'd scan to 9 groups, a 9-row expected-table
+    broadcast, a 1-row total broadcast — sketch-sized all the way."""
+    orders = io.load_table(spark, sf_dir, "orders").select("o_totalprice")
+    cents = orders.filter(F.col("o_totalprice") > 0).select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c")
+    )
+    obs = (
+        cents.select(
+            F.substring(F.col("c").cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    spark_exp = spark.createDataFrame(
+        sorted(BENFORD_PPM.items()), ["digit", "benford_ppm"]
+    ).select(
+        F.col("digit").cast("bigint").alias("digit"),
+        F.col("benford_ppm").cast("bigint").alias("benford_ppm"),
+    )
+    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
+    return (
+        spark_exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.expr("CAST(1000000 * coalesce(n, 0) div total AS BIGINT)").alias(
+                "observed_ppm"
+            ),
+            "benford_ppm",
+            F.expr(
+                "CAST(abs(1000000 * coalesce(n, 0) div total - benford_ppm)"
+                " AS BIGINT)"
+            ).alias("dev_ppm"),
+        )
+    )

@@ -1557,3 +1557,104 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_c").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+# --- interval union (gaps-and-islands) ---------------------------------------
+
+IU_WINDOW_DAYS = 7  # each shipment keeps the supplier "active" for a week
+_IU_DAY = "epoch_us(l_shipdate) // 86400000000"
+
+
+@register(
+    "q_interval_union",
+    oracle=f"""
+WITH iv AS (
+  SELECT l_suppkey,
+         CAST({_IU_DAY} AS BIGINT) AS d0,
+         CAST({_IU_DAY} + {IU_WINDOW_DAYS} AS BIGINT) AS d1
+  FROM lineitem
+),
+flagged AS (
+  SELECT l_suppkey, d0, d1,
+         CASE WHEN max(d1) OVER (PARTITION BY l_suppkey ORDER BY d0, d1
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= d0
+              THEN 0 ELSE 1 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT l_suppkey, d0, d1,
+         sum(new_island) OVER (PARTITION BY l_suppkey ORDER BY d0, d1
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+merged AS (
+  SELECT l_suppkey, island, min(d0) AS s, max(d1) AS e,
+         count(*) AS n_iv
+  FROM islands GROUP BY 1, 2
+)
+SELECT l_suppkey AS suppkey,
+       CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(e - s) AS BIGINT) AS covered_days,
+       CAST(max(e) - min(s) AS BIGINT) AS span_days
+FROM merged GROUP BY 1
+""",
+)
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL UNION (gaps-and-islands): each shipment opens a
+    {IU_WINDOW_DAYS}-day activity window for its supplier; overlapping
+    windows merge, and the query reports per supplier the union length
+    in days, the island count, and the total span — the coverage
+    calculation behind SLA uptime, sensor availability, and campaign
+    reach, and a theta-op SQL has no native operator for.
+
+    The merge is two window passes, no join: an interval starts a new
+    island iff its start exceeds the running max of all previous ends
+    (ordered by (start, end) — rows tied on start can never open an
+    island, so tie order is immaterial and the result is partition-
+    invariant); island ids are the running count of starts. Scale: one
+    shuffle on supplier, then map-side windows and two partial aggs. A
+    pathologically hot key serializes its partition sort — the salting
+    escape is a per-(key, coarse-epoch) pre-merge, same plan shape one
+    level down. Dates enter as exact epoch days (integer microsecond
+    floors, no calendar date_diff semantics)."""
+    li = io.load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate"
+    )
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " l_shipdate) div 86400000000"
+    )
+    iv = li.select(
+        "l_suppkey",
+        day.cast("bigint").alias("d0"),
+        (day + IU_WINDOW_DAYS).cast("bigint").alias("d1"),
+    )
+    w_prev = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("d0", "d1")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("d0", "d1")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.max("d1").over(w_prev) >= F.col("d0"), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    merged = islands.groupBy("l_suppkey", "island").agg(
+        F.min("d0").alias("s"),
+        F.max("d1").alias("e"),
+        F.count("*").alias("n_iv"),
+    )
+    return merged.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum("n_iv").cast("bigint").alias("n_intervals"),
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("covered_days"),
+        (F.max("e") - F.min("s")).cast("bigint").alias("span_days"),
+    )

@@ -32,6 +32,8 @@ CLAIMED_INVARIANT = [
     "q_bpe_train",  # integer pair counts, deterministic argmax
     "q_attribution",  # DECIMAL cents + (ts, event_id)-ordered window
     "q_small_qty_revenue",  # half-up cents, cross-multiplied predicate
+    "q_interval_union",  # integer epoch days, tie-immune island flags
+    "q_benford_audit",  # integer ppm rationals over 9 digit groups
 ]
 
 

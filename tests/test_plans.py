@@ -54,6 +54,7 @@ ALLOWED_CROSS = {
     "q_minhash_recall",  # 1-row truth-count x 1-row lsh-count broadcasts
     "q_kcore_prune",  # 1-row edge-count x 1-row node-count -> threshold k
     "q_bpe_train",  # per-iteration 1-row winning-merge broadcasts
+    "q_benford_audit",  # 1-row digit-total broadcast
 }
 
 # Streaming memory-sink queries execute eagerly on construction; the
