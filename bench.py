@@ -181,6 +181,8 @@ HEADLINE = [
     # round-7: interval union (gaps-and-islands), Benford DQ audit
     "q_interval_union",
     "q_benford_audit",
+    # round-7: one-sided prefix-filter containment (quote inclusion)
+    "q_containment_join",
 ]
 
 # ANN serving/recall queries whose FIRST run in this process pays the

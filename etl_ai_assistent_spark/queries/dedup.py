@@ -1030,3 +1030,104 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+# --- containment join (near-superset detection) ------------------------------
+
+CJ_NUM, CJ_DEN = 9, 10  # containment threshold tau = 9/10
+
+
+@register(
+    "q_containment_join",
+    oracle=f"""
+WITH {_NEAR_CORPUS_SQL},
+{_SHINGLES_CTE}
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(1000000 * len(list_intersect(a.sh, b.sh)) // len(a.sh)
+            AS BIGINT) AS cont_ppm
+FROM shingled a JOIN shingled b ON a.id <> b.id
+WHERE len(list_intersect(a.sh, b.sh)) * {CJ_DEN} >= {CJ_NUM} * len(a.sh)
+""",
+)
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT join: every ordered pair (a, b) where >= {CJ_NUM}/{CJ_DEN}
+    of a's shingles also appear in b — the asymmetric complement of
+    Jaccard that catches WHOLESALE INCLUSION (a document quoted or
+    embedded inside a longer one), which symmetric similarity misses
+    whenever the host is much longer than the quote. On the near-copy
+    corpus every original is fully contained in its padded copy
+    (cont = 1.0) while the copy is NOT fully contained in the original.
+
+    The prefix-filter theorem adapts one-sidedly: only the PROBE side
+    (a) is prefix-pruned (first n_a − ceil(tau·n_a) + 1 shingles in the
+    global rare-first (df, gram) order — if a qualifying b missed all
+    of them, a's >= ceil(tau·n_a) shared shingles would fit in the
+    shorter suffix, contradiction); the INDEX side (b) must post ALL
+    its shingles since containment bounds nothing about b's share.
+    The oracle is the naive all-ordered-pairs theta join over the same
+    corpus, so result equality proves the one-sided filter lossless.
+
+    Scale: probe volume is prefix-bounded and rare-first (shortest
+    posting lists); the index side is a full posting table — the same
+    asymmetry every search engine lives with. Verify touches
+    candidates only; exact integer cross-multiplied threshold."""
+    docs = (
+        io.load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < NEAR_LIMIT)
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    from ..functions import text as TX
+
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("id") + 100000).alias("id"),
+            F.concat(F.col("text"), F.lit(" zza zzb zzc zzd")).alias("text"),
+        )
+    )
+    sh = corpus.select("id", TX.word_shingles("text").alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    ex = sh.select("id", F.explode("sh").alias("g"))
+    dfs = ex.groupBy("g").agg(F.count("*").cast("bigint").alias("df"))
+    ordered = (
+        ex.join(dfs, "g")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("arr"))
+        .persist()  # feeds probe prefixes, the index side, and verify
+    )
+    n = F.size("arr")
+    pref_len = n - F.expr(f"({CJ_NUM} * size(arr) + {CJ_DEN - 1}) div {CJ_DEN}") + 1
+    probe = ordered.select(
+        "id",
+        F.explode(
+            F.transform(F.slice("arr", F.lit(1), pref_len), lambda x: x["g"])
+        ).alias("g"),
+    )
+    index = ordered.select(
+        "id", F.explode(F.transform("arr", lambda x: x["g"])).alias("g")
+    )
+    pairs = (
+        probe.alias("a")
+        .join(
+            index.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = ordered.select("id", F.transform("arr", lambda x: x["g"]).alias("s"))
+    sa = sets.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_i", inter)
+        .withColumn("_na", F.size("s_a"))
+        .filter(F.col("_i") * CJ_DEN >= CJ_NUM * F.col("_na"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("CAST(1000000 * _i div _na AS BIGINT)").alias("cont_ppm"),
+        )
+    )

@@ -34,6 +34,7 @@ CLAIMED_INVARIANT = [
     "q_small_qty_revenue",  # half-up cents, cross-multiplied predicate
     "q_interval_union",  # integer epoch days, tie-immune island flags
     "q_benford_audit",  # integer ppm rationals over 9 digit groups
+    "q_containment_join",  # md5 shingle order + integer ppm verify
 ]
 
 
