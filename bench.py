@@ -183,6 +183,8 @@ HEADLINE = [
     "q_benford_audit",
     # round-7: one-sided prefix-filter containment (quote inclusion)
     "q_containment_join",
+    # round-7: l-diversity homogeneity audit (k-anonymity's complement)
+    "q_l_diversity",
 ]
 
 # ANN serving/recall queries whose FIRST run in this process pays the

@@ -467,3 +467,53 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dev_ppm"),
         )
     )
+
+
+# --- l-diversity audit --------------------------------------------------------
+
+L_DIV = 3
+
+
+@register(
+    "q_l_diversity",
+    oracle=f"""
+WITH cell AS (
+  SELECT c_nationkey, {_QI_BAL} AS bal_band, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, bal_band,
+       CAST(sum(n) AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS n_sensitive,
+       CAST(1000000 * max(n) // sum(n) AS BIGINT) AS max_share_ppm,
+       count(*) >= {L_DIV} AS diverse
+FROM cell GROUP BY 1, 2
+""",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attack k-anonymity misses: a QI group
+    can be large yet reveal everyone's sensitive value if that value is
+    HOMOGENEOUS (all k rows share it). Per quasi-identifier group
+    (nation, balance band): how many distinct market segments appear
+    (distinct l-diversity, gate at l >= {L_DIV}) and the dominant
+    segment's share in ppm (the skew signal behind the entropy and
+    recursive variants, kept integer-exact instead of floating logs).
+    Together with q_k_anonymity this completes the release gate:
+    group_size catches linkability, n_sensitive catches homogeneity.
+
+    Scale: two stacked partial-agg scans — (QI, sensitive) cells first,
+    then QI groups — both combine map-side; the report is QI-sized."""
+    c = io.load_table(spark, sf_dir, "customer")
+    cell = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bal_band"),
+        "c_mktsegment",
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    return cell.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("n").cast("bigint").alias("group_size"),
+        F.count("*").cast("bigint").alias("n_sensitive"),
+        F.expr("CAST(1000000 * max(n) div sum(n) AS BIGINT)").alias(
+            "max_share_ppm"
+        ),
+        (F.count("*") >= L_DIV).alias("diverse"),
+    )

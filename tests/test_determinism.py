@@ -35,6 +35,7 @@ CLAIMED_INVARIANT = [
     "q_interval_union",  # integer epoch days, tie-immune island flags
     "q_benford_audit",  # integer ppm rationals over 9 digit groups
     "q_containment_join",  # md5 shingle order + integer ppm verify
+    "q_l_diversity",  # stacked integer partial aggs, ppm shares
 ]
 
 

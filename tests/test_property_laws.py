@@ -458,3 +458,50 @@ def test_shared_span_stats_finds_planted_spans_only(spark, lens, plant_at, data)
             assert 0 < got[d]["shared_ppm"] <= 1_000_000
         else:
             assert got[d]["n_shared"] == 0 and got[d]["max_partners"] == 0
+
+
+# --- prefix-filter joins: lossless on arbitrary corpora ----------------------
+
+# documents over a tiny vocabulary so random corpora collide heavily
+# (shared shingles everywhere — the regime where a broken prefix bound
+# would actually drop pairs)
+_VOCAB = [f"w{i}" for i in range(6)]
+_RANDOM_DOC = st.lists(
+    st.sampled_from(_VOCAB), min_size=0, max_size=12
+).map(" ".join)
+_RANDOM_CORPUS = st.lists(_RANDOM_DOC, min_size=2, max_size=10)
+_TAU = st.sampled_from([(1, 2), (2, 3), (7, 10), (9, 10)])
+
+
+def _sh3(text: str) -> frozenset:
+    toks = text.lower().split()
+    return frozenset(
+        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+    )
+
+
+@given(corpus=_RANDOM_CORPUS, tau=_TAU)
+@_SETTINGS
+def test_jaccard_prefix_join_lossless_on_random_corpora(spark, corpus, tau):
+    """EVERY pair with shingle Jaccard >= tau is returned, for random
+    high-collision corpora and several thresholds — the published
+    AllPairs bound executed as a law, with the brute-force quadratic
+    as the model."""
+    from itertools import combinations
+
+    from etl_ai_assistent_spark.operators.dedup import jaccard_prefix_pairs
+
+    num, den = tau
+    rows = list(enumerate(corpus))
+    docs = spark.createDataFrame(rows, "id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jacc_ppm"]
+        for r in jaccard_prefix_pairs(docs, num, den).collect()
+    }
+    sh = {i: _sh3(t) for i, t in rows if _sh3(t)}
+    want = {}
+    for (ia, sa), (ib, sb) in combinations(sorted(sh.items()), 2):
+        inter, union = len(sa & sb), len(sa | sb)
+        if inter * den >= num * union:
+            want[(ia, ib)] = 1_000_000 * inter // union
+    assert got == want
