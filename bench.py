@@ -185,6 +185,8 @@ HEADLINE = [
     "q_containment_join",
     # round-7: l-diversity homogeneity audit (k-anonymity's complement)
     "q_l_diversity",
+    # round-7: MMR diversity re-ranking (retrieval → context window)
+    "q_mmr_rerank",
 ]
 
 # ANN serving/recall queries whose FIRST run in this process pays the

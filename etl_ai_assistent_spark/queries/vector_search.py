@@ -631,3 +631,156 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_variation"),
     )
+
+
+# --- MMR diversity re-ranking (greedy, unrolled) -----------------------------
+
+MMR_PROBES = 3
+MMR_CAND = 12
+MMR_K = 4
+_PPM_COS = "CAST(round(1000000 * ({c})) AS BIGINT)"
+
+
+def _mmr_round_cte(r: int) -> str:
+    """Selection round r >= 2: anti-join survivors, max-sim to the
+    selected set, argmax of (rel − maxsim) with item tie-break."""
+    prev = f"selall{r - 1}"
+    return f"""
+sel{r} AS (
+  SELECT probe_id, item_id, rel_ppm, maxsim_ppm, CAST({r} AS BIGINT) AS pos, vec
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY rel_ppm - maxsim_ppm DESC, item_id) AS rn
+    FROM (
+      SELECT c.probe_id AS probe_id, c.item_id AS item_id,
+             c.rel_ppm AS rel_ppm, c.vec AS vec,
+             max({_PPM_COS.format(c=_cosine('c.vec', 's.vec'))}) AS maxsim_ppm
+      FROM cand c JOIN {prev} s ON c.probe_id = s.probe_id
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                        WHERE x.probe_id = c.probe_id
+                          AND x.item_id = c.item_id)
+      GROUP BY c.probe_id, c.item_id, c.rel_ppm, c.vec
+    )
+  ) WHERE rn = 1
+),
+selall{r} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM sel{r})"""
+
+
+_MMR_ORACLE = (
+    f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+  WHERE vec_id < {MMR_PROBES}
+),
+cand AS (
+  SELECT probe_id, item_id, rel_ppm, vec FROM (
+    SELECT p.probe_id, e.vec_id AS item_id, e.embedding AS vec,
+           {_PPM_COS.format(c=_cosine('e.embedding', 'p.pv'))} AS rel_ppm,
+           row_number() OVER (PARTITION BY p.probe_id
+             ORDER BY {_PPM_COS.format(c=_cosine('e.embedding', 'p.pv'))} DESC,
+                      e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN probes p
+    WHERE e.vec_id <> p.probe_id
+  ) WHERE rn <= {MMR_CAND}
+),
+sel1 AS (
+  SELECT probe_id, item_id, rel_ppm, CAST(0 AS BIGINT) AS maxsim_ppm,
+         CAST(1 AS BIGINT) AS pos, vec
+  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY rel_ppm DESC, item_id) AS rn FROM cand)
+  WHERE rn = 1
+),
+selall1 AS (SELECT * FROM sel1),"""
+    + ",".join(_mmr_round_cte(r) for r in range(2, MMR_K + 1))
+    + f"""
+SELECT probe_id, pos, item_id, rel_ppm, maxsim_ppm FROM selall{MMR_K}
+"""
+)
+
+
+@register("q_mmr_rerank", oracle=_MMR_ORACLE)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-ranking (Carbonell &
+    Goldstein 1998), λ = 1/2: from each probe's top-{MMR_CAND} cosine
+    candidates, greedily select {MMR_K} items maximizing
+    rel − max-sim-to-already-selected — the result-diversification
+    pass between retrieval and generation that keeps a RAG context
+    window from spending all its slots on near-duplicates of hit #1.
+    Relevance and similarity live as integer ppm (one shared
+    round(1e6·cos) on both engines), so every argmax is exact; ties
+    break on item_id. pos is selection order; maxsim_ppm is the
+    redundancy penalty the winner paid (0 for the first pick).
+
+    Scale: candidates per probe are bounded ({MMR_CAND}) BEFORE the
+    greedy loop, so each unrolled round is an anti-join + a
+    (probe-bounded × selected-bounded) similarity join + one argmax —
+    probes × {MMR_CAND} × round rows, never corpus-sized. The
+    selected set persists per round (it feeds the anti-join AND the
+    sim join). The candidate fetch itself is the q_knn_join plan
+    (broadcast probes, TakeOrdered per probe)."""
+    emb = io.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    probes = emb.filter(F.col("vec_id") < MMR_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+    )
+    ppm = (
+        F.round(V.cosine("vec", "pv") * 1000000).cast("bigint")
+    )
+    w_rel = Window.partitionBy("probe_id").orderBy(
+        F.desc("rel_ppm"), F.asc("item_id")
+    )
+    cand = (
+        emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("vec"))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("item_id") != F.col("probe_id"))
+        .select("probe_id", "item_id", "vec", ppm.alias("rel_ppm"))
+        .withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= MMR_CAND)
+        .drop("rn")
+        .persist()  # feeds every greedy round
+    )
+    sel = (
+        cand.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "probe_id",
+            "item_id",
+            "rel_ppm",
+            F.lit(0).cast("bigint").alias("maxsim_ppm"),
+            F.lit(1).cast("bigint").alias("pos"),
+            "vec",
+        )
+        .persist()
+    )
+    simppm = (
+        F.round(V.cosine("vec", "svec") * 1000000).cast("bigint")
+    )
+    for r in range(2, MMR_K + 1):
+        rem = cand.join(
+            sel.select("probe_id", "item_id"), ["probe_id", "item_id"], "left_anti"
+        )
+        ms = (
+            rem.join(
+                sel.select("probe_id", F.col("vec").alias("svec")), "probe_id"
+            )
+            .groupBy("probe_id", "item_id", "rel_ppm", "vec")
+            .agg(F.max(simppm).alias("maxsim_ppm"))
+        )
+        w_mmr = Window.partitionBy("probe_id").orderBy(
+            F.desc(F.col("rel_ppm") - F.col("maxsim_ppm")), F.asc("item_id")
+        )
+        pick = (
+            ms.withColumn("rn", F.row_number().over(w_mmr))
+            .filter(F.col("rn") == 1)
+            .select(
+                "probe_id",
+                "item_id",
+                "rel_ppm",
+                "maxsim_ppm",
+                F.lit(r).cast("bigint").alias("pos"),
+                "vec",
+            )
+        )
+        sel = sel.unionByName(pick).persist()
+    return sel.select("probe_id", "pos", "item_id", "rel_ppm", "maxsim_ppm")

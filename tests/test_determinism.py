@@ -36,6 +36,7 @@ CLAIMED_INVARIANT = [
     "q_benford_audit",  # integer ppm rationals over 9 digit groups
     "q_containment_join",  # md5 shingle order + integer ppm verify
     "q_l_diversity",  # stacked integer partial aggs, ppm shares
+    "q_mmr_rerank",  # integer-ppm greedy argmax, item tie-breaks
 ]
 
 

@@ -55,6 +55,7 @@ ALLOWED_CROSS = {
     "q_kcore_prune",  # 1-row edge-count x 1-row node-count -> threshold k
     "q_bpe_train",  # per-iteration 1-row winning-merge broadcasts
     "q_benford_audit",  # 1-row digit-total broadcast
+    "q_mmr_rerank",  # 3-row probe broadcast (the q_topk_cosine pattern)
 }
 
 # Streaming memory-sink queries execute eagerly on construction; the
