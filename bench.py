@@ -187,6 +187,8 @@ HEADLINE = [
     "q_l_diversity",
     # round-7: MMR diversity re-ranking (retrieval → context window)
     "q_mmr_rerank",
+    # round-7: per-group two-pass exact median (the grouped prune)
+    "q_grouped_median",
 ]
 
 # ANN serving/recall queries whose FIRST run in this process pays the

@@ -37,6 +37,7 @@ CLAIMED_INVARIANT = [
     "q_containment_join",  # md5 shingle order + integer ppm verify
     "q_l_diversity",  # stacked integer partial aggs, ppm shares
     "q_mmr_rerank",  # integer-ppm greedy argmax, item tie-breaks
+    "q_grouped_median",  # integer cents, per-group rank arithmetic
 ]
 
 
