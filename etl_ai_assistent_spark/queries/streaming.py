@@ -830,3 +830,61 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     return drained.filter(F.col("user_id") != -1)
+
+
+@register(
+    "q_stream_late_rebuild",
+    oracle="""
+WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+e AS (
+  SELECT (epoch_us(ts) // 1000000) // 3600 * 3600 AS h,
+         CASE WHEN event_id % 3 = 0
+                   AND epoch_us(ts) < m - 2 * 86400000000
+              THEN CASE WHEN (event_id // 3) % 2 = 0 THEN 1 ELSE 2 END
+              ELSE 0 END AS f
+  FROM events, mx
+),
+s0 AS (SELECT h, count(*) AS n FROM e WHERE f = 0 GROUP BY 1),
+c01 AS (SELECT h, count(*) AS n FROM e WHERE f IN (0, 1) GROUP BY 1),
+s1 AS (SELECT c.h, c.n FROM c01 c
+       JOIN (SELECT DISTINCT h FROM e WHERE f = 1) d ON c.h = d.h)
+SELECT h AS hour_start_s, CAST(n AS BIGINT) AS n FROM s0
+UNION ALL SELECT h, CAST(n AS BIGINT) FROM s1
+""",
+)
+def q_stream_late_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the watermark contract ACTUALLY does to stragglers in this
+    engine, pinned batch-by-batch and oracle-checked. A 3-batch replay
+    (mtime-ordered fixture): on-time bulk, then two identical-lateness
+    waves of events weeks behind the 1-hour watermark. Measured Spark
+    4.1 semantics, sharper than the folk model: the LATE-INPUT FILTER
+    LAGS THE EVICTION WATERMARK BY ONE BATCH. Wave 1 (first batch
+    after the bulk) is ADMITTED — it merges with the not-yet-evicted
+    hourly state and the sink's update rows carry the true cumulative
+    (on-time + wave-1); that state is evicted at the batch's end.
+    Wave 2 — the same lateness, one batch later — is DROPPED entirely
+    (numRowsDroppedByWatermark = wave-2 row count, batch 2 emits
+    nothing; tests/test_streaming_state.py pins both metrics). The
+    memory table is therefore exactly
+    {(h, n_ontime)} ∪ {(h, n_ontime + n_wave1)}, which the oracle
+    recomputes by re-deriving file membership (event_id arithmetic +
+    fixed time cutoff). The same-hour double entry is why downstream
+    consumers need the idempotent window-keyed upsert
+    (q_stream_cdc_merge's pattern). Completes the watermark-contract
+    trio beside q_stream_dedup_watermarked (dedup eviction) and
+    q_stream_outer_join (outer-state flush)."""
+    events = SP.read_events_stream_late(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        agg = (
+            events.withWatermark("ts_ts", "1 hour")
+            .groupBy(F.window("ts_ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.unix_timestamp(F.col("w.start")).alias("hour_start_s"), "n"
+            )
+        )
+        return SP.run_to_memory(agg, prefix="late_rebuild", mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

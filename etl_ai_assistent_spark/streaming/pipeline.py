@@ -603,3 +603,70 @@ def stream_stream_purchase_left_join(
         .cast("bigint")
         .alias("purchase_cents"),
     )
+
+
+def late_events_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A 3-file landing dir delivering STRAGGLERS in two waves behind
+    the watermark (mtime-ordered, so maxFilesPerTrigger=1 replays them
+    as ordered micro-batches). Late set = every third event more than
+    2 days older than the corpus max; wave 1 = even half, wave 2 = odd
+    half. After batch 0 the 1-hour watermark sits at max − 1 h — weeks
+    past every straggler's window — which makes the engine's actual
+    late-data contract observable batch by batch: wave 1 MERGES with
+    batch-0 state (merge happens before end-of-batch eviction), then
+    that state is evicted, so wave 2 REBUILDS the same hours from
+    zero. File membership keys on (event_id, a fixed time cutoff) so
+    both engines recompute it exactly."""
+    import os
+
+    tag = _fixture_tag(sf_dir)
+    out = f"/tmp/spark_graft_events_late_{tag}_v3"
+    marker = os.path.join(out, "_complete")
+    if not os.path.exists(marker):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(out, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        # plain-python masks (pyarrow.compute lacks mod)
+        ids = t.column("event_id").to_pylist()
+        epoch = (
+            t.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_pandas()
+            .astype("datetime64[us]")
+            .astype("int64")
+        ).tolist()  # exact integer micros, no float round-trip
+        cut = max(epoch) - 2 * 86400_000_000
+        wave = [
+            (1 if (i // 3) % 2 == 0 else 2) if (i % 3 == 0 and e < cut) else 0
+            for i, e in zip(ids, epoch)
+        ]
+        prev_mtime = None
+        for w in (0, 1, 2):
+            mask = pa.array([v == w for v in wave], type=pa.bool_())
+            path = os.path.join(out, f"part_{w}.parquet")
+            pq.write_table(t.filter(mask), path)
+            st = os.stat(path)
+            if prev_mtime is not None:
+                os.utime(path, (prev_mtime + 10, prev_mtime + 10))
+                st = os.stat(path)
+            prev_mtime = st.st_mtime
+        open(marker, "w").close()
+    return out
+
+
+def read_events_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan over the late fixture, one file per micro-batch
+    (2 batches: on-time bulk, then the weeks-late stragglers)."""
+    import os
+
+    path = late_events_fixture(spark, sf_dir)
+    schema = _events_stream_schema(spark, os.path.join(path, "part_0.parquet"))
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(path + "/part_*.parquet")
+    )
+    return _normalize_events(raw)

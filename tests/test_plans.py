@@ -74,6 +74,7 @@ STREAMING = {
     "q_stream_hll",
     "q_stream_delta_join",
     "q_stream_outer_join",
+    "q_stream_late_rebuild",
 }
 
 # The docx queries materialize a 500-file fixture corpus first — slow to

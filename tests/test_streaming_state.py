@@ -82,3 +82,38 @@ def test_outer_join_sentinel_filter_pushdown_starves_watermark(spark, sf_small):
         mode="append",
     )
     assert bad.filter(F.col("purchase_us").isNull()).count() == 0
+
+
+def test_late_filter_lags_eviction_watermark_by_one_batch(spark, sf_small):
+    """Pins the engine semantics q_stream_late_rebuild documents: the
+    late-input filter uses the PREVIOUS batch's watermark, so wave 1
+    (first batch after the bulk) is admitted and merged while wave 2 —
+    identical lateness, one batch later — is dropped entirely. If a
+    Spark upgrade changes either side, this fails before the oracle
+    does, with the metric that moved."""
+    events = SP.read_events_stream_late(spark, sf_small)
+    agg = (
+        events.withWatermark("ts_ts", "1 hour")
+        .groupBy(F.window("ts_ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_pin")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    assert len(prog) == 3, [p["batchId"] for p in prog]
+    so = [p["stateOperators"][0] for p in prog]
+    assert prog[1]["numInputRows"] > 0 and prog[2]["numInputRows"] > 0
+    # wave 1: admitted and merged (no drops, one update per late hour)
+    assert so[1]["numRowsDroppedByWatermark"] == 0
+    assert so[1]["numRowsUpdated"] > 0
+    # wave 2: dropped wholesale (the lagged filter caught up)
+    assert so[2]["numRowsDroppedByWatermark"] == prog[2]["numInputRows"]
+    assert so[2]["numRowsUpdated"] == 0
