@@ -189,6 +189,10 @@ HEADLINE = [
     "q_mmr_rerank",
     # round-7: per-group two-pass exact median (the grouped prune)
     "q_grouped_median",
+    # round-7: TPC-H Q3/Q6/Q10 shapes
+    "q_urgent_backlog",
+    "q_discount_revenue",
+    "q_returned_revenue",
 ]
 
 # ANN serving/recall queries whose FIRST run in this process pays the

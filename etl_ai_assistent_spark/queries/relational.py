@@ -1658,3 +1658,159 @@ def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("e") - F.col("s")).cast("bigint").alias("covered_days"),
         (F.max("e") - F.min("s")).cast("bigint").alias("span_days"),
     )
+
+
+# --- TPC-H Q3 / Q6 / Q10 shapes ----------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1997-06-01 00:00:00"
+_REV_CENTS = (
+    "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "q_urgent_backlog",
+    oracle=f"""
+SELECT l.l_orderkey,
+       CAST(sum({_REV_CENTS}) AS BIGINT) AS revenue_cents,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l.l_shipdate  > TIMESTAMP '{Q3_DATE}'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_cents DESC, l.l_orderkey
+LIMIT 10
+""",
+)
+def q_urgent_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority backlog): the 10 highest-value
+    {Q3_SEGMENT}-segment orders placed before the cutoff whose items
+    had not shipped by it. Both date predicates push into the scans
+    (pruning orders AND lineitem before any join); revenue is exact
+    half-up cents so the top-10 ordering is integer-deterministic
+    (ties on orderkey). The LIMIT compiles to TakeOrderedAndProject —
+    per-partition heaps, no global sort. Customer is the small
+    filtered side; at 100 TB a DPP/bloom filter carries the segment
+    restriction into the fact scans (the q_bloom_join pattern)."""
+    c = io.load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    ).select("c_custkey")
+    o = io.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = io.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("bigint").alias("revenue_cents"))
+        .select("l_orderkey", "revenue_cents", "o_orderdate")
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q6_YEAR = 1997
+
+
+@register(
+    "q_discount_revenue",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS discount_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q6_YEAR + 1}-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def q_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the discount give-
+    back on mid-discount small-quantity items shipped in {Q6_YEAR} —
+    a pure scan-side query: every predicate (date range, discount
+    band, quantity cap) pushes into the parquet scan, no join, no
+    shuffle beyond the single partial-agg'd global sum. The simplest
+    possible plan and therefore the scan-efficiency benchmark: at
+    100 TB this query IS the row-group pruning + codegen filter path.
+    Per-row discount cents are floored half-up BEFORE the sum, so the
+    aggregate is an exact integer in any partition order."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit(f"{Q6_YEAR}-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{Q6_YEAR + 1}-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    disc = F.floor(
+        F.col("l_extendedprice") * F.col("l_discount") * 100 + 0.5
+    ).cast("bigint")
+    return filtered.agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum(disc).cast("bigint").alias("discount_cents"),
+    )
+
+
+Q10_FROM = "1997-01-01 00:00:00"
+Q10_TO = "1997-07-01 00:00:00"
+
+
+@register(
+    "q_returned_revenue",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum({_REV_CENTS}) AS BIGINT) AS lost_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{Q10_FROM}'
+  AND o.o_orderdate <  TIMESTAMP '{Q10_TO}'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY lost_cents DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item losses): the 20 customers whose
+    returned items cost the most in a half-year window. Return-flag
+    and date predicates push into the fact scans; nation is the
+    broadcast dim (nation never grows with SF — the broadcast-hint
+    policy); revenue is exact half-up cents so the top-20 is
+    integer-deterministic (custkey ties). TakeOrderedAndProject
+    again — the report never sorts more than 20 rows per partition."""
+    c = io.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = io.load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = io.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_TO).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = io.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("bigint").alias("lost_cents"))
+        .orderBy(F.desc("lost_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -38,6 +38,9 @@ CLAIMED_INVARIANT = [
     "q_l_diversity",  # stacked integer partial aggs, ppm shares
     "q_mmr_rerank",  # integer-ppm greedy argmax, item tie-breaks
     "q_grouped_median",  # integer cents, per-group rank arithmetic
+    "q_urgent_backlog",  # half-up cents, integer top-10
+    "q_discount_revenue",  # per-row floored cents before the sum
+    "q_returned_revenue",  # half-up cents, integer top-20
 ]
 
 
