@@ -130,3 +130,79 @@ def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_prefix_filter_bounds_candidates_below_all_pairs(spark, sf_small):
+    """The prefix filter's scale claim, measured: the candidate pair
+    set the posting-list equi-join produces is a small fraction of the
+    n(n-1)/2 all-pairs space the naive join would verify — on the real
+    corpus slice q_jaccard_prefix_join runs on. (Losslessness is proven
+    by the oracle and the hypothesis law; this pins the EFFICIENCY
+    side, which those can't see.)"""
+    from pyspark.sql import functions as F
+
+    from etl_ai_assistent_spark import io
+    from etl_ai_assistent_spark.functions import text as TX
+    from etl_ai_assistent_spark.queries.dedup import JPJ_DEN, JPJ_LIMIT, JPJ_NUM
+
+    docs = (
+        io.load_table(spark, sf_small, "documents")
+        .filter(F.col("doc_id") < JPJ_LIMIT)
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    sh = docs.select("id", TX.word_shingles("text").alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    n = sh.count()
+    ex = sh.select("id", F.explode("sh").alias("g"))
+    dfs = ex.groupBy("g").agg(F.count("*").alias("df"))
+    ordered = (
+        ex.join(dfs, "g")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("arr"))
+    )
+    pref_len = (
+        F.size("arr")
+        - F.expr(f"({JPJ_NUM} * size(arr) + {JPJ_DEN - 1}) div {JPJ_DEN}")
+        + 1
+    )
+    cand = ordered.select(
+        "id",
+        F.explode(
+            F.transform(F.slice("arr", F.lit(1), pref_len), lambda x: x["g"])
+        ).alias("g"),
+    )
+    n_cand = (
+        cand.alias("a")
+        .join(
+            cand.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select("a.id", "b.id")
+        .distinct()
+        .count()
+    )
+    all_pairs = n * (n - 1) // 2
+    assert n_cand < all_pairs / 20, (n_cand, all_pairs)
+
+
+def test_sequence_pack_output_is_token_compressed(spark, sf_small):
+    """q_sequence_pack's output volume claim: ~corpus_tokens/SEQ_LEN
+    window rows (plus at most one underfilled tail per bucket) — the
+    packing is a compression, never an explosion."""
+    from pyspark.sql import functions as F
+
+    from etl_ai_assistent_spark import io
+    from etl_ai_assistent_spark.functions import text as TX
+    from etl_ai_assistent_spark.queries.curation import (
+        SEQ_BUCKETS,
+        SEQ_LEN,
+        q_sequence_pack,
+    )
+
+    docs = io.load_table(spark, sf_small, "documents")
+    total = docs.select(
+        F.sum(F.size(TX.tokens(F.lower(F.col("text"))))).alias("t")
+    ).collect()[0]["t"]
+    n_windows = q_sequence_pack(spark, sf_small).count()
+    assert n_windows <= total // SEQ_LEN + SEQ_BUCKETS, (n_windows, total)
