@@ -888,3 +888,154 @@ def q_stream_late_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         return SP.run_to_memory(agg, prefix="late_rebuild", mode="update")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+SQ_BIN_CENTS = 500  # 5-unit value bands for the streaming histogram
+
+
+@register(
+    "q_stream_quantile",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(round(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+  FROM events
+),
+hist AS (
+  SELECT event_type, cents // {SQ_BIN_CENTS} AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM c GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+),
+est AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n,
+         CAST(min(bin) * {SQ_BIN_CENTS} AS BIGINT) AS est_p50_cents
+  FROM (SELECT * FROM cum WHERE cumn >= (n + 1) // 2)
+  GROUP BY event_type, n
+),
+exact AS (
+  SELECT event_type, cents AS exact_p50_cents
+  FROM (SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS nn
+        FROM c)
+  WHERE rn = (nn + 1) // 2
+)
+SELECT e.event_type, e.n, e.est_p50_cents, x.exact_p50_cents,
+       CAST(abs(e.est_p50_cents - x.exact_p50_cents) AS BIGINT) AS err_cents
+FROM est e JOIN exact x USING (event_type)
+""",
+)
+def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile maintenance via a MERGEABLE fixed-bin
+    histogram — the streaming form of the q_grouped_median prune's
+    first pass: each of 4 micro-batches builds its own (event_type,
+    {SQ_BIN_CENTS}-cent bin) count table and merges it into committed
+    state by union + sum (counts are the trivially mergeable sketch).
+    Draining the state, the per-type p50 estimate is the lower edge of
+    the rank-k bin; the exact median rides along with the absolute
+    error, so the bin-width accuracy trade is measured, not asserted.
+    The second narrowing pass of the batch prune is exactly what a
+    serving layer would run on demand against the raw store.
+
+    State is |types| × |bins| rows forever (value range is known here;
+    a production stream uses log-width bins or a clamped range to keep
+    it bounded on open-ended values). Versioning follows the CDC
+    exemplars: batch b reads hist_v{{b}}, OVERWRITES hist_v{{b+1}} —
+    a pure function of the deterministic batch id, so checkpoint
+    replays rewrite instead of double-count (and counts, unlike max,
+    would NOT forgive a double-merge — the versioning is load-bearing
+    here, proven by the same fixture the CDC tier uses)."""
+    import os
+
+    from .. import io
+    from ..streaming import pipeline as SP
+
+    tag = io.fixture_tag(sf_dir, "events")
+    root = f"/tmp/spark_graft_stream_quant_{tag}"
+    done = os.path.join(root, ".quant_complete")
+    n_parts = 4
+
+    cents = (
+        F.round(F.col("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+
+    if not os.path.exists(done):
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            hist_b = (
+                batch_df.select("event_type", cents)
+                .groupBy(
+                    "event_type",
+                    F.expr(f"cents div {SQ_BIN_CENTS}").alias("bin"),
+                )
+                .agg(F.count("*").cast("bigint").alias("cnt"))
+            )
+            prev_dir = os.path.join(root, f"hist_v{batch_id}")
+            if os.path.exists(os.path.join(prev_dir, "_SUCCESS")):
+                prev = batch_df.sparkSession.read.parquet(prev_dir)
+                hist_b = (
+                    prev.unionByName(hist_b)
+                    .groupBy("event_type", "bin")
+                    .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+                )
+            hist_b.write.mode("overwrite").parquet(
+                os.path.join(root, f"hist_v{batch_id + 1}")
+            )
+
+        stream = SP.read_events_stream_split(spark, sf_dir, parts=n_parts)
+        q = (
+            stream.select("event_type", "value")
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        open(done, "w").close()
+
+    from pyspark.sql import Window
+
+    hist = spark.read.parquet(os.path.join(root, f"hist_v{n_parts}"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = hist.withColumn("cumn", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wn)
+    )
+    est = (
+        cum.filter(F.col("cumn") >= F.expr("(n + 1) div 2"))
+        .groupBy("event_type", "n")
+        .agg((F.min("bin") * SQ_BIN_CENTS).cast("bigint").alias("est_p50_cents"))
+        .select("event_type", F.col("n").cast("bigint").alias("n"), "est_p50_cents")
+    )
+    c = io.load_events(spark, sf_dir).select("event_type", cents)
+    w_rank = Window.partitionBy("event_type").orderBy("cents")
+    exact = (
+        c.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("nn", F.count("*").over(wn))
+        .filter(F.col("rn") == F.expr("(nn + 1) div 2"))
+        .select("event_type", F.col("cents").alias("exact_p50_cents"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n",
+        "est_p50_cents",
+        "exact_p50_cents",
+        F.abs(F.col("est_p50_cents") - F.col("exact_p50_cents"))
+        .cast("bigint")
+        .alias("err_cents"),
+    )

@@ -75,6 +75,7 @@ STREAMING = {
     "q_stream_delta_join",
     "q_stream_outer_join",
     "q_stream_late_rebuild",
+    "q_stream_quantile",
 }
 
 # The docx queries materialize a 500-file fixture corpus first — slow to
