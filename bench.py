@@ -193,6 +193,8 @@ HEADLINE = [
     "q_urgent_backlog",
     "q_discount_revenue",
     "q_returned_revenue",
+    # round-7: Fellegi-Sunter linkage with measured confusion table
+    "q_linkage_score",
 ]
 
 # ANN serving/recall queries whose FIRST run in this process pays the

@@ -1131,3 +1131,168 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(1000000 * _i div _na AS BIGINT)").alias("cont_ppm"),
         )
     )
+
+
+# --- Fellegi-Sunter record-linkage scoring ------------------------------------
+
+FS_MAX_KEY = 600        # bounded slice keeps the oracle's block join cheap
+FS_B_OFFSET = 500000    # B-side ids = A-side id + offset (ground truth)
+# integer log-odds-style agreement weights (m/u ratios pre-folded)
+FS_W_CODE = {0: 24, 1: 10}   # hamming 0 / 1; >=2 scores FS_W_CODE_DIS
+FS_W_CODE_DIS = -8
+FS_W_BAL, FS_W_BAL_DIS = 6, -4
+FS_W_SEG, FS_W_SEG_DIS = 5, -5
+FS_T_MATCH, FS_T_REVIEW = 30, 10
+
+_FS_BUCKET = "CAST(('0x' || substr(md5('fs|' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)"
+_FS_HAM = """list_sum(list_transform(generate_series(1, 4),
+      i -> CASE WHEN substr(a.code, i, 1) <> substr(b.code, i, 1)
+                THEN 1 ELSE 0 END))"""
+
+
+@register(
+    "q_linkage_score",
+    oracle=f"""
+WITH base AS (
+  SELECT c_custkey AS id,
+         substr(c_name, length(c_name) - 3, 4) AS code,
+         c_nationkey AS nation,
+         c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         {_FS_BUCKET} AS h
+  FROM customer WHERE c_custkey < {FS_MAX_KEY}
+),
+a AS (SELECT id, code, nation, seg, bal_band FROM base),
+b AS (
+  SELECT id + {FS_B_OFFSET} AS id,
+         CASE WHEN h % 4 = 0
+              THEN CAST(h % 10 AS VARCHAR) || substr(code, 2, 3)
+              ELSE code END AS code,
+         CASE WHEN h % 7 = 0 THEN (nation + 1) % 25 ELSE nation END AS nation,
+         seg,
+         CASE WHEN h % 5 = 0 THEN bal_band + 1 ELSE bal_band END AS bal_band
+  FROM base
+),
+pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id,
+         CAST({_FS_HAM} AS BIGINT) AS ham,
+         a.bal_band = b.bal_band AS bal_eq,
+         a.seg = b.seg AS seg_eq
+  FROM a JOIN b ON a.nation = b.nation
+),
+scored AS (
+  SELECT a_id, b_id,
+         (CASE WHEN ham = 0 THEN {FS_W_CODE[0]}
+               WHEN ham = 1 THEN {FS_W_CODE[1]}
+               ELSE {FS_W_CODE_DIS} END
+          + CASE WHEN bal_eq THEN {FS_W_BAL} ELSE {FS_W_BAL_DIS} END
+          + CASE WHEN seg_eq THEN {FS_W_SEG} ELSE {FS_W_SEG_DIS} END)
+           AS score,
+         b_id - {FS_B_OFFSET} = a_id AS is_true
+  FROM pairs
+)
+SELECT CASE WHEN score >= {FS_T_MATCH} THEN 'match'
+            WHEN score >= {FS_T_REVIEW} THEN 'review'
+            ELSE 'non-match' END AS link_class,
+       is_true,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(score) AS BIGINT) AS min_score,
+       CAST(max(score) AS BIGINT) AS max_score
+FROM scored
+GROUP BY 1, 2
+""",
+)
+def q_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record linkage, scored and CONFUSION-AUDITED: a
+    second database B is derived from customers with deterministic
+    md5-keyed corruptions (1/4 get a name-code typo, 1/7 move nation —
+    which breaks blocking and becomes an honest false negative, 1/5
+    drift a balance band). Candidates come from nation blocking;
+    each pair scores integer agreement weights per field (the log
+    m/u-ratio weights of the FS model, pre-folded to integers: code
+    hamming 0/1/2+, balance band, segment) and classifies against the
+    match/review thresholds. Because B's ids encode ground truth, the
+    output is the per-class confusion table (link_class × is_true ×
+    count + score range) — linkage quality as a measured artifact, the
+    way a production MDM pipeline tunes its weights.
+
+    Scale: one nation-blocked equi-join (never all-pairs; the
+    q_fuzzy_match_names pigeonhole is the sharper blocking when no
+    natural key exists), per-pair scoring is pure codegen arithmetic,
+    and the report is class-bounded. All weights integer — exact on
+    any partitioning."""
+    c = io.load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < FS_MAX_KEY
+    )
+    h = D.md5_bucket(
+        F.concat(F.lit("fs|"), F.col("c_custkey").cast("string"))
+    )
+    base = c.select(
+        F.col("c_custkey").alias("id"),
+        F.expr("substr(c_name, length(c_name) - 3, 4)").alias("code"),
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        h.alias("h"),
+    ).persist()  # feeds BOTH sides of the block join
+    a = base.select("id", "code", "nation", "seg", "bal_band")
+    b = base.select(
+        (F.col("id") + FS_B_OFFSET).alias("id"),
+        F.when(
+            F.col("h") % 4 == 0,
+            F.concat(
+                (F.col("h") % 10).cast("string"), F.expr("substr(code, 2, 3)")
+            ),
+        )
+        .otherwise(F.col("code"))
+        .alias("code"),
+        F.when(F.col("h") % 7 == 0, (F.col("nation") + 1) % 25)
+        .otherwise(F.col("nation"))
+        .alias("nation"),
+        "seg",
+        F.when(F.col("h") % 5 == 0, F.col("bal_band") + 1)
+        .otherwise(F.col("bal_band"))
+        .alias("bal_band"),
+    )
+    ham = F.expr(
+        "aggregate(transform(sequence(1, 4),"
+        " i -> CASE WHEN substr(a_code, i, 1) <> substr(b_code, i, 1)"
+        " THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x)"
+    )
+    pairs = (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.nation") == F.col("b.nation"))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.code").alias("a_code"),
+            F.col("b.code").alias("b_code"),
+            (F.col("a.bal_band") == F.col("b.bal_band")).alias("bal_eq"),
+            (F.col("a.seg") == F.col("b.seg")).alias("seg_eq"),
+        )
+        .withColumn("ham", ham.cast("bigint"))
+    )
+    score = (
+        F.when(F.col("ham") == 0, F.lit(FS_W_CODE[0]))
+        .when(F.col("ham") == 1, F.lit(FS_W_CODE[1]))
+        .otherwise(F.lit(FS_W_CODE_DIS))
+        + F.when(F.col("bal_eq"), F.lit(FS_W_BAL)).otherwise(F.lit(FS_W_BAL_DIS))
+        + F.when(F.col("seg_eq"), F.lit(FS_W_SEG)).otherwise(F.lit(FS_W_SEG_DIS))
+    )
+    scored = pairs.select(
+        "a_id",
+        "b_id",
+        score.alias("score"),
+        (F.col("b_id") - FS_B_OFFSET == F.col("a_id")).alias("is_true"),
+    )
+    return scored.groupBy(
+        F.when(F.col("score") >= FS_T_MATCH, "match")
+        .when(F.col("score") >= FS_T_REVIEW, "review")
+        .otherwise("non-match")
+        .alias("link_class"),
+        "is_true",
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.min("score").cast("bigint").alias("min_score"),
+        F.max("score").cast("bigint").alias("max_score"),
+    )

@@ -41,6 +41,7 @@ CLAIMED_INVARIANT = [
     "q_urgent_backlog",  # half-up cents, integer top-10
     "q_discount_revenue",  # per-row floored cents before the sum
     "q_returned_revenue",  # half-up cents, integer top-20
+    "q_linkage_score",  # integer FS weights, md5-keyed corruption
 ]
 
 
