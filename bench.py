@@ -195,6 +195,8 @@ HEADLINE = [
     "q_returned_revenue",
     # round-7: Fellegi-Sunter linkage with measured confusion table
     "q_linkage_score",
+    # round-7: IVF recall/cost curve (nprobe sweep)
+    "q_ivf_nprobe_sweep",
 ]
 
 # ANN serving/recall queries whose FIRST run in this process pays the

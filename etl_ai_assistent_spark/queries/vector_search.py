@@ -784,3 +784,151 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sel = sel.unionByName(pick).persist()
     return sel.select("probe_id", "pos", "item_id", "rel_ppm", "maxsim_ppm")
+
+
+# --- IVF nprobe sweep: the recall/cost curve ---------------------------------
+
+NPROBE_SWEEP = (1, 2, 3)
+_CENT_CTES = f"""
+pos AS (
+  SELECT e.label, i AS pos, CAST(e.embedding[i] AS DOUBLE) AS x
+  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS t(i)
+),
+cent AS (
+  SELECT label, list(cx ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, round(avg(x), 9) AS cx FROM pos GROUP BY label, pos)
+  GROUP BY label
+)"""
+
+
+def _sweep_cte(np_: int) -> str:
+    return f"""
+topk{np_} AS (
+  SELECT probe_id, item_id FROM (
+    SELECT p.probe_id, e.vec_id AS item_id,
+           row_number() OVER (PARTITION BY p.probe_id
+             ORDER BY round({_cosine('e.embedding', 'p.pv')}, 6) DESC,
+                      e.vec_id) AS rk
+    FROM embeddings e
+    JOIN (SELECT probe_id, label FROM crank WHERE rk <= {np_}) pl
+      ON e.label = pl.label
+    JOIN probes p ON p.probe_id = pl.probe_id
+    WHERE e.vec_id <> p.probe_id
+  ) WHERE rk <= {KNN_K}
+),
+row{np_} AS (
+  SELECT CAST({np_} AS BIGINT) AS nprobe,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM topk{np_} t
+  JOIN exact_k x ON t.probe_id = x.query_id AND t.item_id = x.item_id
+)"""
+
+
+_SWEEP_ORACLE = (
+    f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+{_CENT_CTES.strip()},
+crank AS (
+  SELECT p.probe_id, c.label,
+         row_number() OVER (PARTITION BY p.probe_id
+           ORDER BY round({_cosine('c.centroid', 'p.pv')}, 6) DESC,
+                    c.label) AS rk
+  FROM cent c CROSS JOIN probes p
+),
+exact_k AS (SELECT query_id, item_id FROM ({_KNN_ORACLE.strip()})),
+nx AS (SELECT CAST(count(*) AS BIGINT) AS n_expected FROM exact_k),"""
+    + ",".join(_sweep_cte(np_) for np_ in NPROBE_SWEEP)
+    + "\nSELECT r.nprobe, r.n_hits, nx.n_expected,\n"
+    + "       CAST(1000000 * r.n_hits // nx.n_expected AS BIGINT) AS recall_ppm\n"
+    + "FROM (\n"
+    + "\nUNION ALL\n".join(f"SELECT * FROM row{np_}" for np_ in NPROBE_SWEEP)
+    + "\n) r, nx"
+)
+
+
+@register("q_ivf_nprobe_sweep", oracle=_SWEEP_ORACLE)
+def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/cost CURVE, measured in one dataflow: for nprobe
+    in {NPROBE_SWEEP}, recall@{KNN_K} of probe-the-nearest-nprobe-
+    clusters against exact kNN over {N_QUERIES} probes — the tuning
+    table every IVF deployment derives before fixing its operating
+    point (q_ivf_topk serves one point; q_ann_recall audits SRP; this
+    sweeps the knob). Scan cost grows ~linearly in nprobe while recall
+    saturates; emitting the curve makes that trade recorded evidence.
+
+    One shared centroid table and one shared probe×centroid RANKING
+    feed all sweep points (persisted — computed once); each point is a
+    cluster-pruned semi-join + per-probe window top-k + a hit count
+    against the shared exact baseline. At 100 TB the cluster join is
+    partition pruning (items are written cluster-partitioned), so the
+    sweep's cost model is literally 'read nprobe/nlist of the store
+    per point'. Scores ranked on round-6 cosine with item tie-breaks —
+    identical in both engines."""
+    emb = io.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+    )
+    cents = similarity.centroids(emb)
+    w_c = Window.partitionBy("probe_id").orderBy(
+        F.desc("cscore"), F.asc("label")
+    )
+    crank = (
+        cents.crossJoin(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "label",
+            F.round(V.cosine("centroid", "pv"), 6).alias("cscore"),
+        )
+        .withColumn("rk", F.row_number().over(w_c))
+        .select("probe_id", "label", "rk")
+        .persist()  # feeds every sweep point
+    )
+    exact = (
+        similarity.knn_join(emb, probes.select(F.col("probe_id").alias("vec_id"), F.col("pv").alias("embedding")), k=KNN_K)
+        .select("query_id", "item_id")
+        .persist()  # shared baseline for every sweep point
+    )
+    nx = exact.agg(F.count("*").cast("bigint").alias("n_expected"))
+    w_r = Window.partitionBy("probe_id").orderBy(
+        F.desc("score"), F.asc("item_id")
+    )
+    rows = []
+    for np_ in NPROBE_SWEEP:
+        pl = crank.filter(F.col("rk") <= np_).select("probe_id", "label")
+        cand = (
+            emb.join(pl, "label")
+            .join(F.broadcast(probes), "probe_id")
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .select(
+                "probe_id",
+                F.col("vec_id").alias("item_id"),
+                F.round(V.cosine("embedding", "pv"), 6).alias("score"),
+            )
+        )
+        topk = (
+            cand.withColumn("rk", F.row_number().over(w_r))
+            .filter(F.col("rk") <= KNN_K)
+            .select("probe_id", "item_id")
+        )
+        hits = topk.join(
+            exact,
+            (topk.probe_id == exact.query_id) & (topk.item_id == exact.item_id),
+            "left_semi",
+        ).agg(F.count("*").cast("bigint").alias("n_hits"))
+        rows.append(hits.select(F.lit(np_).cast("bigint").alias("nprobe"), "n_hits"))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.crossJoin(F.broadcast(nx)).select(
+        "nprobe",
+        "n_hits",
+        "n_expected",
+        F.expr("CAST(1000000 * n_hits div n_expected AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+    )

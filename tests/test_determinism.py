@@ -42,6 +42,7 @@ CLAIMED_INVARIANT = [
     "q_discount_revenue",  # per-row floored cents before the sum
     "q_returned_revenue",  # half-up cents, integer top-20
     "q_linkage_score",  # integer FS weights, md5-keyed corruption
+    "q_ivf_nprobe_sweep",  # round-6 scores, item/label tie-breaks
 ]
 
 

@@ -56,6 +56,7 @@ ALLOWED_CROSS = {
     "q_bpe_train",  # per-iteration 1-row winning-merge broadcasts
     "q_benford_audit",  # 1-row digit-total broadcast
     "q_mmr_rerank",  # 3-row probe broadcast (the q_topk_cosine pattern)
+    "q_ivf_nprobe_sweep",  # 20-row probe broadcast x 25-row centroids; 1-row n_expected
 }
 
 # Streaming memory-sink queries execute eagerly on construction; the
