@@ -197,6 +197,8 @@ HEADLINE = [
     "q_linkage_score",
     # round-7: IVF recall/cost curve (nprobe sweep)
     "q_ivf_nprobe_sweep",
+    # round-7: tokenizer compression curve per merge stage
+    "q_bpe_compression",
 ]
 
 # ANN serving/recall queries whose FIRST run in this process pays the

@@ -1247,3 +1247,109 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+_BPE_STAGE_ROWS = "\nUNION ALL\n".join(
+    f"""SELECT CAST({i} AS BIGINT) AS stage,
+       CAST(sum(len(string_split(trim(sp), ' '))) AS BIGINT) AS n_symbols
+FROM spaced{i}"""
+    for i in range(0, BPE_ITERS + 1)
+)
+
+_BPE_COMPRESSION_ORACLE = (
+    f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS tok FROM (SELECT text FROM documents)
+),
+spaced0 AS (
+  SELECT ' ' || regexp_replace(tok, '(.)', '\\1 ', 'g') AS sp
+  FROM tok WHERE length(tok) >= 2
+),"""
+    + ",".join(_bpe_top_cte(i) for i in range(1, BPE_ITERS + 1))
+    + f""",
+stages AS ({_BPE_STAGE_ROWS}),
+base AS (SELECT n_symbols AS n0 FROM stages WHERE stage = 0)
+SELECT s.stage, s.n_symbols,
+       CAST(1000000 * (b.n0 - s.n_symbols) // b.n0 AS BIGINT) AS saved_ppm
+FROM stages s, base b
+"""
+)
+
+
+@register("q_bpe_compression", oracle=_BPE_COMPRESSION_ORACLE)
+def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned tokenizer's COMPRESSION CURVE: total symbol count of
+    the corpus after each of the {BPE_ITERS} BPE merges (stage 0 =
+    character level), with the ppm saved vs characters — the quantity
+    BPE training actually optimizes, measured per merge. Falling
+    marginal savings per stage is the signal to stop training; a
+    tokenizer report ships exactly this table beside the merge list
+    (q_bpe_train).
+
+    Same engine-exact loop as q_bpe_train (integer counts,
+    (count DESC, pair) argmax, shared replace() semantics); each
+    stage's symbol total is one narrow map + partial-agg'd sum over
+    the persisted merged stream, so the curve costs one extra
+    aggregate per stage on top of training itself."""
+    docs = io.load_table(spark, sf_dir, "documents").select("text")
+    spaced = (
+        docs.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .select(
+            F.concat(
+                F.lit(" "), F.regexp_replace(F.col("tok"), "(.)", "$1 ")
+            ).alias("sp")
+        )
+    )
+    n_sym = F.sum(
+        F.size(F.split(F.trim(F.col("sp")), " "))
+    ).cast("bigint")
+    stages = []
+    for i in range(0, BPE_ITERS + 1):
+        spaced = spaced.persist()  # feeds this count, the argmax, the merge
+        stages.append(
+            spaced.agg(n_sym.alias("n_symbols")).select(
+                F.lit(i).cast("bigint").alias("stage"), "n_symbols"
+            )
+        )
+        if i == BPE_ITERS:
+            break
+        top = (
+            spaced.select(F.split(F.trim(F.col("sp")), " ").alias("arr"))
+            .filter(F.size("arr") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(arr) - 1),"
+                        " j -> concat(arr[j - 1], ' ', arr[j]))"
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .select("pair")
+        )
+        spaced = spaced.crossJoin(F.broadcast(top)).select(
+            F.replace(
+                F.col("sp"),
+                F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                F.concat(
+                    F.lit(" "),
+                    F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                    F.lit(" "),
+                ),
+            ).alias("sp")
+        )
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    base = stages[0].select(F.col("n_symbols").alias("n0"))
+    return out.crossJoin(F.broadcast(base)).select(
+        "stage",
+        "n_symbols",
+        F.expr("CAST(1000000 * (n0 - n_symbols) div n0 AS BIGINT)").alias(
+            "saved_ppm"
+        ),
+    )

@@ -43,6 +43,7 @@ CLAIMED_INVARIANT = [
     "q_returned_revenue",  # half-up cents, integer top-20
     "q_linkage_score",  # integer FS weights, md5-keyed corruption
     "q_ivf_nprobe_sweep",  # round-6 scores, item/label tie-breaks
+    "q_bpe_compression",  # integer symbol counts per merge stage
 ]
 
 
