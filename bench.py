@@ -199,6 +199,8 @@ HEADLINE = [
     "q_ivf_nprobe_sweep",
     # round-7: tokenizer compression curve per merge stage
     "q_bpe_compression",
+    # round-7: Zipf-law corpus-health gauge
+    "q_zipf_fit",
 ]
 
 # ANN serving/recall queries whose FIRST run in this process pays the

@@ -1353,3 +1353,92 @@ def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "saved_ppm"
         ),
     )
+
+
+# --- Zipf's-law fit over the vocabulary ---------------------------------------
+
+ZIPF_TOP = 256  # fit over the head ranks, where Zipf holds
+
+
+@register(
+    "q_zipf_fit",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS tok FROM (SELECT text FROM documents)
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, tok) AS BIGINT)
+           AS rank,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM tok GROUP BY tok
+  QUALIFY rank <= {ZIPF_TOP}
+),
+xy AS (
+  SELECT CAST(length(bin(rank)) - 1 AS BIGINT) AS x,
+         CAST(length(bin(freq)) - 1 AS BIGINT) AS y
+  FROM ranked
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy
+)
+SELECT n AS v_terms, sx AS sum_logrank, sy AS sum_logfreq,
+       CAST(1000000 * (sx * sy - n * sxy)
+            // (n * sxx - sx * sx) AS BIGINT) AS zipf_exponent_ppm
+FROM s
+""",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary head: least-squares
+    slope of log2(freq) against log2(rank) over the top {ZIPF_TOP}
+    ranks, negated into a positive exponent (natural language sits
+    near 1.0e6 ppm; a drifting exponent flags synthetic, templated, or
+    spam-heavy corpora — a corpus-health gauge next to
+    q_corpus_profile). Logs are integer floor-log2 via bitlength
+    (the q_doc_surprisal device), so the whole regression — Σx, Σy,
+    Σxy, Σx² and the closed-form slope — is exact bigint arithmetic;
+    the final division is arranged with a positive numerator so
+    floor-vs-trunc division semantics never diverge between engines.
+
+    Scale: one vocabulary-bounded count shuffle; the head ranking is
+    orderBy().limit() over the vocab table (TakeOrderedAndProject —
+    the q_vocab_encode pattern, no global sort), then four sums over
+    {ZIPF_TOP} rows."""
+    docs = io.load_table(spark, sf_dir, "documents").select("text")
+    from pyspark.sql import Window
+
+    vocab = (
+        docs.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(ZIPF_TOP)
+    )
+    ranked = vocab.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.asc("tok")))
+        .cast("bigint"),
+    )
+    xy = ranked.select(
+        (F.length(F.bin("rank")) - 1).cast("bigint").alias("x"),
+        (F.length(F.bin("freq")) - 1).cast("bigint").alias("y"),
+    )
+    return xy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    ).select(
+        F.col("n").alias("v_terms"),
+        F.col("sx").alias("sum_logrank"),
+        F.col("sy").alias("sum_logfreq"),
+        F.expr(
+            "CAST(1000000 * (sx * sy - n * sxy) div (n * sxx - sx * sx)"
+            " AS BIGINT)"
+        ).alias("zipf_exponent_ppm"),
+    )

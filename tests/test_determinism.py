@@ -44,6 +44,7 @@ CLAIMED_INVARIANT = [
     "q_linkage_score",  # integer FS weights, md5-keyed corruption
     "q_ivf_nprobe_sweep",  # round-6 scores, item/label tie-breaks
     "q_bpe_compression",  # integer symbol counts per merge stage
+    "q_zipf_fit",  # bitlength logs, closed-form integer regression
 ]
 
 
