@@ -199,8 +199,9 @@ HEADLINE = [
     "q_ivf_nprobe_sweep",
     # round-7: tokenizer compression curve per merge stage
     "q_bpe_compression",
-    # round-7: Zipf-law corpus-health gauge
+    # round-7: Zipf-law corpus-health gauge + Heaps'-law growth gauge
     "q_zipf_fit",
+    "q_heaps_fit",
 ]
 
 # ANN serving/recall queries whose FIRST run in this process pays the

@@ -1442,3 +1442,100 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("zipf_exponent_ppm"),
     )
+
+
+# --- Heaps'-law vocabulary growth ----------------------------------------------
+
+HEAPS_CHECKPOINTS = (1, 2, 4, 8)  # eighths of the doc-id range
+
+
+@register(
+    "q_heaps_fit",
+    oracle=f"""
+WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+cp AS (
+  SELECT k.k AS eighths,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT t.tok) AS BIGINT) AS v_types
+  FROM tok t, mx, (SELECT unnest([{', '.join(str(k) for k in HEAPS_CHECKPOINTS)}]) AS k) k
+  WHERE t.doc_id * 8 < mx.m * k.k
+  GROUP BY 1
+),
+xy AS (
+  SELECT eighths, n_tokens, v_types,
+         CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS x,
+         CAST(length(bin(v_types)) - 1 AS BIGINT) AS y
+  FROM cp
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy
+)
+SELECT xy.eighths, xy.n_tokens, xy.v_types,
+       CAST(1000000 * (s.n * s.sxy - s.sx * s.sy)
+            // (s.n * s.sxx - s.sx * s.sx) AS BIGINT) AS heaps_beta_ppm
+FROM xy, s
+""",
+)
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth, V ~ k·N^beta: distinct-type counts
+    at 1/8, 1/4, 1/2, and the full corpus (prefixes by doc id), with
+    the fitted growth exponent beta from the same bitlength-log integer
+    regression as q_zipf_fit (here the slope is positive, so the
+    canonical numerator ordering already stays non-negative). The
+    companion corpus-health gauge: Zipf reads the frequency HEAD,
+    Heaps reads vocabulary GROWTH — a saturating curve (low beta)
+    flags near-duplicate flooding, an exploding one tokenizer leakage
+    or encoding noise.
+
+    Scale: each checkpoint is one filtered distinct-count aggregate —
+    four bounded passes (a production run piggybacks them on one scan
+    with conditional aggregation; the checkpoint table is 4 rows either
+    way). Every number is exact bigint."""
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg((F.max("doc_id") + 1).cast("bigint").alias("m"))
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
+    ).crossJoin(F.broadcast(mx))
+    cps = []
+    for k in HEAPS_CHECKPOINTS:
+        cps.append(
+            tok.filter(F.col("doc_id") * 8 < F.col("m") * k)
+            .agg(
+                F.count("*").cast("bigint").alias("n_tokens"),
+                F.count_distinct("tok").cast("bigint").alias("v_types"),
+            )
+            .select(F.lit(k).cast("bigint").alias("eighths"), "n_tokens", "v_types")
+        )
+    cp = cps[0]
+    for c in cps[1:]:
+        cp = cp.unionByName(c)
+    cp = cp.persist()  # feeds the regression AND the output rows
+    xy = cp.select(
+        "eighths",
+        "n_tokens",
+        "v_types",
+        (F.length(F.bin("n_tokens")) - 1).cast("bigint").alias("x"),
+        (F.length(F.bin("v_types")) - 1).cast("bigint").alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return xy.crossJoin(F.broadcast(s)).select(
+        "eighths",
+        "n_tokens",
+        "v_types",
+        F.expr(
+            "CAST(1000000 * (n * sxy - sx * sy) div (n * sxx - sx * sx)"
+            " AS BIGINT)"
+        ).alias("heaps_beta_ppm"),
+    )

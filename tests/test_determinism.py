@@ -45,6 +45,7 @@ CLAIMED_INVARIANT = [
     "q_ivf_nprobe_sweep",  # round-6 scores, item/label tie-breaks
     "q_bpe_compression",  # integer symbol counts per merge stage
     "q_zipf_fit",  # bitlength logs, closed-form integer regression
+    "q_heaps_fit",  # exact distinct counts, same integer regression
 ]
 
 

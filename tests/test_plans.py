@@ -55,6 +55,7 @@ ALLOWED_CROSS = {
     "q_kcore_prune",  # 1-row edge-count x 1-row node-count -> threshold k
     "q_bpe_train",  # per-iteration 1-row winning-merge broadcasts
     "q_bpe_compression",  # same loop + 1-row stage-0 baseline broadcast
+    "q_heaps_fit",  # 1-row max-id and 1-row regression-sums broadcasts
     "q_benford_audit",  # 1-row digit-total broadcast
     "q_mmr_rerank",  # 3-row probe broadcast (the q_topk_cosine pattern)
     "q_ivf_nprobe_sweep",  # 20-row probe broadcast x 25-row centroids; 1-row n_expected
