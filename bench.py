@@ -127,6 +127,7 @@ HEADLINE = [
     # audit, shard packing, tokenizer-merge apply, sampling, retention
     # metadata, HLL rollup, the ANN recall audits, TPC-H Q22
     "q_trigram_search",
+    "q_trigram_multi_search",
     "q_k_anonymity",
     "q_multimodal_shards",
     "q_bpe_merge_apply",
@@ -204,21 +205,24 @@ HEADLINE = [
     "q_heaps_fit",
 ]
 
-# ANN serving/recall queries whose FIRST run in this process pays the
-# one-time index build (codebook training, coarse cells, residual
-# books — cached per app+sf by clustering._INDEX_CACHE). The headline
-# `queries` number is min-of-runs (warm scoring throughput, what the
-# compressed store exists for); `cold` records that first run so the
-# build-vs-serve split is recorded evidence, not a commit message
-# (r6 verdict #3). Queries later in HEADLINE inherit earlier builds —
-# cold is per-process-order, stated here so readers compare in order.
-ANN_COLD = (
+# Index-serving queries whose FIRST run in this process pays the
+# one-time index build (ANN codebook training, coarse cells, residual
+# books, the trigram posting table — cached per app+sf by
+# clustering._INDEX_CACHE). The headline `queries` number is
+# min-of-runs (warm serving throughput, what the index exists for);
+# `cold` records that first run so the build-vs-serve split is
+# recorded evidence, not a commit message (r6 verdict #3). Queries
+# later in HEADLINE inherit earlier builds — cold is
+# per-process-order, stated here so readers compare in order.
+INDEX_COLD = (
     "q_pq_adc_topk",
     "q_ivfpq_topk",
     "q_pq_multiquery_topk",
     "q_ivfpq_residual_topk",
     "q_ivfpq_recall",
     "q_ivfpq_residual_recall",
+    "q_trigram_search",
+    "q_trigram_multi_search",
 )
 
 
@@ -275,7 +279,7 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 run_times.append(time.perf_counter() - t0)
             timings[name] = round(min(run_times), 3)
-            if name in ANN_COLD:
+            if name in INDEX_COLD:
                 cold[name] = round(run_times[0], 3)
         except Exception as exc:  # noqa: BLE001 — report, don't crash
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -292,13 +296,42 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "runs_per_query": runs,
         # first-run wall clock for the ANN serving family: includes the
-        # one-time index build (see ANN_COLD note) — warm serving is the
+        # one-time index build (see INDEX_COLD note) — warm serving is the
         # same query's entry under "queries"
         "cold": cold,
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+
+    # The per-round driver keeps only the LAST 2000 CHARS of stdout and
+    # parses the final line — with 100+ headline queries the full JSON
+    # line overflowed that window in round 7 (BENCH_r07.json:
+    # parsed=null). So: the COMPLETE record (plus the committed scale
+    # trend, when present) goes to BENCH_LOCAL.json at the repo root,
+    # and stdout's final line is the same contract JSON with `queries`
+    # trimmed to the slowest entries that fit the tail window — `value`
+    # still totals ALL queries; full per-query detail is in the file.
+    here = os.path.dirname(os.path.abspath(__file__))
+    trend_path = os.path.join(here, "SCALE_TREND.json")
+    full = dict(out)
+    if os.path.exists(trend_path):
+        with open(trend_path) as f:
+            full["scale_trend"] = json.load(f)
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+
+    budget = 1800
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    while True:
+        compact = dict(out)
+        compact["queries"] = dict(sorted(slowest))
+        compact["n_queries_total"] = len(timings)
+        compact["full_detail"] = "BENCH_LOCAL.json"
+        line = json.dumps(compact)
+        if len(line) <= budget or not slowest:
+            break
+        slowest = slowest[:-1]
+    print(line)
     spark.stop()
 
 

@@ -1,0 +1,101 @@
+"""Distributed exact global ranking — no single-partition sort.
+
+A `Window.orderBy(...)` with no partitionBy funnels the WHOLE input
+through one `Exchange SinglePartition` — the one plan shape that cannot
+survive a 100× scale-up (the q_vocab_encode lesson, now enforced by the
+plan lint in tests/test_plans.py). But exact global row numbers — and
+the exact SQL `ntile()` built on them — don't need a global sort. This
+module computes them with the two-pass histogram pattern
+(q_two_pass_median generalized):
+
+  1. bucket every row by a coarse, ORDER-PRESERVING integer division of
+     the sort key. The bucket domain is bounded by the KEY RANGE (value
+     span / bucket width), not by the row count — constant in SF;
+  2. aggregate per-bucket counts (map-side combinable) and take a
+     running sum over the BOUNDED histogram — the only unpartitioned
+     window left touches ≤ a few thousand rows at any scale;
+  3. broadcast the (bucket → rows-before, total) table back onto the
+     data and add a row_number PARTITIONED by bucket — a parallel sort
+     of each bucket's slice.
+
+global row number = rows_before(bucket) + rank_within(bucket): exact,
+deterministic (the caller supplies a unique tie-break key), and every
+data-sized operation is hash-partitioned. Truncating integer division
+is monotone, so bucket boundaries never interleave sort keys.
+
+`ntile_on` reproduces SQL ntile semantics EXACTLY from (rn, total):
+q = N div n, r = N mod n, the first r tiles get q+1 rows — the
+front-loaded distribution every engine implements (floor((rn-1)·n/N)+1
+spreads remainders evenly and is NOT the same assignment).
+
+Reference shape: the reference has no ranking at all (its retrieval cap
+is a client-side `limit`, scripts/services/qdrant_service.py:44-57);
+this operator exists for the §2.6 window-function surface at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_row_number(
+    df: DataFrame,
+    sort_col: str,
+    tiebreak: str,
+    bucket_div: int,
+    rn: str = "rn",
+    total: str | None = None,
+) -> DataFrame:
+    """Append an exact global row number ordered by
+    (`sort_col` ASC, `tiebreak` ASC) — see module docstring for the
+    plan shape. `sort_col` must be an integral column (negate it for
+    DESC order); `tiebreak` must be unique within equal sort keys;
+    `bucket_div` is the coarse width — pick it from key-range stats so
+    span/bucket_div stays ≲ 10⁴ buckets (at 100 TB: one stats read).
+    If `total` is given, the exact row count rides along on the same
+    broadcast (no separate count() pass or 1-row cross join)."""
+    b = df.withColumn("_bkt", F.expr(f"{sort_col} div {bucket_div}"))
+    hist = b.groupBy("_bkt").agg(F.count("*").alias("_bc"))
+    w_before = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_cols = [
+        F.col("_bkt"),
+        F.coalesce(F.sum("_bc").over(w_before), F.lit(0)).alias("_before"),
+    ]
+    if total is not None:
+        cum_cols.append(F.sum("_bc").over(w_all).cast("bigint").alias(total))
+    cum = hist.select(*cum_cols)
+    w_in = Window.partitionBy("_bkt").orderBy(
+        F.asc(sort_col), F.asc(tiebreak)
+    )
+    out = (
+        b.join(F.broadcast(cum), "_bkt")
+        .withColumn(
+            rn,
+            (F.col("_before") + F.row_number().over(w_in)).cast("bigint"),
+        )
+        .drop("_bkt", "_before")
+    )
+    return out
+
+
+def ntile_on(n: int, rn: str, total: str):
+    """SQL-exact ntile(`n`) from a global row number `rn` and row count
+    `total` (both column names): q = N div n, r = N mod n; tiles 1..r
+    hold q+1 rows, tiles r+1..n hold q. `greatest(q, 1)` guards the
+    unreachable else-branch division when N < n (CASE still type-checks
+    both arms)."""
+    q = f"({total} div {n})"
+    r = f"({total} % {n})"
+    boundary = f"({r} * ({q} + 1))"
+    return F.expr(
+        f"CAST(CASE WHEN {rn} <= {boundary}"
+        f" THEN ({rn} - 1) div ({q} + 1) + 1"
+        f" ELSE {r} + ({rn} - {boundary} - 1) div greatest({q}, 1) + 1"
+        f" END AS INT)"
+    )

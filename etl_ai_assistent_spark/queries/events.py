@@ -766,11 +766,19 @@ FROM scored
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quintiles — the
     standard behavioral-cohort feature): one user-keyed aggregation,
-    then three ntile windows with deterministic user_id tie-breaks, all
-    integer µs/cents. The ntile windows are global sorts over USERS
-    (not events) — at 100 TB the user table is the small fan-in of the
-    event scan, and each quintile assignment is one range-partitioned
-    sort of user-sized data."""
+    then three ntile quintiles with deterministic user_id tie-breaks,
+    all integer µs/cents.
+
+    The quintiles are NOT global ntile windows (user count grows with
+    SF; unpartitioned windows are plan-lint-banned): each axis gets an
+    exact global row number from operators/rank.py's bounded-histogram
+    pattern — recency bucketed by day (span-bounded: the event window
+    is a fixed period at any SF), frequency and monetary by coarse
+    integer cells — then ntile_on maps (rn, N) to the SQL-exact tile.
+    The user-keyed base is persisted: three ranking branches re-read
+    it, not the event scan. Oracle stays the plain triple ntile()."""
+    from ..operators import rank as RK
+
     e = io.load_events(spark, sf_dir)
     base = e.groupBy("user_id").agg(
         F.max("ts_us").alias("last_us"),
@@ -783,19 +791,24 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("monetary_cents"),
-    )
-    r = F.ntile(5).over(Window.orderBy(F.desc("last_us"), F.asc("user_id")))
-    f = F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
-    m = F.ntile(5).over(
-        Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
-    )
-    scored = base.select(
-        "user_id",
-        "frequency",
-        "monetary_cents",
-        r.cast("int").alias("r"),
-        f.cast("int").alias("f"),
-        m.cast("int").alias("m"),
+    ).persist()
+
+    def quintile(metric: str, div: int, out: str) -> DataFrame:
+        neg = base.select(
+            "user_id", (-F.col(metric)).cast("bigint").alias("neg_v")
+        )
+        ranked = RK.with_global_row_number(
+            neg, "neg_v", "user_id", bucket_div=div, total="n_u"
+        )
+        return ranked.select(
+            "user_id", RK.ntile_on(5, "rn", "n_u").alias(out)
+        )
+
+    scored = (
+        base.join(quintile("last_us", 86_400_000_000, "r"), "user_id")
+        .join(quintile("frequency", 16, "f"), "user_id")
+        .join(quintile("monetary_cents", 100_000, "m"), "user_id")
+        .select("user_id", "frequency", "monetary_cents", "r", "f", "m")
     )
     return scored.select(
         "user_id",

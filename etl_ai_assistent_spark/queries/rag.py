@@ -253,17 +253,27 @@ def q_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, ~80% df — see module docstring). Rational smoothed idf
     (see _TFIDF_CTES) for cross-engine bit-parity."""
     doc_tf, probe_tf = _doc_probe_tf(spark, sf_dir)
-    n_docs = io.load_table(spark, sf_dir, "documents").count()
+    # corpus size rides a 1-row broadcast (the BM25 stats pattern) —
+    # no driver-side .count() action per invocation (r7 verdict #4)
+    n_row = F.broadcast(
+        io.load_table(spark, sf_dir, "documents").agg(
+            (F.count("*") + F.lit(1)).cast("double").alias("n1")
+        )
+    )
     df_tbl = doc_tf.groupBy("tok_h").agg(
         F.count("*").cast("double").alias("dfb")
     )
-    idf = (F.lit(n_docs + 1.0) / (F.col("dfb") + F.lit(1.0))).alias("idf")
+    idf = (F.col("n1") / (F.col("dfb") + F.lit(1.0))).alias("idf")
 
     def weight(tf_df: DataFrame, key: str) -> DataFrame:
-        return tf_df.join(df_tbl, "tok_h").select(
-            key,
-            "tok_h",
-            (F.col("c").cast("double") * idf).alias("w"),
+        return (
+            tf_df.join(df_tbl, "tok_h")
+            .crossJoin(n_row)
+            .select(
+                key,
+                "tok_h",
+                (F.col("c").cast("double") * idf).alias("w"),
+            )
         )
 
     doc_w = weight(doc_tf, "doc_id")
@@ -500,10 +510,20 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_ranked(
+    spark: SparkSession,
+    sf_dir: str,
+    tf_pair: "tuple[DataFrame, DataFrame] | None" = None,
+) -> DataFrame:
     """(probe_id, doc_id, score_scaled, rank) — the full BM25 ranking,
-    shared by q_bm25_retrieval (top-5) and q_rag_fusion (depth-20)."""
-    doc_tf, probe_tf = _doc_probe_tf(spark, sf_dir)
+    shared by q_bm25_retrieval (top-5) and q_rag_fusion (depth-20).
+    `tf_pair` threads ONE shared posting index through multi-ranker
+    consumers (q_rag_fusion, q_hard_negatives) explicitly, instead of
+    leaning on CacheManager plan-equality to dedup two independently
+    persisted identical lineages (r7 verdict #4)."""
+    doc_tf, probe_tf = (
+        tf_pair if tf_pair is not None else _doc_probe_tf(spark, sf_dir)
+    )
     dl = doc_tf.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -768,13 +788,14 @@ def q_rag_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     2·{RRF_DEPTH} rows per probe, so the combiner costs nothing
     against the rankers it merges; rankers can be added by union
     rather than schema change."""
+    tf_pair = _doc_probe_tf(spark, sf_dir)  # ONE index for both rankers
     bm = (
-        _bm25_ranked(spark, sf_dir)
+        _bm25_ranked(spark, sf_dir, tf_pair=tf_pair)
         .filter(F.col("rank") <= RRF_DEPTH)
         .select("probe_id", "doc_id", F.col("rank").alias("bm25_rank"))
     )
     cos = (
-        _scored(spark, sf_dir)
+        _scored(spark, sf_dir, tf_pair=tf_pair)
         .filter(F.col("rank") <= RRF_DEPTH)
         .select("probe_id", "doc_id", F.col("rank").alias("cos_rank"))
     )
@@ -858,7 +879,9 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is |probes| rows riding a broadcast join. Nothing here
     touches the corpus beyond the posting-list joins the ranking
     already did."""
-    full = _bm25_ranked(spark, sf_dir).persist()
+    full = _bm25_ranked(
+        spark, sf_dir, tf_pair=_doc_probe_tf(spark, sf_dir)
+    ).persist()
     gold = (
         full.filter(F.col("doc_id") == F.col("probe_id"))
         .groupBy("probe_id")

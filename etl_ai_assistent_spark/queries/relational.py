@@ -477,11 +477,36 @@ def q_ntile_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) wealth quartiles over customers crossed with market
     segment — the cohort-bucketing window. Deterministic because the
     ORDER BY carries a unique tie-break key (c_custkey); without it
-    ntile boundaries are engine-dependent."""
-    c = io.load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    ntile boundaries are engine-dependent.
+
+    NOT computed with a global ntile window: customer grows with SF,
+    and an unpartitioned window is an Exchange SinglePartition (the
+    plan-lint ban). Instead the exact global row number comes from
+    operators/rank.py's bounded-histogram pattern — acctbal is exact
+    cents (2-decimal TPC-H domain, ~1.1M possible values), bucketed
+    into ~110 coarse cells whose running sum is the only global window
+    left (histogram-sized, SF-constant), then ntile_on reproduces SQL
+    tile assignment exactly from (rn, N). Oracle stays the plain
+    ntile() — the gate proves the distributed rewrite is the same
+    function."""
+    from ..operators import rank as RK
+
+    c = io.load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        # DESC acctbal == ASC negated exact cents (order-preserving)
+        (-F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("neg_cents"),
+    )
+    ranked = RK.with_global_row_number(
+        c, "neg_cents", "c_custkey", bucket_div=10_000, total="n_cust"
+    )
     return (
-        c.select("c_mktsegment", F.ntile(4).over(w).alias("quartile"))
+        ranked.select(
+            "c_mktsegment",
+            RK.ntile_on(4, "rn", "n_cust").alias("quartile"),
+        )
         .groupBy("c_mktsegment", "quartile")
         .agg(F.count("*").alias("n"))
     )

@@ -766,6 +766,54 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEEDLE = "spark window"  # the fixed search phrase (≈6% of docs match)
 
+# additional phrases for the multi-needle serving query — varied match
+# rates exercise both dense and sparse posting lists off the same index
+NEEDLES: dict[int, str] = {
+    0: NEEDLE,
+    1: "value table",
+    2: "fast merge batch",
+    3: "customer stream",
+}
+
+
+def _trigram_posting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, tri) posting table — built ONCE per (app, sf_dir)
+    and served warm thereafter (r7 verdict #2: the in-plan explode +
+    distinct was a corpus-sized shuffle PER QUERY — fine as a pruning
+    proof, a scale-killer as a serving pattern). Same build-once/
+    serve-many machinery as the ANN family (clustering._INDEX_CACHE:
+    eviction bounded per sf_dir, persist re-marked after the bench's
+    clearCache). At 100 TB this is the posting table a search backend
+    maintains as infrastructure — e.g. what pg_trgm's GIN index or a
+    code-search shard stores — written bucketed by tri and amortized
+    across every needle, never rebuilt per query."""
+    from .clustering import _INDEX_CACHE, _evict_other_sfs, _repersist
+
+    key = ("trigram", spark.sparkContext.applicationId, sf_dir)
+    _evict_other_sfs(sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = io.load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.lower(F.col("text")).alias("t")
+        )
+        posting = (
+            docs.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(t) - 2),"
+                        " i -> substring(t, i, 3))"
+                    )
+                ).alias("tri"),
+            )
+            .distinct()
+            .persist()
+        )
+        posting.count()  # materialize: the offline-build/online-serve line
+        _INDEX_CACHE[key] = (posting,)
+    ent = _INDEX_CACHE[key]
+    _repersist(ent[0])
+    return ent[0]
+
 
 @register(
     "q_trigram_search",
@@ -787,24 +835,21 @@ def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-scan LIKE and the gate proves the index path exact.
 
     Scale: the full scan is O(corpus bytes) per query; the trigram
-    path reads the posting index (built once, here in-plan as one
-    explode+distinct) keyed on the needle's {len(NEEDLE) - 2}
+    path serves from the MATERIALIZED posting index
+    (_trigram_posting — built once per app+sf, persisted, the ANN
+    _INDEX_CACHE pattern) keyed on the needle's {len(NEEDLE) - 2}
     trigrams — a |needle|-row broadcast against the posting table,
     then candidates-only verification, the q_bloom_join shape applied
     to substring search. Occurrence counts via the exact
-    length-difference division (integer, engine-identical)."""
+    length-difference division (integer, engine-identical). Bench
+    records cold (index build) vs warm (serve) like the ANN family."""
     docs = io.load_table(spark, sf_dir, "documents").select(
         "doc_id", F.lower(F.col("text")).alias("t")
     )
     needle_tris = sorted(
         {NEEDLE[i : i + 3] for i in range(len(NEEDLE) - 2)}
     )
-    posting = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
-        ).alias("tri"),
-    ).distinct()
+    posting = _trigram_posting(spark, sf_dir)
     tri_df = F.broadcast(
         spark.createDataFrame([(t,) for t in needle_tris], "tri string")
     )
@@ -826,6 +871,78 @@ def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("n_matches"),
+        )
+    )
+
+
+_NEEDLE_VALUES = ", ".join(
+    f"({i}, '{s}')" for i, s in sorted(NEEDLES.items())
+)
+
+
+@register(
+    "q_trigram_multi_search",
+    oracle=f"""
+WITH needles(needle_id, needle) AS (VALUES {_NEEDLE_VALUES})
+SELECT CAST(n.needle_id AS INT) AS needle_id, d.doc_id,
+       CAST((length(lower(d.text))
+             - length(replace(lower(d.text), n.needle, '')))
+            // length(n.needle) AS BIGINT) AS n_matches
+FROM documents d, needles n
+WHERE contains(lower(d.text), n.needle)
+""",
+)
+def q_trigram_multi_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched substring search: {len(NEEDLES)} needles served off the
+    SAME materialized trigram posting table in one plan — the
+    q_pq_multiquery_topk generalization applied to text search. Every
+    (needle, trigram) pair rides one broadcast; the posting join
+    produces per-(doc, needle) trigram hit counts; a needle is a
+    candidate for a doc only when ALL its distinct trigrams hit
+    (lossless pruning, so the oracle is the naive per-needle full
+    scan); candidates-only exact verify + occurrence count.
+
+    Scale: index cost is amortized across the whole needle batch —
+    queries/sec is bounded by posting-list selectivity, not corpus
+    size, which is the whole point of maintaining the index as
+    infrastructure. Needle metadata (trigram counts, lengths) is a
+    |needles|-row broadcast; nothing per-needle touches the driver."""
+    docs = io.load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("t")
+    )
+    posting = _trigram_posting(spark, sf_dir)
+    tri_rows = []
+    meta_rows = []
+    for nid, s in sorted(NEEDLES.items()):
+        tris = sorted({s[i : i + 3] for i in range(len(s) - 2)})
+        tri_rows += [(nid, t) for t in tris]
+        meta_rows.append((nid, s, len(tris)))
+    tri_df = F.broadcast(
+        spark.createDataFrame(tri_rows, "needle_id int, tri string")
+    )
+    meta_df = F.broadcast(
+        spark.createDataFrame(
+            meta_rows, "needle_id int, needle string, n_tri int"
+        )
+    )
+    cands = (
+        posting.join(tri_df, "tri")
+        .groupBy("doc_id", "needle_id")
+        .agg(F.count("*").alias("hits"))
+        .join(meta_df, "needle_id")
+        .filter(F.col("hits") == F.col("n_tri"))
+        .select("needle_id", "doc_id", "needle")
+    )
+    return (
+        docs.join(cands, "doc_id")
+        .filter(F.col("t").contains(F.col("needle")))
+        .select(
+            "needle_id",
+            "doc_id",
+            F.expr(
+                "CAST((length(t) - length(replace(t, needle, '')))"
+                " div length(needle) AS BIGINT)"
+            ).alias("n_matches"),
         )
     )
 

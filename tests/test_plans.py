@@ -34,6 +34,7 @@ ALLOWED_CROSS = {
     "q_ivfpq_recall",  # same pipeline + k-row exact-vs-approx overlap join
     "q_pq_multiquery_topk",  # probe-slice × K-row codebook lookup tables
     "q_bm25_retrieval",  # 1-row broadcast of corpus stats (N, avgdl)
+    "q_tfidf_retrieval",  # 1-row broadcast of the corpus count (N+1)
     "q_rag_fusion",  # inherits q_bm25_retrieval's 1-row stats broadcast
     "q_hard_negatives",  # inherits q_bm25_retrieval's 1-row stats broadcast
     "q_dq_constraints",  # 1-row orphan-count x 1-row checked-count joins
@@ -85,6 +86,67 @@ STREAMING = {
 # plan-lint on every run and join-only; covered by their parity checks.
 SLOW = {"q_docx_pipeline", "q_docx_media"}
 
+# Queries whose executedPlan legitimately contains an UNPARTITIONED
+# window (Exchange SinglePartition): allowed ONLY when the window's
+# input is bounded — SF-constant — by construction. A global window
+# over SF-growing rows is the one plan shape that cannot survive a
+# 100× scale-up (the q_vocab_encode lesson, r7 verdict #5); SF-growing
+# rankings must go through operators/rank.py's bounded-histogram
+# pattern instead (q_ntile_segments / q_rfm_segments are the models:
+# their only global windows run over ≤ a-few-hundred-row histograms).
+GLOBAL_WINDOW_ALLOWED = {
+    "q_histogram_quantiles",  # running sum over the 1000-bin histogram
+    "q_pagerank_nations",  # final rank over 25 nations
+    "q_token_pmi",  # vocab-sized df ranking (31-token corpus vocabulary)
+    "q_two_pass_median",  # running sum over the bounded bucket histogram
+    "q_vocab_encode",  # rank AFTER orderBy().limit(vocab cap) — bounded
+    "q_zipf_fit",  # vocab-sized frequency ranking
+    "q_ntile_segments",  # ~110-row acctbal-cents histogram running sum
+    "q_rfm_segments",  # day/frequency/monetary histograms, SF-constant
+}
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level [...] groups of a plan line (nested brackets folded)."""
+    out: list[str] = []
+    depth, cur = 0, ""
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                out.append(cur)
+                continue
+        if depth >= 1:
+            cur += ch
+    return out
+
+
+def global_windows(plan: str) -> list[str]:
+    """Window nodes with an EMPTY partition spec. Physical `Window`
+    prints `[exprs], [partitionSpec], [orderSpec]` and OMITS empty
+    specs, so: 3 groups = partitioned+ordered; 2 groups whose second
+    holds sort directions = global+ordered (violation); 2 groups
+    without directions = partitioned, no order (fine); 1 group =
+    fully global (violation)."""
+    hits = []
+    for raw in plan.splitlines():
+        s = raw.strip().lstrip("+-:* ").strip()
+        if not s.startswith("Window "):
+            continue
+        g = _bracket_groups(s)
+        if len(g) == 1 or (
+            len(g) == 2 and (" ASC" in g[1] or " DESC" in g[1])
+        ):
+            hits.append(s[:120])
+    return hits
+
+
+
 
 def _plan(spark, name, sf):
     df = queries()[name](spark, sf)
@@ -93,6 +155,43 @@ def _plan(spark, name, sf):
 
 def _lintable():
     return sorted(set(queries()) - STREAMING - SLOW)
+
+
+@pytest.mark.parametrize("name", _lintable())
+def test_no_unpartitioned_window(spark, sf_small, name):
+    hits = global_windows(_plan(spark, name, sf_small))
+    if name in GLOBAL_WINDOW_ALLOWED:
+        return  # bounded input, documented above
+    assert not hits, (
+        f"{name} has an unpartitioned Window (single-partition sort of "
+        f"its whole input — use operators/rank.py instead): {hits}"
+    )
+
+
+def test_global_window_detector_catches_seeded_violation(spark):
+    """Test-of-the-test: the detector must flag a real global window
+    and stay quiet on partitioned (ordered or not) ones."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("g", F.col("id") % 5)
+    bad = df.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("id")))
+    )
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert global_windows(plan), "seeded global window not detected"
+
+    good = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    plan = good._jdf.queryExecution().executedPlan().toString()
+    assert not global_windows(plan)
+
+    no_order = df.withColumn(
+        "c", F.count("*").over(Window.partitionBy("g"))
+    )
+    plan = no_order._jdf.queryExecution().executedPlan().toString()
+    assert not global_windows(plan)
 
 
 @pytest.mark.parametrize("name", _lintable())

@@ -1,0 +1,73 @@
+"""operators/rank.py laws: the bounded-histogram global row number and
+the SQL-exact ntile reconstruction must equal the single-partition
+window versions on adversarial inputs (heavy ties, negatives, N < n,
+bucket widths from 1 to wider-than-domain)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_ai_assistent_spark.operators import rank as RK
+
+
+def _vals(spark, seed: int, n: int):
+    """n rows of (id, v): v is a small-domain value (heavy ties) mixed
+    across negatives and positives, deterministically derived from id."""
+    return spark.range(n).select(
+        F.col("id"),
+        ((F.xxhash64(F.col("id") + seed) % 37) - 18).cast("bigint").alias("v"),
+    )
+
+
+@pytest.mark.parametrize("bucket_div", [1, 5, 1000])
+def test_global_row_number_matches_window(spark, bucket_div):
+    df = _vals(spark, seed=7, n=500)
+    got = RK.with_global_row_number(
+        df, "v", "id", bucket_div=bucket_div, total="n_all"
+    )
+    want = df.withColumn(
+        "rn_w",
+        F.row_number().over(Window.orderBy(F.asc("v"), F.asc("id"))),
+    )
+    joined = got.join(want, ["id", "v"])
+    assert joined.filter(F.col("rn") != F.col("rn_w")).count() == 0
+    assert got.filter(F.col("n_all") != 500).count() == 0
+
+
+@pytest.mark.parametrize("n_rows,n_tiles", [(500, 4), (500, 5), (500, 7), (3, 5), (1, 3)])
+def test_ntile_on_matches_builtin(spark, n_rows, n_tiles):
+    """ntile_on(rn, N) == F.ntile over the same total order — including
+    the front-loaded remainder distribution and the N < n edge."""
+    df = _vals(spark, seed=11, n=n_rows)
+    got = RK.with_global_row_number(
+        df, "v", "id", bucket_div=7, total="n_all"
+    ).select("id", RK.ntile_on(n_tiles, "rn", "n_all").alias("t"))
+    want = df.select(
+        "id",
+        F.ntile(n_tiles)
+        .over(Window.orderBy(F.asc("v"), F.asc("id")))
+        .cast("int")
+        .alias("t_w"),
+    )
+    assert (
+        got.join(want, "id").filter(F.col("t") != F.col("t_w")).count() == 0
+    )
+
+
+def test_rank_plan_has_no_data_sized_global_window(spark):
+    """The operator's own plan: the only unpartitioned window runs over
+    the bucket histogram, never the input — evidenced by the Window's
+    child aggregate, and by the input-sized window being partitioned."""
+    from tests.test_plans import global_windows
+
+    df = _vals(spark, seed=3, n=1000)
+    out = RK.with_global_row_number(df, "v", "id", bucket_div=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    hits = global_windows(plan)
+    # the histogram running-sum window IS unpartitioned — but it must
+    # be the only one, and it aggregates _bkt counts, not input rows
+    assert len(hits) <= 1
+    for h in hits:
+        assert "_bc" in h, f"unexpected global window over data: {h}"

@@ -1,0 +1,176 @@
+"""Scale-trend evidence: time headline queries at sf0.01 / sf0.1 / sf1.
+
+The 100×-scale claims rest on plan shape (tests/test_plans.py) and
+measured candidate ratios (tests/test_scale_evidence.py); this tool adds
+the missing third leg (r7 verdict #3): MEASURED time-vs-sf slopes. It
+builds an sf1-equivalent dataset by replicating the sf0.1 tables 10×
+with per-replica key offsets (DuckDB, one-time, /tmp fixture with a
+marker file), then times a family-spanning subset of the headline
+queries at all three scales and writes SCALE_TREND.json — bench.py
+embeds it into BENCH_LOCAL.json so the round's bench artifact carries
+the slopes.
+
+Replication preserves per-entity cardinality (orders per customer,
+events per user, text per doc): every key column gets +rep·STRIDE, so
+joins stay within-replica and group sizes don't inflate. Fixed dims
+(region/nation) are shared across replicas, exactly like TPC-H scaling.
+
+Exclusions (documented, not silent): near-dup/semantic-dedup queries
+are NOT in the trend set — replica texts/vectors are exact copies, so
+near-dup candidate density inflates QUADRATICALLY with replication (10
+identical copies = 45 extra true pairs each), which measures the
+fixture's pathology, not the plan. Their scale evidence is the measured
+candidate-fraction tests. q_curation_pipeline embeds semdedup; same
+exclusion.
+
+Usage: python tools/scale_trend.py   (writes SCALE_TREND.json; ~10 min)
+Must not run concurrently with another Spark session on this host.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.1"
+FIXTURE = "/tmp/spark_graft_scale/sf1_v1"
+MARKER = os.path.join(FIXTURE, "_SUCCESS")
+REPS = 10
+STRIDE = 10_000_000  # > every key's max at sf0.1
+
+# (table, [key columns to offset per replica])
+TABLES = [
+    ("region", []),
+    ("nation", []),
+    ("customer", ["c_custkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("part", ["p_partkey"]),
+    ("orders", ["o_orderkey", "o_custkey"]),
+    ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
+    ("events", ["event_id", "user_id"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+]
+
+# Family-spanning, replication-honest trend set (see module docstring
+# for what's excluded and why).
+TREND = [
+    "q_pricing_summary",  # full-scan hash agg
+    "q_revenue_by_nation",  # star join, dim broadcasts
+    "q_top_orders_per_customer",  # per-group top-k window
+    "q_sessionize",  # event-time gap windows per user
+    "q_asof_purchase_signup",  # as-of join
+    "q_exact_dedup",  # hash-keyed exact dedup
+    "q_token_stats",  # text profiling scan
+    "q_bm25_retrieval",  # posting-list retrieval, constant probe set
+    "q_rag_fusion",  # hybrid ranker fusion off the shared index
+    "q_trigram_search",  # materialized posting-index serving
+    "q_sequence_pack",  # token-window packing
+    "q_kcore_prune",  # iterated bounded-round graph pruning
+]
+
+SF_DIRS = {
+    "0.01": "/root/testdata/sf0.01",
+    "0.1": SRC,
+    "1.0": FIXTURE,
+}
+
+
+def build_fixture() -> None:
+    if os.path.exists(MARKER):
+        return
+    import duckdb
+
+    os.makedirs(FIXTURE, exist_ok=True)
+    con = duckdb.connect()
+    for table, keys in TABLES:
+        src = os.path.join(SRC, f"{table}.parquet")
+        dst = os.path.join(FIXTURE, f"{table}.parquet")
+        if not keys:  # fixed-size dims: shared across replicas
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{src}'))"
+                f" TO '{dst}' (FORMAT PARQUET)"
+            )
+            continue
+        rel = con.sql(f"SELECT * FROM read_parquet('{src}') LIMIT 0")
+        cols = ", ".join(
+            f"(t.{c} + r.rep * {STRIDE})::BIGINT AS {c}" if c in keys else f"t.{c}"
+            for c in rel.columns
+        )
+        con.execute(
+            f"COPY (SELECT {cols}"
+            f" FROM read_parquet('{src}') t"
+            f" CROSS JOIN (SELECT unnest(range({REPS})) AS rep) r)"
+            f" TO '{dst}' (FORMAT PARQUET)"
+        )
+    con.close()
+    open(MARKER, "w").write("ok\n")
+
+
+def main() -> None:
+    sys.path.insert(0, REPO)
+    build_fixture()
+
+    from etl_ai_assistent_spark.registry import queries
+    from etl_ai_assistent_spark.session import get_spark
+
+    spark = get_spark("scale-trend", driver_memory="64g")
+    # schema sanity: the DuckDB-written fixture must read back with the
+    # ORIGINAL Spark schema (TIMESTAMP_NTZ etc.) or timings measure a
+    # different query
+    for table, _ in TABLES:
+        a = spark.read.parquet(os.path.join(SRC, f"{table}.parquet")).schema
+        b = spark.read.parquet(os.path.join(FIXTURE, f"{table}.parquet")).schema
+        assert [
+            (f.name, f.dataType.simpleString()) for f in a
+        ] == [
+            (f.name, f.dataType.simpleString()) for f in b
+        ], f"{table}: fixture schema drifted: {a} vs {b}"
+
+    qs = queries()
+    runs = int(os.environ.get("SPARK_GRAFT_TREND_RUNS", "2"))
+    result: dict[str, dict] = {}
+    for name in TREND:
+        row: dict[str, float] = {}
+        for sf_label, sf_dir in SF_DIRS.items():
+            ts = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                ts.append(time.perf_counter() - t0)
+            row[sf_label] = round(min(ts), 3)
+            spark.catalog.clearCache()
+        # the headline ratio: 10× rows from sf0.1 → sf1. Linear plans
+        # land ≤ ~10–12 (fixed per-query overhead amortizes away);
+        # anything well above has a named cause or is a regression.
+        row["ratio_10x"] = round(row["1.0"] / max(row["0.1"], 1e-9), 2)
+        row["ratio_mid"] = round(row["0.1"] / max(row["0.01"], 1e-9), 2)
+        result[name] = row
+        print(name, row, flush=True)
+
+    out = {
+        "built_from": SRC,
+        "replicas": REPS,
+        "runs_per_point": runs,
+        "sf_rows_lineitem": {"0.01": 60_000, "0.1": 600_000, "1.0": 6_000_000},
+        "excluded": (
+            "near-dup/semdedup/curation: replica texts are exact copies —"
+            " candidate density inflates quadratically with replication"
+            " (fixture pathology, not plan shape); their scale evidence is"
+            " tests/test_scale_evidence.py's measured candidate fractions"
+        ),
+        "queries": result,
+    }
+    with open(os.path.join(REPO, "SCALE_TREND.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote SCALE_TREND.json", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
