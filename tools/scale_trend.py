@@ -70,6 +70,9 @@ TREND = [
     "q_trigram_search",  # materialized posting-index serving
     "q_sequence_pack",  # token-window packing
     "q_kcore_prune",  # iterated bounded-round graph pruning
+    "q_rag_rerank",  # two-stage cascade off the shared posting index
+    "q_ivf_topk",  # IVF ANN serving (nprobe cell pruning; run 1 builds)
+    "q_pq_adc_topk",  # PQ ADC serving (run 1 trains the codebooks)
 ]
 
 SF_DIRS = {
