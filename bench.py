@@ -203,6 +203,11 @@ HEADLINE = [
     # round-7: Zipf-law corpus-health gauge + Heaps'-law growth gauge
     "q_zipf_fit",
     "q_heaps_fit",
+    # round-8: the no-global-sort ranking rewrites (operators/rank.py)
+    # and the in-plan-idf TF-IDF retrieval
+    "q_ntile_segments",
+    "q_rfm_segments",
+    "q_tfidf_retrieval",
 ]
 
 # Index-serving queries whose FIRST run in this process pays the
