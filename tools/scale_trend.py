@@ -37,9 +37,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = "/root/testdata/sf0.1"
 FIXTURE = "/tmp/spark_graft_scale/sf1_v1"
-MARKER = os.path.join(FIXTURE, "_SUCCESS")
+FIXTURE10 = "/tmp/spark_graft_scale/sf10_v1"
 REPS = 10
-STRIDE = 10_000_000  # > every key's max at sf0.1
+STRIDE = 10_000_000  # > every key's max at sf0.1 (100 reps stay < 1e9)
 
 # (table, [key columns to offset per replica])
 TABLES = [
@@ -81,17 +81,36 @@ SF_DIRS = {
     "1.0": FIXTURE,
 }
 
+# The second decade up (sf10-equivalent, 100 replicas — 60M lineitem /
+# 10M events / 500k docs / 200k vectors): a scan/retrieval/serving
+# subset, timed with --sf10 after the base trend exists. Two measured
+# decades is the strongest locally-collectable answer to "would this
+# plan survive 100×".
+TREND10 = [
+    "q_pricing_summary",
+    "q_revenue_by_nation",
+    "q_sessionize",
+    "q_exact_dedup",
+    "q_token_stats",
+    "q_bm25_retrieval",
+    "q_trigram_search",
+    "q_sequence_pack",
+    "q_ivf_topk",
+    "q_pq_adc_topk",
+]
 
-def build_fixture() -> None:
-    if os.path.exists(MARKER):
+
+def build_fixture(dst_dir: str = FIXTURE, reps: int = REPS) -> None:
+    marker = os.path.join(dst_dir, "_SUCCESS")
+    if os.path.exists(marker):
         return
     import duckdb
 
-    os.makedirs(FIXTURE, exist_ok=True)
+    os.makedirs(dst_dir, exist_ok=True)
     con = duckdb.connect()
     for table, keys in TABLES:
         src = os.path.join(SRC, f"{table}.parquet")
-        dst = os.path.join(FIXTURE, f"{table}.parquet")
+        dst = os.path.join(dst_dir, f"{table}.parquet")
         if not keys:  # fixed-size dims: shared across replicas
             con.execute(
                 f"COPY (SELECT * FROM read_parquet('{src}'))"
@@ -106,11 +125,51 @@ def build_fixture() -> None:
         con.execute(
             f"COPY (SELECT {cols}"
             f" FROM read_parquet('{src}') t"
-            f" CROSS JOIN (SELECT unnest(range({REPS})) AS rep) r)"
+            f" CROSS JOIN (SELECT unnest(range({reps})) AS rep) r)"
             f" TO '{dst}' (FORMAT PARQUET)"
         )
     con.close()
-    open(MARKER, "w").write("ok\n")
+    open(marker, "w").write("ok\n")
+
+
+def run_sf10() -> None:
+    """Append the 100×-of-sf0.1 point to an existing SCALE_TREND.json."""
+    sys.path.insert(0, REPO)
+    path = os.path.join(REPO, "SCALE_TREND.json")
+    with open(path) as f:
+        trend = json.load(f)
+    build_fixture(FIXTURE10, reps=100)
+
+    from etl_ai_assistent_spark.registry import queries
+    from etl_ai_assistent_spark.session import get_spark
+
+    spark = get_spark("scale-trend-sf10", driver_memory="64g")
+    # same warmup as bench.py: JVM + parquet footers + python workers,
+    # so the first trend query doesn't absorb session spin-up
+    spark.read.parquet(os.path.join(FIXTURE10, "region.parquet")).count()
+    qs = queries()
+    runs = int(os.environ.get("SPARK_GRAFT_TREND_RUNS", "2"))
+    for name in TREND10:
+        row = trend["queries"].setdefault(name, {})
+        ts = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            qs[name](spark, FIXTURE10).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            ts.append(time.perf_counter() - t0)
+        row["10.0"] = round(min(ts), 3)
+        if "1.0" in row:
+            row["ratio_10x_decade2"] = round(
+                row["10.0"] / max(row["1.0"], 1e-9), 2
+            )
+        spark.catalog.clearCache()
+        print(name, row, flush=True)
+    trend["sf_rows_lineitem"]["10.0"] = 60_000_000
+    with open(path, "w") as f:
+        json.dump(trend, f, indent=1)
+    print("appended sf10 points to SCALE_TREND.json", flush=True)
+    spark.stop()
 
 
 def main() -> None:
@@ -176,4 +235,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--sf10" in sys.argv:
+        run_sf10()
+    else:
+        main()
