@@ -206,3 +206,24 @@ def test_sequence_pack_output_is_token_compressed(spark, sf_small):
     ).collect()[0]["t"]
     n_windows = q_sequence_pack(spark, sf_small).count()
     assert n_windows <= total // SEQ_LEN + SEQ_BUCKETS, (n_windows, total)
+
+
+def test_trigram_index_serves_from_cache_on_reuse(spark, sf_small):
+    """Build-once/serve-many evidence for the materialized trigram
+    posting index (r7 verdict #2): after the first invocation builds
+    it, subsequent queries — single-needle AND the multi-needle batch —
+    read the posting table from storage (InMemoryTableScan), never
+    re-running the corpus explode+distinct."""
+    from etl_ai_assistent_spark.queries import text_analysis as TA
+
+    # first use builds + materializes
+    TA.q_trigram_search(spark, sf_small).count()
+
+    for q in (TA.q_trigram_search, TA.q_trigram_multi_search):
+        plan = (
+            q(spark, sf_small)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "InMemoryTableScan" in plan, plan
