@@ -1596,25 +1596,26 @@ _IU_DAY = "epoch_us(l_shipdate) // 86400000000"
 WITH iv AS (
   SELECT l_suppkey,
          CAST({_IU_DAY} AS BIGINT) AS d0,
-         CAST({_IU_DAY} + {IU_WINDOW_DAYS} AS BIGINT) AS d1
-  FROM lineitem
+         CAST({_IU_DAY} + {IU_WINDOW_DAYS} AS BIGINT) AS d1,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2, 3
 ),
 flagged AS (
-  SELECT l_suppkey, d0, d1,
-         CASE WHEN max(d1) OVER (PARTITION BY l_suppkey ORDER BY d0, d1
+  SELECT l_suppkey, d0, d1, cnt,
+         CASE WHEN max(d1) OVER (PARTITION BY l_suppkey ORDER BY d0
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= d0
               THEN 0 ELSE 1 END AS new_island
   FROM iv
 ),
 islands AS (
-  SELECT l_suppkey, d0, d1,
-         sum(new_island) OVER (PARTITION BY l_suppkey ORDER BY d0, d1
+  SELECT l_suppkey, d0, d1, cnt,
+         sum(new_island) OVER (PARTITION BY l_suppkey ORDER BY d0
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
   FROM flagged
 ),
 merged AS (
   SELECT l_suppkey, island, min(d0) AS s, max(d1) AS e,
-         count(*) AS n_iv
+         sum(cnt) AS n_iv
   FROM islands GROUP BY 1, 2
 )
 SELECT l_suppkey AS suppkey,
@@ -1633,16 +1634,25 @@ def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     calculation behind SLA uptime, sensor availability, and campaign
     reach, and a theta-op SQL has no native operator for.
 
-    The merge is two window passes, no join: an interval starts a new
-    island iff its start exceeds the running max of all previous ends
-    (ordered by (start, end) — rows tied on start can never open an
-    island, so tie order is immaterial and the result is partition-
-    invariant); island ids are the running count of starts. Scale: one
-    shuffle on supplier, then map-side windows and two partial aggs. A
-    pathologically hot key serializes its partition sort — the salting
-    escape is a per-(key, coarse-epoch) pre-merge, same plan shape one
-    level down. Dates enter as exact epoch days (integer microsecond
-    floors, no calendar date_diff semantics)."""
+    The merge is an aggregate + two window passes, no join: intervals
+    first COLLAPSE to distinct (supplier, day) rows carrying a
+    multiplicity count — after which the window ORDER BY d0 has no
+    ties at all, so the running max/sum are unambiguous on ANY window
+    implementation (an sf0.1 stress run caught DuckDB's parallel
+    window executor returning run-to-run different results on tied
+    ROWS frames — identical duplicate rows, so a correct window is
+    deterministic, but the tie-free rewrite removes the question for
+    both engines; Spark was stable either way). An interval starts a
+    new island iff its start exceeds the running max of all previous
+    ends; island ids are the running count of starts. Scale: the
+    dedup is a map-side-combinable aggregate that also SHRINKS the
+    window input to distinct active days (bounded by the calendar
+    span, not the row count); then one shuffle on supplier, map-side
+    windows, two partial aggs. A pathologically hot key serializes
+    its partition sort — the salting escape is a per-(key,
+    coarse-epoch) pre-merge, same plan shape one level down. Dates
+    enter as exact epoch days (integer microsecond floors, no
+    calendar date_diff semantics)."""
     li = io.load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_shipdate"
     )
@@ -1650,19 +1660,23 @@ def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
         " l_shipdate) div 86400000000"
     )
-    iv = li.select(
-        "l_suppkey",
-        day.cast("bigint").alias("d0"),
-        (day + IU_WINDOW_DAYS).cast("bigint").alias("d1"),
+    iv = (
+        li.select(
+            "l_suppkey",
+            day.cast("bigint").alias("d0"),
+            (day + IU_WINDOW_DAYS).cast("bigint").alias("d1"),
+        )
+        .groupBy("l_suppkey", "d0", "d1")
+        .agg(F.count("*").alias("cnt"))
     )
     w_prev = (
         Window.partitionBy("l_suppkey")
-        .orderBy("d0", "d1")
+        .orderBy("d0")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_run = (
         Window.partitionBy("l_suppkey")
-        .orderBy("d0", "d1")
+        .orderBy("d0")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     flagged = iv.withColumn(
@@ -1675,7 +1689,7 @@ def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = islands.groupBy("l_suppkey", "island").agg(
         F.min("d0").alias("s"),
         F.max("d1").alias("e"),
-        F.count("*").alias("n_iv"),
+        F.sum("cnt").alias("n_iv"),
     )
     return merged.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.sum("n_iv").cast("bigint").alias("n_intervals"),
