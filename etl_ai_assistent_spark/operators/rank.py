@@ -38,6 +38,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# The whole pattern rests on the histogram staying ORDERS OF MAGNITUDE
+# smaller than the data (its running sum is the one unpartitioned window
+# left). bucket_div values are chosen from key-range stats, but a skewed
+# or drifted domain can silently widen the "bounded" histogram into a
+# data-sized global sort — so the bound is ENFORCED in-plan: every row
+# carries the histogram cardinality on the same broadcast, and the rank
+# expression raises past this ceiling instead of degrading (ADVICE r8:
+# runtime guard on histogram cardinality).
+MAX_BUCKETS = 100_000
+
 
 def with_global_row_number(
     df: DataFrame,
@@ -66,6 +76,7 @@ def with_global_row_number(
     cum_cols = [
         F.col("_bkt"),
         F.coalesce(F.sum("_bc").over(w_before), F.lit(0)).alias("_before"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("_nb"),
     ]
     if total is not None:
         cum_cols.append(F.sum("_bc").over(w_all).cast("bigint").alias(total))
@@ -77,9 +88,18 @@ def with_global_row_number(
         b.join(F.broadcast(cum), "_bkt")
         .withColumn(
             rn,
-            (F.col("_before") + F.row_number().over(w_in)).cast("bigint"),
+            F.when(
+                F.col("_nb") > MAX_BUCKETS,
+                F.expr(
+                    "raise_error(concat('rank histogram exceeded "
+                    f"{MAX_BUCKETS} buckets (', _nb, '): bucket_div is "
+                    "mis-sized for this key range'))"
+                ).cast("bigint"),
+            ).otherwise(
+                (F.col("_before") + F.row_number().over(w_in)).cast("bigint")
+            ),
         )
-        .drop("_bkt", "_before")
+        .drop("_bkt", "_before", "_nb")
     )
     return out
 

@@ -776,43 +776,97 @@ NEEDLES: dict[int, str] = {
 }
 
 
-def _trigram_posting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The (doc_id, tri) posting table — built ONCE per (app, sf_dir)
-    and served warm thereafter (r7 verdict #2: the in-plan explode +
-    distinct was a corpus-sized shuffle PER QUERY — fine as a pruning
-    proof, a scale-killer as a serving pattern). Same build-once/
-    serve-many machinery as the ANN family (clustering._INDEX_CACHE:
-    eviction bounded per sf_dir, persist re-marked after the bench's
-    clearCache). At 100 TB this is the posting table a search backend
-    maintains as infrastructure — e.g. what pg_trgm's GIN index or a
-    code-search shard stores — written bucketed by tri and amortized
-    across every needle, never rebuilt per query."""
-    from .clustering import _INDEX_CACHE, _evict_other_sfs, _repersist
+# On-disk posting store (r8 verdict #3): the corpus-sized explode +
+# distinct build moves from per-app session cache to a bucketed parquet
+# artifact written ONCE per corpus version — cold cost is paid when the
+# corpus changes, not when an app starts. Path is keyed by
+# (sf tag, documents row count, bucket count) so a changed corpus gets a
+# fresh artifact; _vN bumps when the writer changes (FIXTURES.md rule).
+TRIGRAM_STORE_ROOT = "/tmp/spark_graft_trigram_store_v1"
+TRIGRAM_BUCKETS = 16
 
-    key = ("trigram", spark.sparkContext.applicationId, sf_dir)
-    _evict_other_sfs(sf_dir)
-    if key not in _INDEX_CACHE:
-        docs = io.load_table(spark, sf_dir, "documents").select(
-            "doc_id", F.lower(F.col("text")).alias("t")
+
+def _corpus_version(sf_dir: str) -> tuple[str, int]:
+    """(sf tag, documents row count) — the corpus version key. The
+    count is a DuckDB parquet-footer read (driver-side metadata, no
+    Spark job), so version checks cost nothing on the serve path."""
+    import os
+    import re
+
+    import duckdb
+
+    tag = re.sub(
+        r"[^0-9A-Za-z_]", "_", os.path.basename(os.path.normpath(sf_dir))
+    )
+    n = duckdb.sql(
+        "SELECT count(*) FROM read_parquet(?)",
+        params=[os.path.join(sf_dir, "documents.parquet")],
+    ).fetchone()[0]
+    return tag, int(n)
+
+
+def trigram_posting_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, tri) posting table as a STORAGE artifact — what
+    pg_trgm's GIN index or a code-search shard maintains as
+    infrastructure (reference shape: Qdrant's persistent index,
+    scripts/services/qdrant_service.py:24-42). Built once per corpus
+    version and written as an external parquet table bucketed AND
+    sorted by `tri`; a fresh Spark app finds the files on disk and
+    re-registers them with bucketed-table DDL instead of rebuilding,
+    so the cold build is per-corpus, not per-app (r8 verdict #3 —
+    the session-cache version paid ~25 s per app at sf0.1).
+
+    Serving filters `tri IN (needle trigrams)`: bucket pruning reads
+    only the needles' buckets (SelectedBucketsCount in the scan) and
+    the in-bucket sort gives row-group zone-map skipping — at 100 TB
+    a query touches a few posting-list buckets, never the corpus.
+    Docs shorter than 3 chars carry no trigrams and can't contain a
+    ≥3-char needle, so excluding them keeps pruning lossless."""
+    import os
+
+    tag, n_docs = _corpus_version(sf_dir)
+    name = f"trigram_posting_{tag}_{n_docs}_{TRIGRAM_BUCKETS}"
+    if spark.catalog.tableExists(name):
+        return spark.table(name)
+    path = os.path.join(
+        TRIGRAM_STORE_ROOT, f"{tag}_{n_docs}_{TRIGRAM_BUCKETS}"
+    )
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        # artifact already on disk — register, don't rebuild
+        spark.sql(
+            f"CREATE TABLE {name} (doc_id BIGINT, tri STRING) USING PARQUET"
+            f" CLUSTERED BY (tri) SORTED BY (tri)"
+            f" INTO {TRIGRAM_BUCKETS} BUCKETS LOCATION '{path}'"
         )
-        posting = (
-            docs.select(
-                "doc_id",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, length(t) - 2),"
-                        " i -> substring(t, i, 3))"
-                    )
-                ).alias("tri"),
-            )
-            .distinct()
-            .persist()
+        return spark.table(name)
+    docs = io.load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("t")
+    )
+    posting = (
+        docs.filter(F.length("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(t) - 2),"
+                    " i -> substring(t, i, 3))"
+                )
+            ).alias("tri"),
         )
-        posting.count()  # materialize: the offline-build/online-serve line
-        _INDEX_CACHE[key] = (posting,)
-    ent = _INDEX_CACHE[key]
-    _repersist(ent[0])
-    return ent[0]
+        .distinct()
+        # align with the bucket hash so each task holds exactly one
+        # bucket's rows → one file per bucket, not files × tasks
+        .repartition(TRIGRAM_BUCKETS, F.col("tri"))
+    )
+    (
+        posting.write.format("parquet")
+        .option("path", path)
+        .bucketBy(TRIGRAM_BUCKETS, "tri")
+        .sortBy("tri")
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
 
 
 @register(
@@ -835,26 +889,27 @@ def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-scan LIKE and the gate proves the index path exact.
 
     Scale: the full scan is O(corpus bytes) per query; the trigram
-    path serves from the MATERIALIZED posting index
-    (_trigram_posting — built once per app+sf, persisted, the ANN
-    _INDEX_CACHE pattern) keyed on the needle's {len(NEEDLE) - 2}
-    trigrams — a |needle|-row broadcast against the posting table,
-    then candidates-only verification, the q_bloom_join shape applied
-    to substring search. Occurrence counts via the exact
-    length-difference division (integer, engine-identical). Bench
-    records cold (index build) vs warm (serve) like the ANN family."""
+    path serves from the ON-DISK posting store
+    (trigram_posting_table — bucketed+sorted by tri, built once per
+    CORPUS VERSION, re-registered from disk by fresh apps) keyed on
+    the needle's {len(NEEDLE) - 2} trigrams — a literal IN prunes the
+    scan to the needle's buckets, then candidates-only verification,
+    the q_bloom_join shape applied to substring search. Occurrence
+    counts via the exact length-difference division (integer,
+    engine-identical). The once-per-corpus build cost lives in
+    q_trigram_index_build (INDEX_COLD in bench)."""
     docs = io.load_table(spark, sf_dir, "documents").select(
         "doc_id", F.lower(F.col("text")).alias("t")
     )
     needle_tris = sorted(
         {NEEDLE[i : i + 3] for i in range(len(NEEDLE) - 2)}
     )
-    posting = _trigram_posting(spark, sf_dir)
-    tri_df = F.broadcast(
-        spark.createDataFrame([(t,) for t in needle_tris], "tri string")
-    )
+    posting = trigram_posting_table(spark, sf_dir)
+    # literal IN over the bucket column → bucket pruning at the scan
+    # (SelectedBucketsCount), plus zone-map row-group skipping from
+    # the in-bucket sort — the serve path never reads the full index
     cands = (
-        posting.join(tri_df, "tri")
+        posting.filter(F.col("tri").isin(needle_tris))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_tri"))
         .filter(F.col("n_tri") == len(needle_tris))
@@ -910,7 +965,7 @@ def q_trigram_multi_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = io.load_table(spark, sf_dir, "documents").select(
         "doc_id", F.lower(F.col("text")).alias("t")
     )
-    posting = _trigram_posting(spark, sf_dir)
+    posting = trigram_posting_table(spark, sf_dir)
     tri_rows = []
     meta_rows = []
     for nid, s in sorted(NEEDLES.items()):
@@ -925,8 +980,13 @@ def q_trigram_multi_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             meta_rows, "needle_id int, needle string, n_tri int"
         )
     )
+    all_tris = sorted({t for _, t in tri_rows})
     cands = (
-        posting.join(tri_df, "tri")
+        # literal IN first: bucket pruning + zone maps bound the scan
+        # to the batch's posting lists; the broadcast join then maps
+        # surviving rows to needle_ids
+        posting.filter(F.col("tri").isin(all_tris))
+        .join(tri_df, "tri")
         .groupBy("doc_id", "needle_id")
         .agg(F.count("*").alias("hits"))
         .join(meta_df, "needle_id")
@@ -944,6 +1004,39 @@ def q_trigram_multi_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " div length(needle) AS BIGINT)"
             ).alias("n_matches"),
         )
+    )
+
+
+@register(
+    "q_trigram_index_build",
+    oracle="""
+WITH tri AS (
+  SELECT DISTINCT d.doc_id, substr(lower(d.text), CAST(u.i AS BIGINT), 3) AS tri
+  FROM documents d,
+       unnest(generate_series(1, length(lower(d.text)) - 2)) u(i)
+  WHERE length(lower(d.text)) >= 3
+)
+SELECT CAST(count(*) AS BIGINT)              AS n_postings,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT tri) AS BIGINT)    AS n_tris
+FROM tri
+""",
+)
+def q_trigram_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE as a first-class query (r8 verdict #3): build
+    (or adopt) the on-disk trigram posting store for this corpus
+    version and emit its audit stats. The aggregation reads the STORED
+    bucketed table — not a fresh in-plan build — so the DuckDB oracle
+    (trigram explode straight off the corpus) verifies the disk
+    artifact itself: a stale, truncated, or mis-written store fails
+    the gate. This is the once-per-corpus-version cold cost the
+    serving queries (q_trigram_search / q_trigram_multi_search) no
+    longer pay per app; bench records it under INDEX_COLD."""
+    posting = trigram_posting_table(spark, sf_dir)
+    return posting.agg(
+        F.count("*").cast("bigint").alias("n_postings"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.countDistinct("tri").cast("bigint").alias("n_tris"),
     )
 
 

@@ -59,6 +59,14 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         # documents/chunks text rows are fat; keep Arrow batches bounded
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # keep bucketed scans bucketed: the auto-disable rule only looks
+        # for downstream interesting partitions, so it would drop
+        # bucket PRUNING on `key IN (...)` serving scans (the trigram
+        # posting store reads whole-file-skip via SelectedBucketsCount
+        # only when the scan stays bucketed). Cost: a bucketed scan
+        # parallelizes at #buckets instead of splitting files — fine
+        # for index-serving tables sized by their bucket count.
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -94,16 +94,46 @@ SLOW = {"q_docx_pipeline", "q_docx_media"}
 # rankings must go through operators/rank.py's bounded-histogram
 # pattern instead (q_ntile_segments / q_rfm_segments are the models:
 # their only global windows run over ≤ a-few-hundred-row histograms).
-GLOBAL_WINDOW_ALLOWED = {
-    "q_histogram_quantiles",  # running sum over the 1000-bin histogram
-    "q_pagerank_nations",  # final rank over 25 nations
-    "q_token_pmi",  # vocab-sized df ranking (31-token corpus vocabulary)
-    "q_two_pass_median",  # running sum over the bounded bucket histogram
-    "q_vocab_encode",  # rank AFTER orderBy().limit(vocab cap) — bounded
-    "q_zipf_fit",  # vocab-sized frequency ranking
-    "q_ntile_segments",  # ~110-row acctbal-cents histogram running sum
-    "q_rfm_segments",  # day/frequency/monetary histograms, SF-constant
+#
+# The allowlist is NOT a skip (ADVICE r8): each entry pins (max number
+# of global windows, substrings of which every hit must contain at
+# least one) — the markers name the bounded child (the `_bkt` histogram,
+# the bin/vocab aggregate), so a data-sized global window reintroduced
+# into an allowlisted query fails the lint instead of hiding behind it.
+GLOBAL_WINDOW_ALLOWED: dict[str, tuple[int, tuple[str, ...]]] = {
+    # running sum over the 1000-bin histogram
+    "q_histogram_quantiles": (1, ("windowspecdefinition(bin#",)),
+    # final rank over 25 nations
+    "q_pagerank_nations": (1, ("windowspecdefinition(rank_ppb#",)),
+    # vocab-sized df ranking (31-token corpus vocabulary)
+    "q_token_pmi": (2, ("windowspecdefinition(df#",)),
+    # running sums over the bounded bucket histograms (two passes)
+    "q_two_pass_median": (2, ("sum(vc#", "sum(cnt#")),
+    # rank AFTER orderBy().limit(vocab cap) — bounded
+    "q_vocab_encode": (1, ("windowspecdefinition(cnt#",)),
+    # vocab-sized frequency ranking
+    "q_zipf_fit": (1, ("windowspecdefinition(freq#",)),
+    # ~110-row acctbal-cents histogram running sum (operators/rank.py)
+    "q_ntile_segments": (1, ("windowspecdefinition(_bkt#",)),
+    # day/frequency/monetary histograms, SF-constant (operators/rank.py)
+    "q_rfm_segments": (3, ("windowspecdefinition(_bkt#",)),
 }
+
+
+def check_allowed_global_windows(name: str, hits: list[str]) -> None:
+    """Assert an allowlisted query's global windows stay within its
+    pinned (count, bounded-child markers) contract."""
+    max_hits, markers = GLOBAL_WINDOW_ALLOWED[name]
+    assert len(hits) <= max_hits, (
+        f"{name}: {len(hits)} unpartitioned Windows (allowlist caps it "
+        f"at {max_hits}) — a new data-sized global window slipped in: {hits}"
+    )
+    for h in hits:
+        assert any(m in h for m in markers), (
+            f"{name}: unpartitioned Window over an unrecognized child "
+            f"(expected one of {markers}; the allowlist only covers the "
+            f"documented bounded inputs): {h}"
+        )
 
 
 def _bracket_groups(s: str) -> list[str]:
@@ -161,7 +191,8 @@ def _lintable():
 def test_no_unpartitioned_window(spark, sf_small, name):
     hits = global_windows(_plan(spark, name, sf_small))
     if name in GLOBAL_WINDOW_ALLOWED:
-        return  # bounded input, documented above
+        check_allowed_global_windows(name, hits)
+        return
     assert not hits, (
         f"{name} has an unpartitioned Window (single-partition sort of "
         f"its whole input — use operators/rank.py instead): {hits}"
@@ -192,6 +223,21 @@ def test_global_window_detector_catches_seeded_violation(spark):
     )
     plan = no_order._jdf.queryExecution().executedPlan().toString()
     assert not global_windows(plan)
+
+
+def test_allowlist_checker_catches_seeded_violation():
+    """Test-of-the-test for the allowlist contract (ADVICE r8): a
+    data-sized global window smuggled into an allowlisted query must
+    fail on BOTH axes — an extra hit past the cap, and a hit whose
+    child isn't the documented bounded input."""
+    ok = "Window [sum(_bc#1L) windowspecdefinition(_bkt#2L ASC NULLS FIRST..."
+    bad = "Window [ntile(5) windowspecdefinition(last_us#9L DESC NULLS LAST..."
+
+    check_allowed_global_windows("q_rfm_segments", [ok, ok, ok])
+    with pytest.raises(AssertionError, match="unrecognized child"):
+        check_allowed_global_windows("q_rfm_segments", [ok, ok, bad])
+    with pytest.raises(AssertionError, match="caps it"):
+        check_allowed_global_windows("q_rfm_segments", [ok, ok, ok, ok])
 
 
 @pytest.mark.parametrize("name", _lintable())

@@ -71,3 +71,31 @@ def test_rank_plan_has_no_data_sized_global_window(spark):
     assert len(hits) <= 1
     for h in hits:
         assert "_bc" in h, f"unexpected global window over data: {h}"
+
+
+def test_histogram_cardinality_guard_raises(spark, monkeypatch):
+    """Seeded violation for the in-plan MAX_BUCKETS guard (ADVICE r8):
+    a bucket_div mis-sized for the key range must RAISE at runtime,
+    not silently widen the 'bounded' histogram into a data-sized
+    global sort. Shrinking the ceiling below the real bucket count
+    simulates the drifted domain."""
+    monkeypatch.setattr(RK, "MAX_BUCKETS", 10)
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") * 97).cast("bigint").alias("v")
+    )
+    out = RK.with_global_row_number(df, "v", "id", bucket_div=1)
+    with pytest.raises(Exception, match="rank histogram exceeded"):
+        out.collect()
+
+
+def test_histogram_guard_transparent_when_bounded(spark):
+    """The guard must be invisible on healthy inputs: same rows, same
+    row numbers as before it existed."""
+    df = _vals(spark, seed=19, n=300)
+    got = RK.with_global_row_number(df, "v", "id", bucket_div=5)
+    want = df.withColumn(
+        "rn_w",
+        F.row_number().over(Window.orderBy(F.asc("v"), F.asc("id"))),
+    )
+    joined = got.join(want, ["id", "v"])
+    assert joined.filter(F.col("rn") != F.col("rn_w")).count() == 0

@@ -208,16 +208,28 @@ def test_sequence_pack_output_is_token_compressed(spark, sf_small):
     assert n_windows <= total // SEQ_LEN + SEQ_BUCKETS, (n_windows, total)
 
 
-def test_trigram_index_serves_from_cache_on_reuse(spark, sf_small):
-    """Build-once/serve-many evidence for the materialized trigram
-    posting index (r7 verdict #2): after the first invocation builds
-    it, subsequent queries — single-needle AND the multi-needle batch —
-    read the posting table from storage (InMemoryTableScan), never
-    re-running the corpus explode+distinct."""
+def test_trigram_index_serves_from_disk_store(spark, sf_small):
+    """Build-once-per-corpus/serve-many evidence for the ON-DISK
+    trigram posting store (r8 verdict #3): after the first invocation
+    writes the bucketed parquet artifact, serving queries —
+    single-needle AND the multi-needle batch — scan the stored table
+    with bucket pruning (SelectedBucketsCount < total), never
+    re-running the corpus explode+distinct; re-serving and even
+    catalog loss (a fresh app) adopt the existing files without a
+    rewrite."""
+    import os
+    import re
+
     from etl_ai_assistent_spark.queries import text_analysis as TA
 
-    # first use builds + materializes
-    TA.q_trigram_search(spark, sf_small).count()
+    # first use builds the artifact (or adopts a previous run's)
+    TA.trigram_posting_table(spark, sf_small)
+    tag, n = TA._corpus_version(sf_small)
+    path = os.path.join(
+        TA.TRIGRAM_STORE_ROOT, f"{tag}_{n}_{TA.TRIGRAM_BUCKETS}"
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    mtime = os.path.getmtime(marker)
 
     for q in (TA.q_trigram_search, TA.q_trigram_multi_search):
         plan = (
@@ -226,4 +238,15 @@ def test_trigram_index_serves_from_cache_on_reuse(spark, sf_small):
             .executedPlan()
             .toString()
         )
-        assert "InMemoryTableScan" in plan, plan
+        assert f"trigram_posting_{tag}_{n}" in plan, plan
+        # the serve scan stays bucketed and prunes to the needle's buckets
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        assert int(m.group(1)) < int(m.group(2)), m.group(0)
+        # no in-plan corpus rebuild: the trigram explode never appears
+        assert "sequence(1," not in plan, plan
+
+    # catalog loss (fresh app) adopts the files via DDL — no rewrite
+    spark.sql(f"DROP TABLE trigram_posting_{tag}_{n}_{TA.TRIGRAM_BUCKETS}")
+    TA.q_trigram_search(spark, sf_small).count()
+    assert os.path.getmtime(marker) == mtime, "store was rebuilt"
