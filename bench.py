@@ -341,6 +341,12 @@ def main() -> None:
     if os.path.exists(trend_path):
         with open(trend_path) as f:
             full["scale_trend"] = json.load(f)
+    # quiet-machine rerun evidence (swing classification protocol):
+    # committed separately, embedded so the bench artifact is complete
+    quiet_path = os.path.join(here, "QUIET_RERUN.json")
+    if os.path.exists(quiet_path):
+        with open(quiet_path) as f:
+            full["quiet_rerun"] = json.load(f)
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
         json.dump(full, f, indent=1)
 

@@ -250,3 +250,70 @@ def test_trigram_index_serves_from_disk_store(spark, sf_small):
     spark.sql(f"DROP TABLE trigram_posting_{tag}_{n}_{TA.TRIGRAM_BUCKETS}")
     TA.q_trigram_search(spark, sf_small).count()
     assert os.path.getmtime(marker) == mtime, "store was rebuilt"
+
+
+# --- scale-trend regression gate (r8 verdict #5) ---------------------------
+# SCALE_TREND.json carries two measured decades of time-vs-scale, but
+# nothing failed if a rewrite regressed the slopes between manual
+# sweeps. This gate re-measures the decade-1 ratio (sf0.1 → the 10×
+# replicated sf1 fixture) for the three cheapest trend queries on every
+# pytest run. Ratios are same-session back-to-back, so host noise
+# largely cancels; bounds carry ≥3× headroom over the recorded values
+# (0.9–1.9) while staying far below the ~10–12 linear wall.
+
+TREND_GATE_BOUNDS = {
+    "q_pq_adc_topk": 3.0,  # flat ANN serving (recorded 0.9)
+    "q_asof_purchase_signup": 6.0,  # as-of join (recorded 1.3)
+    "q_top_orders_per_customer": 6.0,  # per-group top-k (recorded 1.92)
+}
+
+
+def assert_trend_ratio_within(name: str, t_small: float, t_big: float) -> None:
+    bound = TREND_GATE_BOUNDS[name]
+    ratio = t_big / max(t_small, 1e-9)
+    assert ratio <= bound, (
+        f"{name}: decade-1 scale ratio regressed — {t_big:.3f}s at 10× vs "
+        f"{t_small:.3f}s (ratio {ratio:.2f} > bound {bound}); the plan "
+        "shape changed in a way that no longer amortizes — compare "
+        "explain() at both scales before touching the bound"
+    )
+
+
+def test_trend_gate_catches_seeded_violation():
+    """Test-of-the-test: a superlinear blowup must trip the bound."""
+    import pytest as _pytest
+
+    assert_trend_ratio_within("q_pq_adc_topk", 0.1, 0.25)  # within
+    with _pytest.raises(AssertionError, match="scale ratio regressed"):
+        assert_trend_ratio_within("q_pq_adc_topk", 0.1, 0.7)
+
+
+def test_scale_trend_decade1_ratios_hold(spark):
+    """Re-measure the decade-1 ratio for the three cheapest trend
+    queries against the replicated sf1 fixture (built on first use,
+    marker-cached). min-of-2 per point, same session, clearCache
+    between — the scale_trend.py protocol in miniature."""
+    import sys
+    import time
+
+    sys.path.insert(0, "/root/repo/tools")
+    import scale_trend as ST
+
+    ST.build_fixture()  # idempotent (marker file)
+
+    from etl_ai_assistent_spark.registry import queries
+
+    qs = queries()
+    for name in TREND_GATE_BOUNDS:
+        times = {}
+        for sf_dir in (ST.SRC, ST.FIXTURE):
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                ts.append(time.perf_counter() - t0)
+            times[sf_dir] = min(ts)
+            spark.catalog.clearCache()
+        assert_trend_ratio_within(name, times[ST.SRC], times[ST.FIXTURE])

@@ -97,6 +97,14 @@ TREND10 = [
     "q_sequence_pack",
     "q_ivf_topk",
     "q_pq_adc_topk",
+    # r9 (r8 verdict #4): the retrieval/join/graph five that stopped at
+    # decade 1 — fusion/rerank off the shared posting index, per-group
+    # top-k window, as-of join, iterated k-core pruning
+    "q_rag_fusion",
+    "q_rag_rerank",
+    "q_top_orders_per_customer",
+    "q_asof_purchase_signup",
+    "q_kcore_prune",
 ]
 
 
@@ -132,8 +140,10 @@ def build_fixture(dst_dir: str = FIXTURE, reps: int = REPS) -> None:
     open(marker, "w").write("ok\n")
 
 
-def run_sf10() -> None:
-    """Append the 100×-of-sf0.1 point to an existing SCALE_TREND.json."""
+def run_sf10(only: list[str] | None = None) -> None:
+    """Append the 100×-of-sf0.1 point to an existing SCALE_TREND.json.
+    `only` restricts to a subset of TREND10 (e.g. newly added queries)
+    so existing measured points aren't re-timed."""
     sys.path.insert(0, REPO)
     path = os.path.join(REPO, "SCALE_TREND.json")
     with open(path) as f:
@@ -149,7 +159,7 @@ def run_sf10() -> None:
     spark.read.parquet(os.path.join(FIXTURE10, "region.parquet")).count()
     qs = queries()
     runs = int(os.environ.get("SPARK_GRAFT_TREND_RUNS", "2"))
-    for name in TREND10:
+    for name in only if only else TREND10:
         row = trend["queries"].setdefault(name, {})
         ts = []
         for _ in range(runs):
@@ -236,6 +246,9 @@ def main() -> None:
 
 if __name__ == "__main__":
     if "--sf10" in sys.argv:
-        run_sf10()
+        only = None
+        if "--only" in sys.argv:
+            only = sys.argv[sys.argv.index("--only") + 1].split(",")
+        run_sf10(only)
     else:
         main()
