@@ -42,6 +42,19 @@ def get_spark(
     )
     mem = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "8g")
 
+    # AQE picks the FINAL partition count by coalescing down from this
+    # ceiling using runtime sizes. Shuffle WIDTH must scale with data:
+    # at the 60M-row trend fixture, q_rag_fusion's posting shuffle
+    # spilled through 32 static partitions (240 s) and ran exactly
+    # linear at 256 (79 s) — while at local test scale a 256-wide
+    # ceiling only taxes small queries with map-side split overhead
+    # (q_pq_adc_topk 0.14 s → 0.28 s). So the DEFAULT tracks the local
+    # shuffle count (no behavior change at test scale) and deployments
+    # / scale runs raise it with the data — tools/scale_trend.py's
+    # sf10 runner sets 256 the way a cluster submit would.
+    initial_parts = int(
+        os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(shuffle))
+    )
     builder = (
         SparkSession.builder.master(
             os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
@@ -51,6 +64,10 @@ def get_spark(
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(initial_parts),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -153,7 +153,17 @@ def run_sf10(only: list[str] | None = None) -> None:
     from etl_ai_assistent_spark.registry import queries
     from etl_ai_assistent_spark.session import get_spark
 
-    spark = get_spark("scale-trend-sf10", driver_memory="64g")
+    # shuffle width scales with the data, as a cluster submit would:
+    # 256 initial partitions keeps the 60M-row posting/join shuffles
+    # from spilling through the local 32-wide default (measured:
+    # q_rag_fusion 240 s → 79 s, restoring exact linearity)
+    spark = get_spark(
+        "scale-trend-sf10",
+        driver_memory="64g",
+        extra_conf={
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256"
+        },
+    )
     # same warmup as bench.py: JVM + parquet footers + python workers,
     # so the first trend query doesn't absorb session spin-up
     spark.read.parquet(os.path.join(FIXTURE10, "region.parquet")).count()
@@ -204,6 +214,13 @@ def main() -> None:
 
     qs = queries()
     runs = int(os.environ.get("SPARK_GRAFT_TREND_RUNS", "2"))
+    # keep previously measured decade-2 points: re-running decade 1
+    # must not silently drop the sf10 evidence
+    prior: dict[str, dict] = {}
+    trend_path = os.path.join(REPO, "SCALE_TREND.json")
+    if os.path.exists(trend_path):
+        with open(trend_path) as f:
+            prior = json.load(f).get("queries", {})
     result: dict[str, dict] = {}
     for name in TREND:
         row: dict[str, float] = {}
@@ -222,6 +239,12 @@ def main() -> None:
         # anything well above has a named cause or is a regression.
         row["ratio_10x"] = round(row["1.0"] / max(row["0.1"], 1e-9), 2)
         row["ratio_mid"] = round(row["0.1"] / max(row["0.01"], 1e-9), 2)
+        old = prior.get(name, {})
+        if "10.0" in old:
+            row["10.0"] = old["10.0"]
+            row["ratio_10x_decade2"] = round(
+                row["10.0"] / max(row["1.0"], 1e-9), 2
+            )
         result[name] = row
         print(name, row, flush=True)
 
