@@ -252,7 +252,11 @@ def main() -> None:
         "built_from": SRC,
         "replicas": REPS,
         "runs_per_point": runs,
-        "sf_rows_lineitem": {"0.01": 60_000, "0.1": 600_000, "1.0": 6_000_000},
+        "sf_rows_lineitem": (
+            {"0.01": 60_000, "0.1": 600_000, "1.0": 6_000_000, "10.0": 60_000_000}
+            if any("10.0" in r for r in result.values())
+            else {"0.01": 60_000, "0.1": 600_000, "1.0": 6_000_000}
+        ),
         "excluded": (
             "near-dup/semdedup/curation: replica texts are exact copies —"
             " candidate density inflates quadratically with replication"
