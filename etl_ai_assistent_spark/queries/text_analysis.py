@@ -13,10 +13,13 @@ rounded to 6 decimals on both engines so float parity is exact.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import io
+from .. import store as ST
 from ..functions import text as TX
 from ..registry import register
 
@@ -779,30 +782,27 @@ NEEDLES: dict[int, str] = {
 # On-disk posting store (r8 verdict #3): the corpus-sized explode +
 # distinct build moves from per-app session cache to a bucketed parquet
 # artifact written ONCE per corpus version — cold cost is paid when the
-# corpus changes, not when an app starts. Path is keyed by
-# (sf tag, documents row count, bucket count) so a changed corpus gets a
-# fresh artifact; _vN bumps when the writer changes (FIXTURES.md rule).
-TRIGRAM_STORE_ROOT = "/tmp/spark_graft_trigram_store_v1"
+# corpus changes, not when an app starts. The store follows the shared
+# contract (etl_ai_assistent_spark/store.py): path keyed by (sf tag,
+# documents row count, FOOTER CONTENT FINGERPRINT, bucket count) — the
+# fingerprint closes the r9 finding that a row-count key silently
+# serves a stale index after an UPDATE-shaped corpus refresh — with an
+# atomic temp-dir+rename publish and cheap adoption validation. Root
+# honors SPARK_GRAFT_STORE_ROOT; _vN bumps when the writer changes
+# (FIXTURES.md rule — _v2: fingerprinted key + atomic publish).
 TRIGRAM_BUCKETS = 16
 
 
-def _corpus_version(sf_dir: str) -> tuple[str, int]:
-    """(sf tag, documents row count) — the corpus version key. The
-    count is a DuckDB parquet-footer read (driver-side metadata, no
-    Spark job), so version checks cost nothing on the serve path."""
-    import os
-    import re
+def trigram_store_root() -> str:
+    return os.path.join(ST.store_root(), "spark_graft_trigram_store_v2")
 
-    import duckdb
 
-    tag = re.sub(
-        r"[^0-9A-Za-z_]", "_", os.path.basename(os.path.normpath(sf_dir))
-    )
-    n = duckdb.sql(
-        "SELECT count(*) FROM read_parquet(?)",
-        params=[os.path.join(sf_dir, "documents.parquet")],
-    ).fetchone()[0]
-    return tag, int(n)
+def _corpus_version(sf_dir: str) -> tuple[str, int, str]:
+    """(sf tag, documents row count, content fingerprint) — the corpus
+    version key, all from DuckDB parquet-footer reads (driver-side
+    metadata, no Spark job), so version checks cost nothing on the
+    serve path."""
+    return ST.corpus_key(sf_dir, "documents")
 
 
 def trigram_posting_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,50 +821,65 @@ def trigram_posting_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     the in-bucket sort gives row-group zone-map skipping — at 100 TB
     a query touches a few posting-list buckets, never the corpus.
     Docs shorter than 3 chars carry no trigrams and can't contain a
-    ≥3-char needle, so excluding them keeps pruning lossless."""
+    ≥3-char needle, so excluding them keeps pruning lossless.
+
+    Publication follows the store contract (store.publish): the
+    bucketed write lands in a temp directory (via a throwaway external
+    table whose DROP leaves the files) and one atomic rename publishes
+    it — racing builders converge on one artifact, readers never see a
+    half-replaced directory (r9 verdict #2). Adoption re-validates the
+    marker + a footer row count before the DDL registers the files."""
     import os
 
-    tag, n_docs = _corpus_version(sf_dir)
-    name = f"trigram_posting_{tag}_{n_docs}_{TRIGRAM_BUCKETS}"
+    tag, n_docs, fp = _corpus_version(sf_dir)
+    key = f"{tag}_{n_docs}_{fp}_{TRIGRAM_BUCKETS}"
+    name = f"trigram_posting_{key}"
     if spark.catalog.tableExists(name):
         return spark.table(name)
-    path = os.path.join(
-        TRIGRAM_STORE_ROOT, f"{tag}_{n_docs}_{TRIGRAM_BUCKETS}"
-    )
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        # artifact already on disk — register, don't rebuild
-        spark.sql(
-            f"CREATE TABLE {name} (doc_id BIGINT, tri STRING) USING PARQUET"
-            f" CLUSTERED BY (tri) SORTED BY (tri)"
-            f" INTO {TRIGRAM_BUCKETS} BUCKETS LOCATION '{path}'"
+    path = os.path.join(trigram_store_root(), key)
+
+    def build(tmp: str) -> None:
+        docs = io.load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.lower(F.col("text")).alias("t")
         )
-        return spark.table(name)
-    docs = io.load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.lower(F.col("text")).alias("t")
-    )
-    posting = (
-        docs.filter(F.length("t") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(t) - 2),"
-                    " i -> substring(t, i, 3))"
-                )
-            ).alias("tri"),
+        posting = (
+            docs.filter(F.length("t") >= 3)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(t) - 2),"
+                        " i -> substring(t, i, 3))"
+                    )
+                ).alias("tri"),
+            )
+            .distinct()
+            # align with the bucket hash so each task holds exactly one
+            # bucket's rows → one file per bucket, not files × tasks
+            .repartition(TRIGRAM_BUCKETS, F.col("tri"))
         )
-        .distinct()
-        # align with the bucket hash so each task holds exactly one
-        # bucket's rows → one file per bucket, not files × tasks
-        .repartition(TRIGRAM_BUCKETS, F.col("tri"))
+        tmp_name = f"{name}_build_{os.path.basename(tmp).split('-')[-1]}"
+        (
+            posting.write.format("parquet")
+            .option("path", tmp)
+            .bucketBy(TRIGRAM_BUCKETS, "tri")
+            .sortBy("tri")
+            .mode("overwrite")
+            .saveAsTable(tmp_name)
+        )
+        # external table (explicit path): DROP unregisters the name but
+        # leaves the files for publish()'s atomic rename
+        spark.sql(f"DROP TABLE {tmp_name}")
+
+    ST.publish(
+        path,
+        build,
+        validate=lambda p: ST.has_success(p) and ST.parquet_rows(p) > 0,
     )
-    (
-        posting.write.format("parquet")
-        .option("path", path)
-        .bucketBy(TRIGRAM_BUCKETS, "tri")
-        .sortBy("tri")
-        .mode("overwrite")
-        .saveAsTable(name)
+    spark.sql(
+        f"CREATE TABLE {name} (doc_id BIGINT, tri STRING) USING PARQUET"
+        f" CLUSTERED BY (tri) SORTED BY (tri)"
+        f" INTO {TRIGRAM_BUCKETS} BUCKETS LOCATION '{path}'"
     )
     return spark.table(name)
 

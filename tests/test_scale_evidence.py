@@ -6,6 +6,7 @@ machinery triggers at test scale."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -224,9 +225,9 @@ def test_trigram_index_serves_from_disk_store(spark, sf_small):
 
     # first use builds the artifact (or adopts a previous run's)
     TA.trigram_posting_table(spark, sf_small)
-    tag, n = TA._corpus_version(sf_small)
+    tag, n, fp = TA._corpus_version(sf_small)
     path = os.path.join(
-        TA.TRIGRAM_STORE_ROOT, f"{tag}_{n}_{TA.TRIGRAM_BUCKETS}"
+        TA.trigram_store_root(), f"{tag}_{n}_{fp}_{TA.TRIGRAM_BUCKETS}"
     )
     marker = os.path.join(path, "_SUCCESS")
     mtime = os.path.getmtime(marker)
@@ -238,7 +239,7 @@ def test_trigram_index_serves_from_disk_store(spark, sf_small):
             .executedPlan()
             .toString()
         )
-        assert f"trigram_posting_{tag}_{n}" in plan, plan
+        assert f"trigram_posting_{tag}_{n}_{fp}" in plan, plan
         # the serve scan stays bucketed and prunes to the needle's buckets
         m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
         assert m, plan
@@ -247,9 +248,50 @@ def test_trigram_index_serves_from_disk_store(spark, sf_small):
         assert "sequence(1," not in plan, plan
 
     # catalog loss (fresh app) adopts the files via DDL — no rewrite
-    spark.sql(f"DROP TABLE trigram_posting_{tag}_{n}_{TA.TRIGRAM_BUCKETS}")
+    spark.sql(
+        f"DROP TABLE trigram_posting_{tag}_{n}_{fp}_{TA.TRIGRAM_BUCKETS}"
+    )
     TA.q_trigram_search(spark, sf_small).count()
     assert os.path.getmtime(marker) == mtime, "store was rebuilt"
+
+
+def test_trigram_store_rebuilds_on_content_edit(spark, tmp_path):
+    """The r9 store-contract finding closed end-to-end: a corpus whose
+    TEXT changes but whose row count doesn't must get a FRESH posting
+    store (the old row-count key silently served the stale index —
+    wrong answers, because trigram pruning gates the exact verify).
+    The fingerprinted key routes the mutated corpus to a new store
+    path and the serving query reflects the edit."""
+    import duckdb
+
+    from etl_ai_assistent_spark.queries import text_analysis as TA
+
+    sf = tmp_path / "sfmut"
+    sf.mkdir()
+    doc_path = str(sf / "documents.parquet")
+
+    def write(texts):
+        duckdb.sql(
+            "COPY (SELECT row_number() OVER () - 1 AS doc_id, t AS text,"
+            "             'en' AS lang, 'test' AS source,"
+            "             length(t) AS n_chars"
+            "      FROM (SELECT unnest(?) AS t))"
+            f" TO '{doc_path}' (FORMAT PARQUET)",
+            params=[texts],
+        )
+
+    write(["the spark window opens", "nothing here", "plain filler row"])
+    t1 = TA.trigram_posting_table(spark, str(sf))
+    key1 = TA._corpus_version(str(sf))
+    assert t1.filter(F.col("tri") == "spa").count() == 1
+
+    # mutate ONE document, row count constant: needle now in doc 1 too
+    write(["the spark window opens", "a spark window too", "plain filler row"])
+    key2 = TA._corpus_version(str(sf))
+    assert key1[:2] == key2[:2] and key1[2] != key2[2], (key1, key2)
+    t2 = TA.trigram_posting_table(spark, str(sf))
+    # fresh store, not the stale one: the new doc's trigrams are present
+    assert t2.filter(F.col("tri") == "spa").count() == 2
 
 
 # --- scale-trend regression gate (r8 verdict #5) ---------------------------
@@ -288,15 +330,27 @@ def test_trend_gate_catches_seeded_violation():
         assert_trend_ratio_within("q_pq_adc_topk", 0.1, 0.7)
 
 
+@pytest.mark.trend
 def test_scale_trend_decade1_ratios_hold(spark):
     """Re-measure the decade-1 ratio for the three cheapest trend
     queries against the replicated sf1 fixture (built on first use,
     marker-cached). min-of-2 per point, same session, clearCache
-    between — the scale_trend.py protocol in miniature."""
+    between — the scale_trend.py protocol in miniature.
+
+    Marked `trend` (wall-clock assertions + a 10× fixture build on
+    first run): it RUNS by default so the gate stays in-round, but a
+    loaded CI host can deselect it with `-m "not trend"` (ADVICE r9)."""
+    import os as _os
     import sys
     import time
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(
+        0,
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
     import scale_trend as ST
 
     ST.build_fixture()  # idempotent (marker file)

@@ -183,6 +183,9 @@ def run_sf10(only: list[str] | None = None) -> None:
             row["ratio_10x_decade2"] = round(
                 row["10.0"] / max(row["1.0"], 1e-9), 2
             )
+        # freshly measured at the current code — clear any carry-over
+        # staleness stamp main() may have set (ADVICE r9)
+        row.pop("decade2_carried_forward", None)
         spark.catalog.clearCache()
         print(name, row, flush=True)
     trend["sf_rows_lineitem"]["10.0"] = 60_000_000
@@ -241,10 +244,15 @@ def main() -> None:
         row["ratio_mid"] = round(row["0.1"] / max(row["0.01"], 1e-9), 2)
         old = prior.get(name, {})
         if "10.0" in old:
+            # decade-2 points are expensive (run_sf10) and re-used
+            # across decade-1 refreshes — stamp the carry-over so a
+            # reader can tell the sf10 timing may predate the current
+            # code (ADVICE r9; run_sf10 clears the flag on re-measure)
             row["10.0"] = old["10.0"]
             row["ratio_10x_decade2"] = round(
                 row["10.0"] / max(row["1.0"], 1e-9), 2
             )
+            row["decade2_carried_forward"] = True
         result[name] = row
         print(name, row, flush=True)
 
