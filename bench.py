@@ -84,14 +84,18 @@ HEADLINE = [
     "q_cdc_merge",
     "q_fuzzy_match_names",
     "q_doc_surprisal",
-    # ANN compression ladder, scoring path (round-6): the trained
-    # codebooks/coarse cells are cached per app+sf by clustering._pq_index,
-    # so run 1 pays the offline index build and the min-of-runs reports
-    # per-query ADC scoring throughput — the number the compressed store
-    # exists for (training itself stays out of the headline, same policy
-    # as q_bucketed_join's one-time bucketed write).
+    # ANN compression ladder, scoring path (round-6; r10: the index is
+    # an ON-DISK store). q_ann_index_build runs FIRST: it pays the
+    # once-per-corpus training/encoding build (recorded under cold) so
+    # the serving family below measures adoption + ADC scoring — the
+    # number the compressed store exists for (same policy as
+    # q_bucketed_join's one-time bucketed write).
+    "q_ann_index_build",
     "q_pq_adc_topk",
     "q_ivfpq_topk",
+    # r10: incremental maintenance — O(|delta|) encode off the stored
+    # codebooks (runs warm behind the ladder's store adoption)
+    "q_ann_delta_encode",
     # round-5/6 families: graph, window/array breadth, lakehouse
     # maintenance, integrity checksums, merge-on-read CDC
     "q_triangle_count",
@@ -223,6 +227,8 @@ HEADLINE = [
 # later in HEADLINE inherit earlier builds — cold is
 # per-process-order, stated here so readers compare in order.
 INDEX_COLD = (
+    # r10: the once-per-corpus ANN store build (training + encoding)
+    "q_ann_index_build",
     "q_pq_adc_topk",
     "q_ivfpq_topk",
     "q_pq_multiquery_topk",

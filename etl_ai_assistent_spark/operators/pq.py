@@ -101,6 +101,27 @@ def adc_table(query_qv: list[int], codebooks: list[DataFrame]) -> list[dict]:
     return tables
 
 
+def adc_table_rows(query_qv: list[int], cb_rows: list[list]) -> list[dict]:
+    """adc_table from DRIVER-RESIDENT codebook rows (per-subspace
+    [(cid, cv), ...] lists, e.g. read off the on-disk ANN store with a
+    DuckDB footer-indexed read) — the same m dicts with zero Spark
+    jobs. adc_table pays one collect per subspace (~0.7 s of job
+    overhead each on a fresh app), which is exactly the per-app cost
+    the disk store exists to eliminate; tests pin the two equal."""
+    m = len(cb_rows)
+    w = len(query_qv) // m
+    return [
+        {
+            int(cid): sum(
+                (a - b) * (a - b)
+                for a, b in zip(query_qv[i * w : (i + 1) * w], cv)
+            )
+            for cid, cv in cb_rows[i]
+        }
+        for i in range(m)
+    ]
+
+
 def adc_topk(
     codes: DataFrame, tables: list[dict], k: int = 10
 ) -> DataFrame:

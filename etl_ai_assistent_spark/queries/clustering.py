@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import io
+from .. import store as ST
 from ..operators import kmeans as KM
 from ..registry import register
 
@@ -272,51 +273,247 @@ def _probe_vector(sf_dir: str) -> list[int]:
     ]
 
 
+# --- ANN index as an on-disk store (r9 verdict #1) --------------------------
+# The trained index family — PQ codebooks, codes, IVF centroids, coarse
+# assignments, residual codebooks, residual codes — is an OFFLINE BUILD
+# artifact, not per-app state: a vector store (reference shape: Qdrant's
+# persistent collection, scripts/services/qdrant_service.py:24-42)
+# trains once and serves forever. The artifacts follow the shared store
+# contract (store.py: content-fingerprinted corpus key, atomic publish,
+# validated adoption); a fresh Spark app ADOPTS the files in
+# milliseconds instead of re-training (the r9 per-app cold builds were
+# 3-10 s each at sf0.1). Coarse assignments and residual codes are
+# directory-partitioned by cluster — each IVF cell is its own file set,
+# so cell-pruned serving maps to partition pruning at the scan.
+# q_ann_index_build is the maintenance registration whose DuckDB oracle
+# recomputes the training from the corpus and audits the DISK artifact
+# (the q_trigram_index_build pattern).
+
+ANN_ARTIFACTS = (
+    "codebooks",
+    "codes",
+    "centroids",
+    "coarse",
+    "res_codebooks",
+    "res_codes",
+)
+
+# Explicit read schemas: adoption must not pay schema-inference jobs
+# (the partition column `cluster` is declared too — Spark casts the
+# directory values to it, replacing post-hoc casts)
+_CODES_SCHEMA = "vec_id bigint, " + ", ".join(
+    f"code_{i} bigint" for i in range(M_SUB)
+)
+_COARSE_SCHEMA = "vec_id bigint, cluster bigint"
+_RES_CODES_SCHEMA = _CODES_SCHEMA + ", cluster bigint"
+_CB_SCHEMA = "sub int, cid bigint, cv array<bigint>"
+_CENT_SCHEMA = "cid bigint, cv array<bigint>"
+_ANN_SCHEMAS = {
+    "codebooks": _CB_SCHEMA,
+    "codes": _CODES_SCHEMA,
+    "centroids": _CENT_SCHEMA,
+    "coarse": _COARSE_SCHEMA,
+    "res_codebooks": _CB_SCHEMA,
+    "res_codes": _RES_CODES_SCHEMA,
+}
+
+
+def _read_artifact(spark: SparkSession, path: str, name: str) -> DataFrame:
+    return (
+        spark.read.schema(_ANN_SCHEMAS[name])
+        .parquet(os.path.join(path, name))
+    )
+
+
+def ann_store_root() -> str:
+    return os.path.join(ST.store_root(), "spark_graft_ann_store_v1")
+
+
+def _ann_store_path(sf_dir: str) -> tuple[str, int]:
+    tag, n, fp = ST.corpus_key(sf_dir, "embeddings")
+    return os.path.join(ann_store_root(), f"{tag}_{n}_{fp}"), n
+
+
+def _ann_store_valid(path: str, n_vecs: int) -> bool:
+    """Cheap adoption validation (footer reads only): every artifact
+    finished its write, and the codes cover the corpus exactly."""
+    if not all(ST.has_success(os.path.join(path, a)) for a in ANN_ARTIFACTS):
+        return False
+    return ST.parquet_rows(os.path.join(path, "codes")) == n_vecs
+
+
+def ann_store(spark: SparkSession, sf_dir: str) -> str:
+    """Adopt (or atomically build) the ANN store for this corpus
+    version; returns its directory."""
+    path, n = _ann_store_path(sf_dir)
+    ST.publish(
+        path,
+        lambda tmp: _build_ann_store(spark, sf_dir, tmp),
+        validate=lambda p: _ann_store_valid(p, n),
+    )
+    return path
+
+
+def _literal_codebooks(spark: SparkSession, cb_rows: list) -> list[DataFrame]:
+    """Codebook row lists → literal K-row DataFrames (no lineage to
+    replay on downstream collects)."""
+    return [
+        spark.createDataFrame(rows, "cid bigint, cv array<bigint>")
+        for rows in cb_rows
+    ]
+
+
+def _load_codebook_rows(path: str, name: str) -> list[list]:
+    """Read a stored codebook family driver-side (DuckDB, tiny file —
+    M·K rows): list of per-subspace [(cid, cv), ...]."""
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT sub, cid, cv FROM read_parquet(?) ORDER BY sub, cid",
+        params=[os.path.join(path, name, "*.parquet")],
+    ).fetchall()
+    out: list[list] = [[] for _ in range(M_SUB)]
+    for s, cid, cv in rows:
+        out[int(s)].append((int(cid), [int(x) for x in cv]))
+    return out
+
+
+def _load_centroid_rows(path: str) -> list[dict]:
+    """Stored IVF centroids driver-side (K rows)."""
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT cid, cv FROM read_parquet(?) ORDER BY cid",
+        params=[os.path.join(path, "centroids", "*.parquet")],
+    ).fetchall()
+    return [{"cid": int(c), "cv": [int(x) for x in v]} for c, v in rows]
+
+
+def _write_codebooks(spark: SparkSession, cb_rows: list, path: str) -> None:
+    rows = [
+        (s, cid, cv) for s, fam in enumerate(cb_rows) for cid, cv in fam
+    ]
+    spark.createDataFrame(
+        rows, "sub int, cid bigint, cv array<bigint>"
+    ).coalesce(1).write.parquet(path)
+
+
+def _build_ann_store(spark: SparkSession, sf_dir: str, tmp: str) -> None:
+    """The offline index-build job: train + encode the whole family and
+    write every artifact under `tmp` (published atomically by the
+    caller). All arithmetic is the deterministic integer lattice, so
+    the artifact is partition-invariant — any builder writes the same
+    bytes-equivalent tables, which is what makes the build/adopt race
+    benign and the DuckDB oracle able to audit the disk."""
+    from ..operators import pq as PQ
+
+    emb = (
+        io.load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", KM.quantize("embedding").alias("qv"))
+        .persist()
+    )
+    try:
+        # flat PQ family
+        cbs = PQ.train_codebooks(emb, m=M_SUB, k=PQ_K, iters=1, dim=DIM)
+        cb_rows = [
+            [(int(r["cid"]), [int(x) for x in r["cv"]]) for r in cb.collect()]
+            for cb in cbs
+        ]
+        _write_codebooks(spark, cb_rows, os.path.join(tmp, "codebooks"))
+        cbs_lit = _literal_codebooks(spark, cb_rows)
+        PQ.encode(emb, cbs_lit, dim=DIM).write.parquet(
+            os.path.join(tmp, "codes")
+        )
+        # IVF coarse quantizer
+        coarse_assign, cents = KM.lloyd(emb, k=K, iters=1)
+        coarse_assign = coarse_assign.select("vec_id", "cluster").persist()
+        cent_rows = [
+            (int(r["cid"]), [int(x) for x in r["cv"]]) for r in cents.collect()
+        ]
+        spark.createDataFrame(
+            cent_rows, "cid bigint, cv array<bigint>"
+        ).coalesce(1).write.parquet(os.path.join(tmp, "centroids"))
+        # one directory per IVF cell: cell-pruned serving = partition
+        # pruning at the scan (the inverted-list layout on disk)
+        coarse_assign.write.partitionBy("cluster").parquet(
+            os.path.join(tmp, "coarse")
+        )
+        # residual family (FAISS IVFADC): codebooks trained on
+        # re-offset residuals, codes carry their cell for per-cell ADC
+        cents_df = spark.createDataFrame(
+            cent_rows, "cid bigint, cv array<bigint>"
+        )
+        rv = (
+            emb.join(coarse_assign, "vec_id")
+            .join(F.broadcast(cents_df), F.col("cluster") == F.col("cid"))
+            .select(
+                "vec_id",
+                "cluster",
+                F.zip_with(
+                    "qv", "cv", lambda a, b: a - b + F.lit(RES_OFFSET)
+                ).alias("qv"),
+            )
+            .persist()
+        )
+        res_cbs = PQ.train_codebooks(
+            rv.select("vec_id", "qv"), m=M_SUB, k=PQ_K, iters=1, dim=DIM
+        )
+        res_rows = [
+            [(int(r["cid"]), [int(x) for x in r["cv"]]) for r in cb.collect()]
+            for cb in res_cbs
+        ]
+        _write_codebooks(spark, res_rows, os.path.join(tmp, "res_codebooks"))
+        res_lit = _literal_codebooks(spark, res_rows)
+        (
+            PQ.encode(rv.select("vec_id", "qv"), res_lit, dim=DIM)
+            .join(coarse_assign, "vec_id")
+            .write.partitionBy("cluster")
+            .parquet(os.path.join(tmp, "res_codes"))
+        )
+        rv.unpersist()
+        coarse_assign.unpersist()
+    finally:
+        emb.unpersist()
+
+
 def _pq_index(spark: SparkSession, sf_dir: str):
-    """(emb, codebooks, persisted codes, ADC tables for query 0, q0) —
-    the flat-PQ index build boundary."""
+    """(emb plan, codebook ROWS, persisted codes, ADC tables for
+    query 0, q0) — the flat-PQ serving handle, loaded from the on-disk
+    store (adopt-or-build). `emb` is the lazy quantized scan (probe
+    slicing only — training never runs here anymore). The adoption
+    path runs ZERO Spark jobs: codebooks/probe/tables are driver-side
+    footer reads + arithmetic; the codes handle is a schema-pinned
+    lazy scan. Consumers needing codebook DataFrames lift the rows via
+    _literal_codebooks."""
     from ..operators import pq as PQ
 
     key = ("pq", spark.sparkContext.applicationId, sf_dir)
     _evict_other_sfs(sf_dir)  # every index path funnels through here
     if key not in _INDEX_CACHE:
-        emb = (
-            io.load_table(spark, sf_dir, "embeddings")
-            .select("vec_id", KM.quantize("embedding").alias("qv"))
-            .persist()
-        )
-        cbs = PQ.train_codebooks(emb, m=M_SUB, k=PQ_K, iters=1, dim=DIM)
-        # collapse trained codebooks to LITERAL DataFrames: the k-means
-        # lineage otherwise re-executes on every downstream collect
-        # (adc_table per probe cell, probe_tables per serving batch) —
-        # M·K·(dim/M) ints, driver-trivial, computed once at build
-        cbs = [
-            spark.createDataFrame(
-                [(int(r["cid"]), [int(x) for x in r["cv"]]) for r in cb.collect()],
-                "cid bigint, cv array<bigint>",
-            )
-            for cb in cbs
-        ]
-        codes = PQ.encode(emb, cbs, dim=DIM).persist()
-        codes.count()  # materialize: the offline-build/online-query line
+        path = ann_store(spark, sf_dir)
+        cb_rows = _load_codebook_rows(path, "codebooks")
+        codes = _read_artifact(spark, path, "codes").persist()
         q0 = _probe_vector(sf_dir)
-        tables = PQ.adc_table(q0, cbs)
-        _INDEX_CACHE[key] = (emb, cbs, codes, tables, q0)
+        tables = PQ.adc_table_rows(q0, cb_rows)
+        emb = io.load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", KM.quantize("embedding").alias("qv")
+        )
+        _INDEX_CACHE[key] = (emb, cb_rows, codes, tables, q0)
     ent = _INDEX_CACHE[key]
-    _repersist(ent[0], ent[2])
+    _repersist(ent[2])
     return ent
 
 
 def _ivf_coarse(spark: SparkSession, sf_dir: str):
-    """(persisted coarse assignment, collected K centroid rows) — the
-    IVF half of the index, sharing _pq_index's quantized vectors."""
+    """(persisted coarse assignment, K centroid rows) — the IVF half of
+    the index, served from the on-disk store. The partition column
+    reads back as its directory-inferred type, so it is re-cast to the
+    bigint the downstream arithmetic expects."""
     key = ("ivf", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
-        emb, *_ = _pq_index(spark, sf_dir)
-        coarse_assign, coarse_cents = KM.lloyd(emb, k=K, iters=1)
-        coarse_assign = coarse_assign.persist()
-        coarse_assign.count()
-        _INDEX_CACHE[key] = (coarse_assign, coarse_cents.collect())
+        path = ann_store(spark, sf_dir)
+        coarse = _read_artifact(spark, path, "coarse").persist()
+        _INDEX_CACHE[key] = (coarse, _load_centroid_rows(path))
     ent = _INDEX_CACHE[key]
     _repersist(ent[0])
     return ent
@@ -560,7 +757,8 @@ def q_pq_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the serving batch's lookup tables are a pure function of
         # (probes, codebooks) — index-build work, persisted once, so
         # each serving call pays only the broadcast join + top-k
-        emb, cbs, *_ = _pq_index(spark, sf_dir)
+        emb, cb_rows, *_ = _pq_index(spark, sf_dir)
+        cbs = _literal_codebooks(spark, cb_rows)
         probes = emb.filter(F.col("vec_id") < NQ_PQ).select("vec_id", "qv")
         t = PQ.probe_tables(probes, cbs, dim=DIM).persist()
         t.count()
@@ -581,54 +779,21 @@ RES_OFFSET = 2 * KM.Q_OFFSET
 
 
 def _ivfpq_res_index(spark: SparkSession, sf_dir: str):
-    """(residual codebooks, persisted codes+cluster) — the residual
-    IVFADC index build: residual r = qv − centroid[assigned cell]
-    (+offset), PQ codebooks trained on residuals, corpus encoded as
-    (cluster, M codes). Shares _pq_index's quantized vectors and
-    _ivf_coarse's cells; cached per (app, sf_dir) like both."""
+    """(residual codebooks, persisted codes+cluster, probe cells,
+    per-cell ADC tables) — the residual-IVFADC serving handle, loaded
+    from the on-disk store (training moved to _build_ann_store).
+    Probe-cell selection + per-cell query-residual ADC tables are pure
+    functions of (q0, centroids, residual codebooks) — bounded driver
+    arithmetic, so the serving path never collects anything
+    corpus-sized."""
     from ..operators import pq as PQ
 
     key = ("ivfpq_res", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
-        emb, *_ = _pq_index(spark, sf_dir)
-        coarse_assign, cents = _ivf_coarse(spark, sf_dir)
-        cents_df = spark.createDataFrame(
-            [(int(r["cid"]), [int(x) for x in r["cv"]]) for r in cents],
-            "cid bigint, cv array<bigint>",
-        )
-        rv = (
-            emb.join(coarse_assign.select("vec_id", "cluster"), "vec_id")
-            .join(F.broadcast(cents_df), F.col("cluster") == F.col("cid"))
-            .select(
-                "vec_id",
-                "cluster",
-                F.zip_with(
-                    "qv", "cv", lambda a, b: a - b + F.lit(RES_OFFSET)
-                ).alias("qv"),
-            )
-            .persist()
-        )
-        cbs = PQ.train_codebooks(
-            rv.select("vec_id", "qv"), m=M_SUB, k=PQ_K, iters=1, dim=DIM
-        )
-        # literal-collapse (see _pq_index) — otherwise every per-cell
-        # adc_table collect replays residual-codebook training
-        cbs = [
-            spark.createDataFrame(
-                [(int(r["cid"]), [int(x) for x in r["cv"]]) for r in cb.collect()],
-                "cid bigint, cv array<bigint>",
-            )
-            for cb in cbs
-        ]
-        codes = (
-            PQ.encode(rv.select("vec_id", "qv"), cbs, dim=DIM)
-            .join(coarse_assign.select("vec_id", "cluster"), "vec_id")
-            .persist()
-        )
-        codes.count()  # materialize: offline build / online query line
-        # probe-cell selection + per-cell query-residual ADC tables are
-        # pure functions of (q0, centroids) — index-build work, so the
-        # serving path never collects anything
+        path = ann_store(spark, sf_dir)
+        res_rows = _load_codebook_rows(path, "res_codebooks")
+        codes = _read_artifact(spark, path, "res_codes").persist()
+        cents = _load_centroid_rows(path)
         *_, q0 = _pq_index(spark, sf_dir)
         packed = sorted(
             (
@@ -641,12 +806,15 @@ def _ivfpq_res_index(spark: SparkSession, sf_dir: str):
         probe_cells = [cid for _, cid in packed[:NPROBE]]
         cent_map = {int(r["cid"]): list(r["cv"]) for r in cents}
         tables_by_cell = {
-            cell: PQ.adc_table(
-                [a - b + RES_OFFSET for a, b in zip(q0, cent_map[cell])], cbs
+            cell: PQ.adc_table_rows(
+                [a - b + RES_OFFSET for a, b in zip(q0, cent_map[cell])],
+                res_rows,
             )
             for cell in probe_cells
         }
-        _INDEX_CACHE[key] = (cbs, codes, probe_cells, tables_by_cell)
+        # first slot holds the driver-resident codebook ROWS (serving
+        # uses only the precomputed tables; nothing needs DataFrames)
+        _INDEX_CACHE[key] = (res_rows, codes, probe_cells, tables_by_cell)
     ent = _INDEX_CACHE[key]
     _repersist(ent[1])
     return ent
@@ -807,4 +975,152 @@ def q_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(1000000 * n_hits) div {PQ_TOPK}")
         .cast("bigint")
         .alias("recall_ppm"),
+    )
+
+
+# --- ANN index maintenance: build/adopt the disk store, audit the disk ------
+
+# Position-weighted checksums: permuting any assignment, code, or
+# codebook entry moves the sum, so a stale/truncated/mis-written
+# artifact cannot hash-match a replay from the corpus. All exact
+# bigint (max term ≈ 70 · |corpus|² « 2⁶³).
+_CODE_WSUM_SQL = " + ".join(
+    f"(SELECT sum(code * (vec_id + 1)) FROM {{p}}code_{i}) * {i + 1}"
+    for i in range(M_SUB)
+)
+_CB_WSUM_SQL = " + ".join(
+    f"(SELECT sum(({i} * 1000 + cid + 1) * list_sum(cv)) FROM {{p}}c1_{i})"
+    for i in range(M_SUB)
+)
+
+
+@register(
+    "q_ann_index_build",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),{_KM_CTES},{",".join(_pq_sub_ctes(i, with_query=False) for i in range(M_SUB))},{_RES_CTES},{",".join(_pq_sub_ctes(i, src="rvv", p="r", with_query=False) for i in range(M_SUB))}
+SELECT
+  CAST((SELECT count(*) FROM ka2) AS BIGINT) AS n_vecs,
+  CAST((SELECT sum(cluster * (vec_id + 1)) FROM ka2) AS BIGINT) AS coarse_wsum,
+  CAST((SELECT sum((cid + 1) * list_sum(cv)) FROM k1) AS BIGINT) AS cent_wsum,
+  CAST({_CB_WSUM_SQL.format(p="")} AS BIGINT) AS cb_wsum,
+  CAST({_CODE_WSUM_SQL.format(p="")} AS BIGINT) AS code_wsum,
+  CAST({_CB_WSUM_SQL.format(p="r")} AS BIGINT) AS res_cb_wsum,
+  CAST({_CODE_WSUM_SQL.format(p="r")} AS BIGINT) AS res_code_wsum
+""",
+)
+def q_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index MAINTENANCE as a first-class query (r9 verdict #1,
+    the q_trigram_index_build pattern): adopt — or atomically build —
+    the on-disk ANN store for this corpus version, then emit
+    position-weighted checksums over every STORED artifact (coarse
+    assignments, IVF centroids, PQ codebooks, PQ codes, residual
+    codebooks, residual codes). The aggregation reads the DISK tables,
+    not a fresh in-plan build, while the DuckDB oracle replays coarse
+    training, PQ training, encoding, residual computation, and
+    residual encoding straight off the corpus — a stale, truncated, or
+    corrupted store fails the gate on the exact artifact that drifted.
+    This is the once-per-corpus-version cold cost the serving family
+    (q_pq_adc_topk, q_ivfpq_topk, residual twins, multiquery) no
+    longer pays per app; bench records it under INDEX_COLD."""
+    path = ann_store(spark, sf_dir)
+
+    def rd(name: str) -> DataFrame:
+        return _read_artifact(spark, path, name)
+
+    agg_cv = F.expr("aggregate(cv, CAST(0 AS BIGINT), (a, x) -> a + x)")
+    code_w = sum(
+        (F.col(f"code_{i}") * (i + 1) for i in range(1, M_SUB)),
+        F.col("code_0"),
+    )
+    a_coarse = rd("coarse").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum(F.col("cluster") * (F.col("vec_id") + 1))
+        .cast("bigint")
+        .alias("coarse_wsum"),
+    )
+    a_cent = rd("centroids").agg(
+        F.sum((F.col("cid") + 1) * agg_cv).cast("bigint").alias("cent_wsum")
+    )
+
+    def cb_wsum(name: str, out: str) -> DataFrame:
+        return rd(name).agg(
+            F.sum(
+                (F.col("sub").cast("bigint") * 1000 + F.col("cid") + 1)
+                * agg_cv
+            )
+            .cast("bigint")
+            .alias(out)
+        )
+
+    def code_wsum(name: str, out: str) -> DataFrame:
+        return rd(name).agg(
+            F.sum(code_w * (F.col("vec_id") + 1)).cast("bigint").alias(out)
+        )
+
+    out = a_coarse
+    for one_row in (
+        a_cent,
+        cb_wsum("codebooks", "cb_wsum"),
+        code_wsum("codes", "code_wsum"),
+        cb_wsum("res_codebooks", "res_cb_wsum"),
+        code_wsum("res_codes", "res_code_wsum"),
+    ):
+        out = out.crossJoin(F.broadcast(one_row))
+    return out
+
+
+# --- incremental index maintenance: encode ONLY the arriving delta ----------
+
+
+@register(
+    "q_ann_delta_encode",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),{",".join(_pq_sub_ctes(i, with_query=False) for i in range(M_SUB))}
+SELECT c0.vec_id,
+       CAST(c0.code AS BIGINT) AS code_0,
+       CAST(c1.code AS BIGINT) AS code_1,
+       CAST(c2.code AS BIGINT) AS code_2,
+       CAST(c3.code AS BIGINT) AS code_3
+FROM code_0 c0
+JOIN code_1 c1 USING (vec_id)
+JOIN code_2 c2 USING (vec_id)
+JOIN code_3 c3 USING (vec_id)
+WHERE c0.vec_id >= (SELECT (count(*) * 4) // 5 FROM embeddings)
+""",
+)
+def q_ann_delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance: newly arrived vectors (the
+    top fifth of the id space stands in for an append batch) are
+    encoded against the STORED codebooks — no retraining, no touch of
+    the existing codes. This is how a production vector store absorbs
+    append-only corpus growth: maintenance cost is O(|delta|) encode
+    work (K-row codebook broadcasts over the delta scan; the vec_id
+    bound is a literal, so it reaches the parquet scan as a pushed
+    filter), while periodic full rebuilds (q_ann_index_build) remain
+    the codebook-refresh path when the distribution drifts.
+
+    The oracle replays full-corpus PQ training (the stored codebooks'
+    exact lineage) and encodes only the delta slice — bit-identical
+    integer lattice arithmetic, so the gate proves stored-codebook
+    encoding equals a from-scratch replay on the same corpus
+    version."""
+    from ..operators import pq as PQ
+
+    path = ann_store(spark, sf_dir)
+    _, n = _ann_store_path(sf_dir)
+    split = (n * 4) // 5
+    cbs = _literal_codebooks(spark, _load_codebook_rows(path, "codebooks"))
+    delta = (
+        io.load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") >= split)
+        .select("vec_id", KM.quantize("embedding").alias("qv"))
+    )
+    enc = PQ.encode(delta, cbs, dim=DIM)
+    return enc.select(
+        "vec_id",
+        *[F.col(f"code_{i}").cast("bigint").alias(f"code_{i}") for i in range(M_SUB)],
     )

@@ -772,20 +772,19 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quintiles are NOT global ntile windows (user count grows with
     SF; unpartitioned windows are plan-lint-banned): each axis gets an
     exact global row number from operators/rank.py's bounded-histogram
-    pattern — recency bucketed by day (span-bounded: the event window
-    is a fixed period at any SF), frequency and monetary by coarse
-    integer cells — then ntile_on maps (rn, N) to the SQL-exact tile.
-    The user-keyed base feeds three ranking branches; it is persisted
-    through the bounded clustering._INDEX_CACHE (one entry per sf_dir,
-    evicted on sf change, re-marked after clearCache) so repeated
-    invocations in a long session reuse one pinned copy instead of
-    accumulating leaked cache entries (ADVICE r8). The bucket divisors
-    are range-stat-derived (recency: event-span days from the parquet
-    footer) or coarse integer cells sized to the metric's plausible
-    span (frequency, cents); either way rank.py's in-plan MAX_BUCKETS
-    guard raises if a drifted domain ever widens the histogram, so the
-    'bounded' claim is enforced, not assumed. Oracle stays the plain
-    triple ntile()."""
+    pattern, then ntile_on maps (rn, N) to the SQL-exact tile. Bucket
+    widths are derived IN-PLAN from each metric's own (min, max) range
+    stats (rank.with_global_row_number_auto: a 1-row broadcast
+    aggregate, histogram ≤ ~2·TARGET_BUCKETS by construction on ANY
+    domain) — closing the r9 finding that the previous divisors were
+    sized to the fixture; rank.py's MAX_BUCKETS in-plan raise remains
+    as the backstop. The user-keyed base feeds three ranking branches;
+    it is persisted through the bounded clustering._INDEX_CACHE (one
+    entry per sf_dir, evicted on sf change, re-marked after
+    clearCache) so repeated invocations in a long session reuse one
+    pinned copy instead of accumulating leaked cache entries (ADVICE
+    r8), and so the stats pass reads memory, not the scan. Oracle
+    stays the plain triple ntile()."""
     from ..operators import rank as RK
     from .clustering import _INDEX_CACHE, _evict_other_sfs, _repersist
 
@@ -811,21 +810,21 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _INDEX_CACHE[key][0]
     _repersist(base)
 
-    def quintile(metric: str, div: int, out: str) -> DataFrame:
+    def quintile(metric: str, out: str) -> DataFrame:
         neg = base.select(
             "user_id", (-F.col(metric)).cast("bigint").alias("neg_v")
         )
-        ranked = RK.with_global_row_number(
-            neg, "neg_v", "user_id", bucket_div=div, total="n_u"
+        ranked = RK.with_global_row_number_auto(
+            neg, "neg_v", "user_id", total="n_u"
         )
         return ranked.select(
             "user_id", RK.ntile_on(5, "rn", "n_u").alias(out)
         )
 
     scored = (
-        base.join(quintile("last_us", 86_400_000_000, "r"), "user_id")
-        .join(quintile("frequency", 16, "f"), "user_id")
-        .join(quintile("monetary_cents", 100_000, "m"), "user_id")
+        base.join(quintile("last_us", "r"), "user_id")
+        .join(quintile("frequency", "f"), "user_id")
+        .join(quintile("monetary_cents", "m"), "user_id")
         .select("user_id", "frequency", "monetary_cents", "r", "f", "m")
     )
     return scored.select(

@@ -60,6 +60,9 @@ ALLOWED_CROSS = {
     "q_benford_audit",  # 1-row digit-total broadcast
     "q_mmr_rerank",  # 3-row probe broadcast (the q_topk_cosine pattern)
     "q_ivf_nprobe_sweep",  # 20-row probe broadcast x 25-row centroids; 1-row n_expected
+    "q_rfm_segments",  # 3x 1-row (min,max) range-stat broadcasts (rank auto-bucket)
+    "q_ann_index_build",  # 6x 1-row artifact-checksum aggregates joined into the audit row
+    "q_ann_delta_encode",  # per-subspace K-row codebook broadcasts (kmeans.assign)
 }
 
 # Streaming memory-sink queries execute eagerly on construction; the

@@ -99,3 +99,63 @@ def test_histogram_guard_transparent_when_bounded(spark):
     )
     joined = got.join(want, ["id", "v"])
     assert joined.filter(F.col("rn") != F.col("rn_w")).count() == 0
+
+
+def test_auto_bucket_matches_window_wide_domain(spark):
+    """with_global_row_number_auto on a WIDE seeded domain (the r9
+    verdict #5 scenario that fixture-tuned divisors drift on): range
+    stats derive the width in-plan, the result equals the
+    single-partition window ranking, and the histogram stays bounded
+    (no MAX_BUCKETS trip)."""
+    # span ~9.2e18/1e6: values spread over ~1e13 — any fixed
+    # fixture-tuned divisor would blow the histogram or collapse it
+    df = spark.range(2000).select(
+        F.col("id"),
+        (F.xxhash64(F.col("id") + 3) / 1_000_000).cast("bigint").alias("v"),
+    )
+    got = RK.with_global_row_number_auto(df, "v", "id", total="n_all")
+    want = df.withColumn(
+        "rn_w",
+        F.row_number().over(Window.orderBy(F.asc("v"), F.asc("id"))),
+    )
+    joined = got.join(want, ["id", "v"])
+    assert joined.filter(F.col("rn") != F.col("rn_w")).count() == 0
+    assert got.filter(F.col("n_all") != 2000).count() == 0
+
+
+def test_auto_bucket_degenerate_domains(spark):
+    """Constant column (span 0) and tiny inputs must still rank
+    exactly — the width clamps to 1 and everything lands in bucket 0."""
+    one = spark.range(5).select(F.col("id"), F.lit(42).cast("bigint").alias("v"))
+    got = RK.with_global_row_number_auto(one, "v", "id")
+    assert [r["rn"] for r in got.orderBy("id").collect()] == [1, 2, 3, 4, 5]
+
+    single = spark.range(1).select(F.col("id"), F.lit(-7).cast("bigint").alias("v"))
+    assert RK.with_global_row_number_auto(single, "v", "id").collect()[0]["rn"] == 1
+
+
+def test_auto_bucket_histogram_bounded_by_target(spark):
+    """The histogram cardinality is ≤ ~2·target_buckets BY
+    CONSTRUCTION, independent of the domain — the property that makes
+    the auto variant immune to domain drift."""
+    df = spark.range(5000).select(
+        F.col("id"), F.xxhash64("id").cast("bigint").alias("v")
+    )
+    got = RK.with_global_row_number_auto(df, "v", "id", target_buckets=64)
+    # recompute the bucket column the same way and count distinct
+    stats = df.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
+    width = max(stats["hi"] // 64 - stats["lo"] // 64, 1)
+    n_buckets = (
+        df.select(F.expr(f"v div {width}")).distinct().count()
+    )
+    assert n_buckets <= 2 * 64 + 2
+    # and the ranking is still exact
+    want = df.withColumn(
+        "rn_w", F.row_number().over(Window.orderBy(F.asc("v"), F.asc("id")))
+    )
+    assert (
+        got.join(want, ["id", "v"])
+        .filter(F.col("rn") != F.col("rn_w"))
+        .count()
+        == 0
+    )
