@@ -57,7 +57,10 @@ HEADLINE = [
     "q_quality_score",
     # multimodal (Arrow-batched pandas UDF path)
     "q_byte_features",
-    # retrieval evaluation (sparse hashed-TF, bucket equi-join)
+    # retrieval evaluation (sparse hashed-TF, bucket equi-join).
+    # r10: the TF posting store builds/adopts FIRST (INDEX_COLD) so
+    # every lexical ranker below measures ranking, not tokenization
+    "q_posting_index_build",
     "q_rag_retrieval",
     # sketches / physical design / iterative graph (round-2 families).
     # q_bucketed_join's first run pays the one-time bucketed write; the
@@ -228,7 +231,9 @@ HEADLINE = [
 # per-process-order, stated here so readers compare in order.
 INDEX_COLD = (
     # r10: the once-per-corpus ANN store build (training + encoding)
+    # and the TF posting-store build (corpus tokenization)
     "q_ann_index_build",
+    "q_posting_index_build",
     "q_pq_adc_topk",
     "q_ivfpq_topk",
     "q_pq_multiquery_topk",

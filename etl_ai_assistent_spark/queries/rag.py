@@ -29,10 +29,13 @@ integers, and hit@5 / MRR match exactly.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import io
+from .. import store as ST
 from ..functions import text as TX
 from ..registry import register
 
@@ -112,29 +115,136 @@ def _norm(df: DataFrame, key: str) -> DataFrame:
     )
 
 
+# On-disk TF posting store (r10, the trigram-store shape applied to
+# the retrieval substrate): the corpus tokenize+explode+count build —
+# the shared input of BM25, TF-cosine, rerank, fusion, hard negatives —
+# was the last per-app session-persisted index. It is now a parquet
+# artifact bucketed+sorted by tok_h under the shared store contract
+# (fingerprinted corpus key, atomic publish, validated adoption);
+# fresh apps re-register the files via bucketed-table DDL and pay
+# adoption, not re-tokenization. Bucketing by tok_h also hands the
+# planner a pre-hashed layout for tok_h-keyed aggregations (BM25's
+# document-frequency pass runs exchange-free).
+POSTING_BUCKETS = 16
+
+
+def posting_store_root() -> str:
+    return os.path.join(ST.store_root(), "spark_graft_posting_store_v1")
+
+
+def doc_tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, tok_h, c) posting table as a STORAGE artifact,
+    built once per corpus version (store contract: see FIXTURES.md)."""
+    tag, n_docs, fp = ST.corpus_key(sf_dir, "documents")
+    key = f"{tag}_{n_docs}_{fp}_{POSTING_BUCKETS}"
+    name = f"doc_tf_{key}"
+    if spark.catalog.tableExists(name):
+        return spark.table(name)
+    path = os.path.join(posting_store_root(), key)
+
+    def build(tmp: str) -> None:
+        docs = io.load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        toks = TX.tokens(F.lower(F.col("text")))
+        tf = _tf_all(docs, "doc_id", toks).repartition(
+            POSTING_BUCKETS, F.col("tok_h")
+        )
+        tmp_name = f"{name}_build_{os.path.basename(tmp).split('-')[-1]}"
+        (
+            tf.write.format("parquet")
+            .option("path", tmp)
+            .bucketBy(POSTING_BUCKETS, "tok_h")
+            .sortBy("tok_h")
+            .mode("overwrite")
+            .saveAsTable(tmp_name)
+        )
+        spark.sql(f"DROP TABLE {tmp_name}")  # external: files stay
+
+    ST.publish(
+        path,
+        build,
+        validate=lambda p: ST.has_success(p) and ST.parquet_rows(p) > 0,
+    )
+    spark.sql(
+        f"CREATE TABLE {name} (doc_id BIGINT, tok_h BIGINT, c BIGINT)"
+        f" USING PARQUET CLUSTERED BY (tok_h) SORTED BY (tok_h)"
+        f" INTO {POSTING_BUCKETS} BUCKETS LOCATION '{path}'"
+    )
+    return spark.table(name)
+
+
 def _doc_probe_tf(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """Inverted-index TF tables for corpus and probes, keyed on the
     exact token hash.
 
-    doc_tf is PERSISTED: the index is the shared substrate of every
+    doc_tf serves from the ON-DISK posting store (doc_tf_table) and is
+    additionally persisted: the index is the shared substrate of every
     retrieval query here — q_rag_rerank and q_bm25_retrieval each
-    consume it in 2-4 join branches, and rebuilding it means
-    re-tokenizing the corpus per branch (measured 1.6-2x slower at
-    sf0.1). This is the local analogue of what production does at
-    100 TB: materialize the posting-list table ONCE (bucketed by
-    tok_h) and serve every probe batch from it — the index build is
-    amortized infrastructure, not per-query work."""
+    consume it in 2-4 join branches. Before the store, each fresh app
+    re-tokenized the corpus to rebuild it (the dominant cold cost of
+    the retrieval family at sf10); now the build is once per corpus
+    version and apps adopt the files. The probe side stays in-plan:
+    it is N_PROBES documents, scan-pruned by the doc_id predicate."""
     from pyspark import StorageLevel
 
+    doc_tf = doc_tf_table(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = TX.tokens(F.lower(F.col("text")))
-    doc_tf = _tf_all(docs, "doc_id", toks).persist(StorageLevel.MEMORY_AND_DISK)
     probe_tf = _tf_all(
         docs.filter(F.col("doc_id") < N_PROBES), "probe_id", F.slice(toks, 3, 10)
     )
     return doc_tf, probe_tf
+
+
+@register(
+    "q_posting_index_build",
+    oracle=f"""
+WITH doc_tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok
+  FROM (SELECT doc_id, text FROM documents)
+),
+doc_tf AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS tok_h,
+         count(*) AS c
+  FROM doc_tok GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_postings,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT tok_h) AS BIGINT) AS n_terms,
+       CAST(sum(c) AS BIGINT) AS c_sum,
+       CAST(sum(c * ((tok_h + doc_id) % 1000003)) AS BIGINT) AS tf_wsum
+FROM doc_tf
+""",
+)
+def q_posting_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-index MAINTENANCE as a first-class query (the
+    q_trigram_index_build / q_ann_index_build pattern, applied to the
+    TF posting store every lexical ranker shares): build — or adopt —
+    the on-disk (doc_id, tok_h, c) table for this corpus version and
+    emit its audit stats, including a position-weighted TF checksum.
+    The aggregation reads the STORED bucketed table while the DuckDB
+    oracle re-tokenizes the corpus — a stale, truncated, or
+    mis-hashed store fails the gate. Bench runs this before the
+    retrieval family (INDEX_COLD) so serving numbers measure ranking,
+    not tokenization."""
+    posting = doc_tf_table(spark, sf_dir)
+    return posting.agg(
+        F.count("*").cast("bigint").alias("n_postings"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.countDistinct("tok_h").cast("bigint").alias("n_terms"),
+        F.sum("c").cast("bigint").alias("c_sum"),
+        F.sum(
+            F.col("c")
+            * ((F.col("tok_h") + F.col("doc_id")) % F.lit(1000003))
+        )
+        .cast("bigint")
+        .alias("tf_wsum"),
+    )
 
 
 def _scored(
