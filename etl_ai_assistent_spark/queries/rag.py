@@ -119,17 +119,28 @@ def _norm(df: DataFrame, key: str) -> DataFrame:
 # the retrieval substrate): the corpus tokenize+explode+count build —
 # the shared input of BM25, TF-cosine, rerank, fusion, hard negatives —
 # was the last per-app session-persisted index. It is now a parquet
-# artifact bucketed+sorted by tok_h under the shared store contract
+# artifact bucketed+sorted by DOC_ID under the shared store contract
 # (fingerprinted corpus key, atomic publish, validated adoption);
 # fresh apps re-register the files via bucketed-table DDL and pay
-# adoption, not re-tokenization. Bucketing by tok_h also hands the
-# planner a pre-hashed layout for tok_h-keyed aggregations (BM25's
-# document-frequency pass runs exchange-free).
-POSTING_BUCKETS = 16
+# adoption, not re-tokenization.
+#
+# Bucket-key lesson (measured): the first cut bucketed by tok_h to
+# make BM25's document-frequency pass exchange-free — but tok_h is a
+# Zipf-skewed, LOW-cardinality key on this corpus, so the "free"
+# aggregation ran as 16 skew-stuck tasks with no AQE rescue
+# (exchange-free also means AQE-skew-split-free): q_bm25_retrieval
+# went 1.6 s (sf0.1) → 24.5 s (sf1), 15× for 10× data. doc_id is
+# uniform and high-cardinality: the per-document norm/length pass is
+# the one that goes exchange-free, tok_h-keyed work shuffles through
+# AQE (which handles skew), and the probe join broadcasts its small
+# side so the index never shuffled anyway. Bucket keys must be chosen
+# by the key's DISTRIBUTION, not by which pass one wants free.
+POSTING_BUCKETS = 32
 
 
 def posting_store_root() -> str:
-    return os.path.join(ST.store_root(), "spark_graft_posting_store_v1")
+    # _v2: bucket key switched tok_h → doc_id (writer change, FIXTURES rule)
+    return os.path.join(ST.store_root(), "spark_graft_posting_store_v2")
 
 
 def doc_tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,14 +159,14 @@ def doc_tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         toks = TX.tokens(F.lower(F.col("text")))
         tf = _tf_all(docs, "doc_id", toks).repartition(
-            POSTING_BUCKETS, F.col("tok_h")
+            POSTING_BUCKETS, F.col("doc_id")
         )
         tmp_name = f"{name}_build_{os.path.basename(tmp).split('-')[-1]}"
         (
             tf.write.format("parquet")
             .option("path", tmp)
-            .bucketBy(POSTING_BUCKETS, "tok_h")
-            .sortBy("tok_h")
+            .bucketBy(POSTING_BUCKETS, "doc_id")
+            .sortBy("doc_id")
             .mode("overwrite")
             .saveAsTable(tmp_name)
         )
@@ -168,7 +179,7 @@ def doc_tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.sql(
         f"CREATE TABLE {name} (doc_id BIGINT, tok_h BIGINT, c BIGINT)"
-        f" USING PARQUET CLUSTERED BY (tok_h) SORTED BY (tok_h)"
+        f" USING PARQUET CLUSTERED BY (doc_id) SORTED BY (doc_id)"
         f" INTO {POSTING_BUCKETS} BUCKETS LOCATION '{path}'"
     )
     return spark.table(name)

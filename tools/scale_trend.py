@@ -78,6 +78,17 @@ FINDINGS = {
         " q_posting_index_build); both decades now serve off the store"
         " and the build cost lives in INDEX_COLD"
     ),
+    "posting_store_bucket_key": (
+        "the first posting-store cut bucketed by tok_h so BM25's"
+        " document-frequency pass would run exchange-free — but tok_h"
+        " is Zipf-skewed and low-cardinality, and exchange-free also"
+        " means AQE-skew-split-free: the pass ran as 16 skew-stuck"
+        " tasks (q_bm25_retrieval 1.6 s sf0.1 -> 24.5 s sf1, 15x for"
+        " 10x; q_rag_fusion 194 s sf10). Re-bucketed by uniform"
+        " high-cardinality doc_id (store _v2): bm25 24.5 -> 6.6 s at"
+        " sf1. Rule: pick bucket keys by the key's DISTRIBUTION, not"
+        " by which aggregation one wants exchange-free"
+    ),
     "q_token_stats_decade2": (
         "the r9 12.13x decade-2 ratio did not reproduce under the r10"
         " isolated profile: scan-only is footer-trivial at both"
@@ -234,7 +245,7 @@ def run_sf10(only: list[str] | None = None) -> None:
     spark.stop()
 
 
-def main() -> None:
+def main(only: list[str] | None = None) -> None:
     sys.path.insert(0, REPO)
     build_fixture()
 
@@ -263,8 +274,10 @@ def main() -> None:
     if os.path.exists(trend_path):
         with open(trend_path) as f:
             prior = json.load(f).get("queries", {})
-    result: dict[str, dict] = {}
-    for name in TREND:
+    # --only re-measures a subset (e.g. after a plan rewrite) without
+    # re-timing — or dropping — the rest; untouched queries carry over
+    result: dict[str, dict] = {n: dict(r) for n, r in prior.items()} if only else {}
+    for name in only if only else TREND:
         row: dict[str, float] = {}
         for sf_label, sf_dir in SF_DIRS.items():
             ts = []
@@ -320,10 +333,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
     if "--sf10" in sys.argv:
-        only = None
-        if "--only" in sys.argv:
-            only = sys.argv[sys.argv.index("--only") + 1].split(",")
         run_sf10(only)
     else:
-        main()
+        main(only)
