@@ -61,6 +61,7 @@ HEADLINE = [
     # r10: the TF posting store builds/adopts FIRST (INDEX_COLD) so
     # every lexical ranker below measures ranking, not tokenization
     "q_posting_index_build",
+    "q_posting_delta_merge",
     "q_rag_retrieval",
     # sketches / physical design / iterative graph (round-2 families).
     # q_bucketed_join's first run pays the one-time bucketed write; the
@@ -77,6 +78,9 @@ HEADLINE = [
     # clock is 4 micro-batches of fixed state-store/python-worker setup,
     # not data throughput — it stays in the correctness gate.
     "q_stream_tumbling_hourly",
+    # r10: stream-static feature-store enrichment (profile published
+    # under the store contract; first run pays the tiny profile build)
+    "q_stream_profile_lookup",
     # round-4 families: corpus curation, lexical ranking, clustering
     "q_decontaminate",
     "q_quality_gate",

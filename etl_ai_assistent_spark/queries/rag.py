@@ -185,6 +185,79 @@ def doc_tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "q_posting_delta_merge",
+    oracle=f"""
+WITH doc_tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok
+  FROM (SELECT doc_id, text FROM documents)
+),
+doc_tf AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS tok_h,
+         count(*) AS c
+  FROM doc_tok GROUP BY 1, 2
+),
+seg AS (
+  SELECT tok_h, c,
+         CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END AS is_delta
+  FROM doc_tf
+)
+SELECT tok_h,
+       CAST(sum(1 - is_delta) AS BIGINT) AS df_base,
+       CAST(sum(is_delta) AS BIGINT) AS df_delta,
+       CAST(count(*) AS BIGINT) AS df_total,
+       CAST(sum(c) AS BIGINT) AS c_total
+FROM seg
+GROUP BY tok_h
+ORDER BY df_total DESC, tok_h
+LIMIT 100
+""",
+)
+def q_posting_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance — the LSM read path over the
+    posting store: the serving view is STORED BASE SEGMENT ⊎ FRESH
+    DELTA, merged per term in-plan. Base = the published on-disk
+    posting table minus an append cohort (doc_id % 10 == 7); delta =
+    that cohort tokenized fresh, exactly what an append batch pays.
+    The per-term merge (document frequency and collection TF combined
+    across segments) is the algebra a compactor runs — at 100 TB you
+    tokenize the gigabytes that ARRIVED, never the corpus, and the
+    merge is a groupBy on the bounded term domain. The DuckDB oracle
+    recomputes the merged statistics from the full corpus, so a base
+    segment served stale, a delta mis-tokenized, or a merge that
+    double-counts all fail the gate. Reference shape: Qdrant's upsert
+    path (scripts/services/qdrant_service.py:24-42) — incremental adds
+    against a persistent collection, here with the merge made explicit.
+
+    Plan: base is a pruned scan of the bucketed store (filter pushed to
+    the parquet scan); delta tokenizes ~1/10 of the corpus; the union
+    shuffles once on tok_h with map-side partial aggregation; top-100
+    is TakeOrderedAndProject. No corpus-sized sort, no cartesian."""
+    base = (
+        doc_tf_table(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 != 7)
+        .withColumn("is_delta", F.lit(0))
+    )
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = _tf_all(
+        docs.filter(F.col("doc_id") % 10 == 7),
+        "doc_id",
+        TX.tokens(F.lower(F.col("text"))),
+    ).withColumn("is_delta", F.lit(1))
+    merged = base.unionByName(delta)
+    return (
+        merged.groupBy("tok_h")
+        .agg(
+            F.sum(1 - F.col("is_delta")).cast("bigint").alias("df_base"),
+            F.sum("is_delta").cast("bigint").alias("df_delta"),
+            F.count("*").cast("bigint").alias("df_total"),
+            F.sum("c").cast("bigint").alias("c_total"),
+        )
+        .orderBy(F.desc("df_total"), F.asc("tok_h"))
+        .limit(100)
+    )
+
+
 def _doc_probe_tf(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:

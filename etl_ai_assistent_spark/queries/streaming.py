@@ -1039,3 +1039,57 @@ def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("err_cents"),
     )
+
+
+@register(
+    "q_stream_profile_lookup",
+    oracle="""
+WITH prof AS (
+  SELECT user_id,
+         count(*) AS hist_events,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS hist_cents
+  FROM events
+  GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS live_cents,
+       CAST(sum(p.hist_events) AS BIGINT) AS hist_events_touched,
+       CAST(sum(p.hist_cents) AS BIGINT) AS hist_cents_touched
+FROM events e JOIN prof p USING (user_id)
+GROUP BY 1
+""",
+)
+def q_stream_profile_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store enrichment at serving time: the events STREAM
+    (live traffic) stream-static joins on user_id to the per-user
+    profile PUBLISHED as an on-disk store artifact
+    (pipeline.user_profile_table — fingerprinted events key, atomic
+    publish, validated adoption), then a watermarkless complete-mode
+    aggregation rolls the enriched rows up per event_type: live count
+    and cents plus the historical events/cents the touched profiles
+    carry. This is the canonical serving topology at 100 TB — the
+    profile is maintained by a once-per-version batch job and adopted
+    from disk; each micro-batch pays a join against it (static side
+    re-used across triggers), never a recompute of history. The DuckDB
+    oracle rebuilds the profile from the events table and replays the
+    join+rollup in batch, so a stale store, a dropped join row, or a
+    cents mismatch fails the gate. Reference shape: the persistent
+    vector collection adopted by every request
+    (scripts/services/qdrant_service.py:24-42), generalized to a keyed
+    feature table."""
+    prof = SP.user_profile_table(spark, sf_dir)
+    ev = SP.read_events_stream(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    agg = (
+        ev.join(prof, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("live_cents"),
+            F.sum("hist_events").cast("bigint").alias("hist_events_touched"),
+            F.sum("hist_cents").cast("bigint").alias("hist_cents_touched"),
+        )
+    )
+    return SP.run_to_memory(agg, prefix="profile_lookup", mode="complete")

@@ -31,8 +31,40 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import io, schemas
+from .. import store as ST
 
 _qname_counter = itertools.count()
+
+
+def user_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user history profile (event count, lifetime cents) published
+    as an on-disk store artifact under the shared contract
+    (fingerprinted events key, atomic publish, validated adoption) —
+    the FEATURE STORE a streaming enrichment join serves from. The
+    batch job that maintains it runs once per events version; live
+    traffic adopts the files. Money is integer cents
+    (floor(v*100 + 0.5)) so enrichment sums are exact across engines."""
+    tag, n_rows, fp = ST.corpus_key(sf_dir, "events")
+    path = os.path.join(
+        ST.store_root(), "spark_graft_profile_store_v1", f"{tag}_{n_rows}_{fp}"
+    )
+
+    def build(tmp: str) -> None:
+        ev = io.load_table(spark, sf_dir, "events")
+        prof = ev.groupBy("user_id").agg(
+            F.count("*").cast("bigint").alias("hist_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("hist_cents"),
+        )
+        prof.write.mode("overwrite").parquet(tmp)
+
+    ST.publish(
+        path,
+        build,
+        validate=lambda p: ST.has_success(p) and ST.parquet_rows(p) > 0,
+    )
+    return spark.read.parquet(path)
 
 
 def _events_stream_schema(spark: SparkSession, any_file: str) -> T.StructType:
