@@ -119,23 +119,67 @@ def with_global_row_number_auto(
     return _rank_bucketed(b, sort_col, tiebreak, rn, total)
 
 
+def with_global_row_number_from_stats(
+    df: DataFrame,
+    sort_col: str,
+    tiebreak: str,
+    vmin_col: str,
+    vmax_col: str,
+    rn: str = "rn",
+    total: str | None = None,
+    target_buckets: int = TARGET_BUCKETS,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """with_global_row_number_auto for callers that already carry the
+    sort key's (min, max) range stats as COLUMNS on `df` — e.g. one
+    shared 1-row stats broadcast serving several rankings over the same
+    base (q_rfm_segments ranks three metrics: one combined aggregate
+    replaces three per-axis stats passes). Same in-plan width
+    derivation and overflow posture as the auto variant; the stats
+    columns are consumed and dropped.
+
+    `group_cols` generalizes to exact PER-GROUP row numbers in one
+    pass: the histogram keys on (group, bucket), the running sum
+    partitions by group (still bounded — ≤ groups × ~2·target_buckets
+    rows), and `total` becomes the per-group row count. Several
+    rankings over the same base collapse into one plan (explode the
+    axes into a `group` column, rank grouped, pivot back) instead of
+    one ranked branch + join per axis — q_rfm_segments measured
+    2.38 s → ~1 s at sf0.1 from exactly that collapse, and the bound
+    that keeps the broadcast tiny is unchanged because the per-row
+    stats columns are per-group."""
+    b = df.withColumn(
+        "_bkt",
+        F.expr(
+            f"{sort_col} div greatest({vmax_col} div {target_buckets}"
+            f" - {vmin_col} div {target_buckets}, 1)"
+        ),
+    ).drop(vmin_col, vmax_col)
+    return _rank_bucketed(b, sort_col, tiebreak, rn, total, group_cols)
+
+
 def _rank_bucketed(
     b: DataFrame,
     sort_col: str,
     tiebreak: str,
     rn: str,
     total: str | None,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Histogram + broadcast + per-bucket rank over a DataFrame that
-    already carries the order-preserving `_bkt` column."""
-    hist = b.groupBy("_bkt").agg(F.count("*").alias("_bc"))
-    w_before = Window.orderBy("_bkt").rowsBetween(
+    already carries the order-preserving `_bkt` column. With
+    `group_cols`, every step keys on (group, bucket) and row numbers
+    restart per group."""
+    g = list(group_cols)
+    hist = b.groupBy(*g, "_bkt").agg(F.count("*").alias("_bc"))
+    w_before = Window.partitionBy(*g).orderBy("_bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    w_all = Window.orderBy("_bkt").rowsBetween(
+    w_all = Window.partitionBy(*g).orderBy("_bkt").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     cum_cols = [
+        *[F.col(c) for c in g],
         F.col("_bkt"),
         F.coalesce(F.sum("_bc").over(w_before), F.lit(0)).alias("_before"),
         F.count(F.lit(1)).over(w_all).cast("bigint").alias("_nb"),
@@ -143,11 +187,11 @@ def _rank_bucketed(
     if total is not None:
         cum_cols.append(F.sum("_bc").over(w_all).cast("bigint").alias(total))
     cum = hist.select(*cum_cols)
-    w_in = Window.partitionBy("_bkt").orderBy(
+    w_in = Window.partitionBy(*g, "_bkt").orderBy(
         F.asc(sort_col), F.asc(tiebreak)
     )
     out = (
-        b.join(F.broadcast(cum), "_bkt")
+        b.join(F.broadcast(cum), [*g, "_bkt"])
         .withColumn(
             rn,
             F.when(

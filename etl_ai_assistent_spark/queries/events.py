@@ -774,9 +774,10 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact global row number from operators/rank.py's bounded-histogram
     pattern, then ntile_on maps (rn, N) to the SQL-exact tile. Bucket
     widths are derived IN-PLAN from each metric's own (min, max) range
-    stats (rank.with_global_row_number_auto: a 1-row broadcast
-    aggregate, histogram ≤ ~2·TARGET_BUCKETS by construction on ANY
-    domain) — closing the r9 finding that the previous divisors were
+    stats (rank.with_global_row_number_from_stats: ONE combined 1-row
+    broadcast aggregate shared by all three axes, histogram ≤
+    ~2·TARGET_BUCKETS by construction on ANY domain) — closing the r9
+    finding that the previous divisors were
     sized to the fixture; rank.py's MAX_BUCKETS in-plan raise remains
     as the backstop. The user-keyed base feeds three ranking branches;
     it is persisted through the bounded clustering._INDEX_CACHE (one
@@ -810,22 +811,67 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _INDEX_CACHE[key][0]
     _repersist(base)
 
-    def quintile(metric: str, out: str) -> DataFrame:
-        neg = base.select(
-            "user_id", (-F.col(metric)).cast("bigint").alias("neg_v")
+    # All three quintile axes rank in ONE grouped pass (a per-axis
+    # ranked branch + user_id join each measured 0.67 → 2.38 s at
+    # sf0.1 — stage-count overhead, not data): one combined (min, max)
+    # × 3-metric stats row broadcasts onto the base, the axes explode
+    # into a `axis` column carrying their own negated key and range
+    # stats, rank.with_global_row_number_from_stats(group_cols=axis)
+    # ranks every axis in one histogram/broadcast/sort plan, and a
+    # pivot folds the tiles back to one row per user.
+    axes = (("r", "last_us"), ("f", "frequency"), ("m", "monetary_cents"))
+    stats = base.agg(
+        *[
+            e
+            for _, m in axes
+            for e in (
+                (-F.max(m)).cast("bigint").alias(f"_{m}_lo"),
+                (-F.min(m)).cast("bigint").alias(f"_{m}_hi"),
+            )
+        ]
+    )
+    long = (
+        base.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "frequency",
+            "monetary_cents",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(a).alias("axis"),
+                            (-F.col(m)).cast("bigint").alias("neg_v"),
+                            F.col(f"_{m}_lo").alias("lo"),
+                            F.col(f"_{m}_hi").alias("hi"),
+                        )
+                        for a, m in axes
+                    ]
+                )
+            ).alias("x"),
         )
-        ranked = RK.with_global_row_number_auto(
-            neg, "neg_v", "user_id", total="n_u"
-        )
-        return ranked.select(
-            "user_id", RK.ntile_on(5, "rn", "n_u").alias(out)
-        )
-
-    scored = (
-        base.join(quintile("last_us", "r"), "user_id")
-        .join(quintile("frequency", "f"), "user_id")
-        .join(quintile("monetary_cents", "m"), "user_id")
-        .select("user_id", "frequency", "monetary_cents", "r", "f", "m")
+        .select("user_id", "frequency", "monetary_cents", "x.*")
+    )
+    ranked = RK.with_global_row_number_from_stats(
+        long, "neg_v", "user_id", "lo", "hi", total="n_u",
+        group_cols=("axis",),
+    )
+    tiles = ranked.select(
+        "user_id",
+        "frequency",
+        "monetary_cents",
+        "axis",
+        RK.ntile_on(5, "rn", "n_u").alias("tile"),
+    )
+    # fold the three axis rows back to one per user with conditional
+    # aggregation — no pivot shuffle, no join back onto base
+    scored = tiles.groupBy("user_id").agg(
+        F.first("frequency").alias("frequency"),
+        F.first("monetary_cents").alias("monetary_cents"),
+        *[
+            F.max(F.when(F.col("axis") == a, F.col("tile"))).alias(a)
+            for a, _ in axes
+        ],
     )
     return scored.select(
         "user_id",

@@ -159,3 +159,60 @@ def test_auto_bucket_histogram_bounded_by_target(spark):
         .count()
         == 0
     )
+
+
+def test_from_stats_matches_auto(spark):
+    """with_global_row_number_from_stats (caller-supplied range-stat
+    columns — the shared-broadcast path q_rfm_segments uses) must equal
+    with_global_row_number_auto on the same wide seeded domain."""
+    df = spark.range(2000).select(
+        F.col("id"),
+        (F.xxhash64(F.col("id") + 3) / 1_000_000).cast("bigint").alias("v"),
+    )
+    stats = df.agg(
+        F.min("v").cast("bigint").alias("lo"),
+        F.max("v").cast("bigint").alias("hi"),
+    )
+    got = RK.with_global_row_number_from_stats(
+        df.crossJoin(F.broadcast(stats)), "v", "id", "lo", "hi",
+        total="n_all",
+    )
+    want = RK.with_global_row_number_auto(df, "v", "id", total="n_all")
+    joined = got.join(
+        want.withColumnRenamed("rn", "rn_a").withColumnRenamed(
+            "n_all", "n_a"
+        ),
+        ["id", "v"],
+    )
+    assert joined.filter(
+        (F.col("rn") != F.col("rn_a")) | (F.col("n_all") != F.col("n_a"))
+    ).count() == 0
+
+
+def test_grouped_rank_matches_per_group_window(spark):
+    """group_cols: per-group exact row numbers from ONE plan must equal
+    a per-group window ranking (the multi-axis collapse q_rfm_segments
+    uses), including per-group totals."""
+    df = spark.range(3000).select(
+        F.col("id"),
+        (F.xxhash64(F.col("id")) % 3).cast("string").alias("g"),
+        ((F.xxhash64(F.col("id") + 11) % 97) - 48).cast("bigint").alias("v"),
+    )
+    stats = df.groupBy("g").agg(
+        F.min("v").cast("bigint").alias("lo"),
+        F.max("v").cast("bigint").alias("hi"),
+    )
+    got = RK.with_global_row_number_from_stats(
+        df.join(F.broadcast(stats), "g"), "v", "id", "lo", "hi",
+        total="n_g", group_cols=("g",),
+    )
+    want = df.withColumn(
+        "rn_w",
+        F.row_number().over(
+            Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+        ),
+    ).withColumn("n_w", F.count("*").over(Window.partitionBy("g")))
+    joined = got.join(want, ["g", "id", "v"])
+    assert joined.filter(
+        (F.col("rn") != F.col("rn_w")) | (F.col("n_g") != F.col("n_w"))
+    ).count() == 0

@@ -119,6 +119,13 @@ TREND = [
     "q_rag_rerank",  # two-stage cascade off the shared posting index
     "q_ivf_topk",  # IVF ANN serving (nprobe cell pruning; run 1 builds)
     "q_pq_adc_topk",  # PQ ADC serving (run 1 trains the codebooks)
+    # r10 additions: the LSM segment merge over the posting store (the
+    # compaction read path — delta cohort is 1/10 of docs at every
+    # replication, tok_h output domain is vocabulary-constant) and the
+    # stream-static feature-store lookup (profile store joined per
+    # micro-batch; state is event_type-bounded)
+    "q_posting_delta_merge",
+    "q_stream_profile_lookup",
 ]
 
 SF_DIRS = {
@@ -154,6 +161,9 @@ TREND10 = [
     "q_top_orders_per_customer",
     "q_asof_purchase_signup",
     "q_kcore_prune",
+    # r10: the serving-store additions get decade-2 points from day one
+    "q_posting_delta_merge",
+    "q_stream_profile_lookup",
 ]
 
 
