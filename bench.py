@@ -81,6 +81,10 @@ HEADLINE = [
     # r10: stream-static feature-store enrichment (profile published
     # under the store contract; first run pays the tiny profile build)
     "q_stream_profile_lookup",
+    # r10: streaming ANN serving — per-trigger ADC off the stored
+    # codes/codebooks via foreachBatch (runs after the ANN ladder, so
+    # the store is already adopted; cost is 4 triggers of serving)
+    "q_stream_ann_lookup",
     # round-4 families: corpus curation, lexical ranking, clustering
     "q_decontaminate",
     "q_quality_gate",
@@ -258,6 +262,32 @@ def _sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _stage_totals(spark) -> tuple[int, int, int] | None:
+    """Cumulative (shuffle write bytes, disk spill bytes, input bytes)
+    across every completed stage, straight from the live UI status
+    store — the machine-readable counters behind the Spark UI's Stages
+    page. Deltas around a query's warm run turn "minimize shuffles"
+    from plan reading into recorded numbers. Best-effort: the py4j
+    surface is version-specific, so any failure degrades to None
+    (bench still records wall clock)."""
+    try:
+        store = spark._jsparkSession.sparkContext().statusStore()
+        gw = spark.sparkContext._gateway
+        empty = gw.jvm.java.util.ArrayList()
+        darr = gw.new_array(gw.jvm.double, 0)
+        stages = store.stageList(empty, False, False, darr, empty)
+        sw = sp = inb = 0
+        it = stages.iterator()
+        while it.hasNext():
+            s = it.next()
+            sw += s.shuffleWriteBytes()
+            sp += s.diskBytesSpilled()
+            inb += s.inputBytes()
+        return sw, sp, inb
+    except Exception:  # noqa: BLE001 — observability must not break bench
+        return None
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from etl_ai_assistent_spark.registry import queries
@@ -295,17 +325,26 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
+    shuffle: dict[str, list[int]] = {}
     errors: dict[str, str] = {}
     for name in names:
         # Fail-soft: one broken query must never zero the whole round's
         # perf signal — record the error and keep timing the rest.
         run_times: list[float] = []
         try:
-            for _ in range(runs):
+            before = None
+            for i in range(runs):
+                if i == runs - 1:
+                    before = _stage_totals(spark)
                 t0 = time.perf_counter()
                 df = qs[name](spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
                 run_times.append(time.perf_counter() - t0)
+            after = _stage_totals(spark)
+            if before is not None and after is not None:
+                # the LAST (warm) run's stage-counter deltas:
+                # [shuffle write B, disk spill B, input B]
+                shuffle[name] = [a - b for a, b in zip(after, before)]
             timings[name] = round(min(run_times), 3)
             # [min, mean, max] per query (r8 verdict #7): lets the judge
             # separate host scatter (wide spread, min in band) from a
@@ -353,6 +392,13 @@ def main() -> None:
     trend_path = os.path.join(here, "SCALE_TREND.json")
     full = dict(out)
     full["runs_min_mean_max"] = spread
+    if shuffle:
+        # measured physical cost of the warm run, per query:
+        # [shuffle write bytes, disk spill bytes, input bytes] — the
+        # "minimize shuffles / spill-aware" posture as recorded
+        # numbers. A spill > 0 or a shuffle far above input size is a
+        # plan problem regardless of wall clock.
+        full["warm_run_bytes_sw_spill_in"] = shuffle
     if os.path.exists(trend_path):
         with open(trend_path) as f:
             full["scale_trend"] = json.load(f)

@@ -709,9 +709,11 @@ mad_{i} AS (
 )"""
 
 
-@register(
-    "q_pq_multiquery_topk",
-    oracle=f"""
+# Shared by q_pq_multiquery_topk and its streaming serving twin
+# (queries/streaming.q_stream_ann_lookup): per-batch top-k over
+# probe-disjoint micro-batches equals the global per-probe top-k, so
+# both replay against the identical full-pipeline CTE oracle.
+PQ_MQ_ORACLE = f"""
 WITH q AS (
   SELECT vec_id, {_QUANT} AS qv FROM embeddings
 ),{",".join(_pq_sub_ctes(i) for i in range(M_SUB))},{",".join(_pq_mq_ctes(i) for i in range(M_SUB))},
@@ -730,8 +732,10 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, adc_dist, rnk FROM ranked WHERE rnk <= {PQ_TOPK}
-""",
-)
+"""
+
+
+@register("q_pq_multiquery_topk", oracle=PQ_MQ_ORACLE)
 def q_pq_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN serving over PQ codes (operators/pq.probe_tables +
     adc_topk_multi): {NQ_PQ} probes scored in ONE plan — probe lookup

@@ -1093,3 +1093,72 @@ def q_stream_profile_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return SP.run_to_memory(agg, prefix="profile_lookup", mode="complete")
+
+
+from .clustering import PQ_MQ_ORACLE as _PQ_MQ_ORACLE  # noqa: E402
+
+
+@register("q_stream_ann_lookup", oracle=_PQ_MQ_ORACLE)
+def q_stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector-search serving off the published ANN store:
+    probe traffic arrives as micro-batches (the split embeddings
+    landing dir, one file per trigger), and each trigger runs the full
+    batch ADC pipeline inside foreachBatch — quantize the batch's
+    probes, build their |batch|·M·K lookup tables against the STORED
+    codebooks (broadcast), unpivot-join the STORED codes table, take
+    per-probe top-k — appending results to a parquet sink. Because the
+    probe cohort partitions across batches, the union of per-batch
+    top-k lists IS the global multiquery answer, so the DuckDB oracle
+    is exactly q_pq_multiquery_topk's full training+serving replay: a
+    stale store, a dropped batch, or a rank computed against partial
+    state all fail the gate.
+
+    This is the production serving topology the batch twin
+    (q_pq_multiquery_topk) models offline: the index is an on-disk
+    artifact maintained once per corpus version (q_ann_index_build);
+    live lookups ride micro-batches and never retrain or rescan raw
+    vectors — each trigger touches M code rows per corpus vector and
+    K·M codebook cells. foreachBatch gives per-trigger batch semantics
+    (window rank is legal there, unlike in a continuous aggregation)
+    and the parquet sink is the served-results log."""
+    import uuid
+
+    from ..operators import kmeans as KM
+    from ..operators import pq as PQ
+    from .clustering import (
+        DIM,
+        M_SUB,
+        NQ_PQ,
+        PQ_TOPK,
+        _literal_codebooks,
+        _pq_index,
+    )
+
+    _, cb_rows, codes, _, _ = _pq_index(spark, sf_dir)
+    cbs = _literal_codebooks(spark, cb_rows)
+    probes = (
+        SP.read_embeddings_stream_split(spark, sf_dir, parts=4)
+        .filter(F.col("vec_id") < NQ_PQ)
+        .select("vec_id", KM.quantize("embedding").alias("qv"))
+    )
+    run = uuid.uuid4().hex[:8]
+    out = f"/tmp/spark_graft_annserve_{run}"
+    ckpt = f"{out}_ckpt"
+
+    def serve(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        tables = PQ.probe_tables(batch, cbs, dim=DIM)
+        res = PQ.adc_topk_multi(codes, tables, m=M_SUB, k=PQ_TOPK)
+        res.write.mode("append").parquet(out)
+
+    q = (
+        probes.writeStream.foreachBatch(serve)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out)

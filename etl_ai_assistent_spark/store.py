@@ -35,6 +35,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import time
 import uuid
 from typing import Callable
 
@@ -124,6 +125,52 @@ def publish(
             raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def gc_versions(
+    family_dir: str,
+    keep: set[str] | list[str] | tuple[str, ...],
+    temp_grace_s: float = 3600.0,
+    now: float | None = None,
+) -> list[str]:
+    """Garbage-collect superseded artifacts under one store FAMILY root
+    (e.g. `<root>/spark_graft_posting_store_v2`, whose children are
+    version-keyed directories): every version directory not named in
+    `keep` (the live corpus keys) is removed, as is every crashed
+    builder's `*.build-*` temp older than `temp_grace_s` seconds —
+    younger temps are left alone, they may belong to a build racing
+    THIS process (the publish contract's loser cleans its own temp on
+    every non-crash path). Returns the removed basenames.
+
+    Content-fingerprinted keys mean a refreshed corpus abandons its old
+    directory rather than overwriting it (that's what makes adoption
+    atomic), so without a retention sweep a long-lived store root grows
+    one artifact per corpus version forever. At 100 TB this is the
+    vacuum/retention job every table format ships (the expire-snapshots
+    shape); locally it keeps /tmp bounded across fixture regeneration.
+    Removal order is safe against concurrent readers on a local
+    filesystem only in the rename-then-serve sense: a reader that
+    already adopted a doomed version keeps its open file handles; a
+    fresh adoption re-validates and rebuilds (`publish` tears down
+    invalid stores). Run GC from the maintenance job that owns the
+    store, not from serving paths."""
+    if not os.path.isdir(family_dir):
+        return []
+    keep_set = set(keep)
+    now = time.time() if now is None else now
+    removed: list[str] = []
+    for name in sorted(os.listdir(family_dir)):
+        path = os.path.join(family_dir, name)
+        if not os.path.isdir(path):
+            continue
+        if ".build-" in name:
+            if now - os.path.getmtime(path) < temp_grace_s:
+                continue  # possibly a live racing builder
+        elif name in keep_set:
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(name)
+    return removed
 
 
 def has_success(path: str) -> bool:

@@ -263,6 +263,55 @@ def read_events_stream_split(
     return _normalize_events(raw)
 
 
+def split_embeddings_fixture(
+    spark: SparkSession, sf_dir: str, parts: int = 4
+) -> str:
+    """Split the embeddings parquet into `parts` files by
+    vec_id % parts (deterministic) under /tmp so a
+    maxFilesPerTrigger=1 stream replays it as `parts` micro-batches —
+    the probe-traffic landing dir for streaming ANN serving. Cache tag
+    includes the source mtime+size (regenerated testdata invalidates
+    stale fixtures)."""
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = f"{base}_{int(st.st_mtime)}_{st.st_size}"
+    out = f"/tmp/spark_graft_emb_split_{tag}_{parts}"
+    marker = os.path.join(out, "_complete")
+    if not os.path.exists(marker):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(out, exist_ok=True)
+        t = pq.read_table(src)
+        part_key = [int(v) % parts for v in t.column("vec_id").to_pylist()]
+        t = t.append_column("__part", pa.array(part_key, type=pa.int32()))
+        for i in range(parts):
+            sub = t.filter(pa.compute.equal(t.column("__part"), i)).drop(
+                ["__part"]
+            )
+            pq.write_table(sub, os.path.join(out, f"part_{i}.parquet"))
+        open(marker, "w").close()
+    return out
+
+
+def read_embeddings_stream_split(
+    spark: SparkSession, sf_dir: str, parts: int = 4
+) -> DataFrame:
+    """Streaming scan over the split embeddings fixture, one file per
+    micro-batch."""
+    path = split_embeddings_fixture(spark, sf_dir, parts)
+    schema = spark.read.parquet(
+        os.path.join(path, "part_0.parquet")
+    ).schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(path + "/part_*.parquet")
+    )
+
+
 def dup_events_fixture(spark: SparkSession, sf_dir: str) -> str:
     """A 4-file landing dir where files 2/3 replay the SAME events as
     files 0/1 (split by event_id parity, distinct filenames): with

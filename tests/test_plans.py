@@ -84,6 +84,7 @@ STREAMING = {
     "q_stream_late_rebuild",
     "q_stream_quantile",
     "q_stream_profile_lookup",
+    "q_stream_ann_lookup",
 }
 
 # The docx queries materialize a 500-file fixture corpus first — slow to

@@ -85,3 +85,29 @@ def test_posting_delta_merge_reconciles_with_store(spark, sf_small):
     )
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
+
+
+def test_embeddings_stream_splits_into_micro_batches(spark, sf_small):
+    """The streaming ANN-serving claim rests on probes actually
+    arriving across micro-batches: drive the split embeddings stream
+    with a counting foreachBatch and assert one trigger per part and
+    full coverage of the probe cohort."""
+    seen: list[tuple[int, int]] = []
+
+    def count(batch, bid):
+        seen.append((bid, batch.count()))
+
+    q = (
+        SP.read_embeddings_stream_split(spark, sf_small, parts=4)
+        .writeStream.foreachBatch(count)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(seen) == 4, seen
+    from etl_ai_assistent_spark import io
+
+    total = io.load_table(spark, sf_small, "embeddings").count()
+    assert sum(n for _, n in seen) == total

@@ -134,3 +134,38 @@ def test_parquet_rows(tmp_path):
     _write_docs(str(d / "part-0.parquet"), ["a", "b"])
     _write_docs(str(d / "part-1.parquet"), ["c"])
     assert store.parquet_rows(str(d)) == 3
+
+
+def test_gc_versions_keeps_live_removes_stale(tmp_path):
+    """Retention sweep: stale version dirs go, live keys stay, fresh
+    builder temps stay (they may be a racing build), crashed old temps
+    go — and files (markers, etc.) at the family root are untouched."""
+    import os
+    import time as _t
+
+    from etl_ai_assistent_spark import store as ST
+
+    fam = tmp_path / "spark_graft_demo_store_v1"
+    for name in ("sf_a_10_aaa", "sf_a_10_bbb", "sf_b_20_ccc"):
+        (fam / name).mkdir(parents=True)
+        (fam / name / "_SUCCESS").write_text("")
+    (fam / "sf_a_10_aaa.build-1-dead").mkdir()
+    (fam / "sf_a_10_bbb.build-2-live").mkdir()
+    (fam / "notes.txt").write_text("keep me")
+    now = _t.time()
+    os.utime(fam / "sf_a_10_aaa.build-1-dead", (now - 7200, now - 7200))
+
+    removed = ST.gc_versions(str(fam), keep={"sf_a_10_bbb", "sf_b_20_ccc"})
+    assert sorted(removed) == ["sf_a_10_aaa", "sf_a_10_aaa.build-1-dead"]
+    assert sorted(os.listdir(fam)) == [
+        "notes.txt",
+        "sf_a_10_bbb",
+        "sf_a_10_bbb.build-2-live",
+        "sf_b_20_ccc",
+    ]
+
+
+def test_gc_versions_missing_root_is_noop(tmp_path):
+    from etl_ai_assistent_spark import store as ST
+
+    assert ST.gc_versions(str(tmp_path / "absent"), keep=()) == []
