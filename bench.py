@@ -81,10 +81,10 @@ HEADLINE = [
     # r10: stream-static feature-store enrichment (profile published
     # under the store contract; first run pays the tiny profile build)
     "q_stream_profile_lookup",
-    # r10: streaming ANN serving — per-trigger ADC off the stored
-    # codes/codebooks via foreachBatch (runs after the ANN ladder, so
-    # the store is already adopted; cost is 4 triggers of serving)
-    "q_stream_ann_lookup",
+    # q_stream_ann_lookup is correctness-gated and in the scale trend
+    # (flat ~7 s across 3 decades) but excluded here for the same
+    # reason as q_stream_stateful_totals: its wall clock is 4 triggers
+    # of fixed streaming-commit machinery, not data throughput.
     # round-4 families: corpus curation, lexical ranking, clustering
     "q_decontaminate",
     "q_quality_gate",

@@ -1150,7 +1150,9 @@ def q_stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         tables = PQ.probe_tables(batch, cbs, dim=DIM)
         res = PQ.adc_topk_multi(codes, tables, m=M_SUB, k=PQ_TOPK)
-        res.write.mode("append").parquet(out)
+        # ≤ |batch probes|·k rows: one sink file per trigger, not one
+        # per shuffle partition
+        res.coalesce(1).write.mode("append").parquet(out)
 
     q = (
         probes.writeStream.foreachBatch(serve)

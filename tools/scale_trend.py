@@ -126,6 +126,9 @@ TREND = [
     # micro-batch; state is event_type-bounded)
     "q_posting_delta_merge",
     "q_stream_profile_lookup",
+    # r10: streaming ANN serving off the stored codes (4 triggers of
+    # per-batch ADC; the store build is the ladder's, not this query's)
+    "q_stream_ann_lookup",
 ]
 
 SF_DIRS = {
@@ -164,6 +167,7 @@ TREND10 = [
     # r10: the serving-store additions get decade-2 points from day one
     "q_posting_delta_merge",
     "q_stream_profile_lookup",
+    "q_stream_ann_lookup",
 ]
 
 
