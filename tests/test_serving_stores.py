@@ -111,3 +111,18 @@ def test_embeddings_stream_splits_into_micro_batches(spark, sf_small):
 
     total = io.load_table(spark, sf_small, "embeddings").count()
     assert sum(n for _, n in seen) == total
+
+
+def test_delta_merge_base_reads_the_stored_table(spark, sf_small):
+    """The LSM read path's base segment must come from the PUBLISHED
+    bucketed posting table (catalog scan of doc_tf_*), not a fresh
+    tokenization — the whole point is that an append never re-tokenizes
+    the corpus. One Generate (the delta cohort's explode) is the only
+    tokenizer in the plan."""
+    from etl_ai_assistent_spark.registry import load_all, queries
+
+    load_all()
+    df = queries()["q_posting_delta_merge"](spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "doc_tf_" in plan, plan[:2000]
+    assert plan.count("Generate explode") == 1, plan[:2000]
