@@ -89,6 +89,17 @@ FINDINGS = {
         " sf1. Rule: pick bucket keys by the key's DISTRIBUTION, not"
         " by which aggregation one wants exchange-free"
     ),
+    "kcore_edge_carry_experiment": (
+        "carrying the pruned edge set forward between k-core rounds"
+        " (persist per round, each round joining the previous round's"
+        " surviving subgraph) measured 7.3 s -> 26 s COLD at sf0.1 -"
+        " per-round persist materialization beats the shrinking-input"
+        " win at this graph size, so the full-sym re-join with a"
+        " broadcast alive side stays (decade-2 ratio 0.85, already"
+        " sub-linear: round count dominates, not edge volume). Rule:"
+        " a theoretically-smaller input does not pay for a new"
+        " materialization boundary unless the shrink is large"
+    ),
     "q_token_stats_decade2": (
         "the r9 12.13x decade-2 ratio did not reproduce under the r10"
         " isolated profile: scan-only is footer-trivial at both"
