@@ -62,6 +62,7 @@ HEADLINE = [
     # every lexical ranker below measures ranking, not tokenization
     "q_posting_index_build",
     "q_posting_delta_merge",
+    "q_importance_resample",
     "q_rag_retrieval",
     # sketches / physical design / iterative graph (round-2 families).
     # q_bucketed_join's first run pays the one-time bucketed write; the

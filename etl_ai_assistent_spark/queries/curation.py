@@ -1075,3 +1075,121 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fill_tokens"),
     )
+
+
+# --- DSIR-shaped importance resampling ---------------------------------------
+
+DSIR_MOD, DSIR_REM = 7, 3  # doc_id % 7 == 3 stands in for the target domain
+DSIR_SCALE = 1_000_000  # ppm fixed point for per-token weights
+DSIR_K = 100  # selection budget
+
+
+@register(
+    "q_importance_resample",
+    oracle=f"""
+WITH tokd AS (
+  SELECT doc_id, {_TOKS} AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(tok) AS tok FROM tokd)
+  GROUP BY 1, 2
+),
+tgt AS (
+  SELECT tok, sum(c) AS tc FROM tf
+  WHERE doc_id % {DSIR_MOD} = {DSIR_REM} GROUP BY 1
+),
+src AS (SELECT tok, sum(c) AS sc FROM tf GROUP BY 1),
+tot AS (
+  SELECT (SELECT sum(c) FROM tf WHERE doc_id % {DSIR_MOD} = {DSIR_REM}) AS t_total,
+         (SELECT sum(c) FROM tf) AS s_total,
+         (SELECT count(*) FROM src) AS v
+),
+w AS (
+  SELECT s.tok,
+         CAST(floor({DSIR_SCALE}.0
+                * (CAST(coalesce(g.tc, 0) + 1 AS DOUBLE)
+                   * CAST(tot.s_total + tot.v AS DOUBLE))
+                / (CAST(s.sc + 1 AS DOUBLE)
+                   * CAST(tot.t_total + tot.v AS DOUBLE))) AS BIGINT) AS w_ppm
+  FROM src s LEFT JOIN tgt g USING (tok) CROSS JOIN tot
+),
+scored AS (
+  SELECT f.doc_id,
+         CAST(sum(f.c * w.w_ppm) AS BIGINT) AS score,
+         CAST(sum(f.c) AS BIGINT) AS n_tokens
+  FROM tf f JOIN w USING (tok)
+  WHERE f.doc_id % {DSIR_MOD} <> {DSIR_REM}
+  GROUP BY 1
+)
+SELECT doc_id, score, n_tokens FROM scored
+ORDER BY score DESC, doc_id LIMIT {DSIR_K}
+""",
+)
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (the DSIR recipe, Xie
+    et al. 2023 — the standard way LLM pipelines upsample raw text
+    that LOOKS LIKE a small target domain): fit a unigram LM to the
+    target cohort (doc_id % {DSIR_MOD} == {DSIR_REM}) and one to the
+    full source corpus, weight every token by the add-one-smoothed
+    likelihood ratio, score each RAW-pool document by the TF-weighted
+    sum, and keep the top-{DSIR_K} budget. Weights are ppm fixed-point
+    BIGINTs computed by ONE double expression with exact-in-double
+    integer factors (counts < 2^53), so both engines floor the same
+    IEEE value and the doc scores are integer-exact; the token sum is
+    a plain ratio-weight sum (the integer-exact proxy for DSIR's
+    log-ratio — same per-token ranking signal, no cross-engine libm
+    dependency).
+
+    Scale: the LM tables are VOCABULARY-sized aggregates (map-side
+    combinable) joined back by a broadcast — the corpus contributes
+    one tf shuffle and one per-doc score shuffle, both key-bounded;
+    the totals ride a 1-row broadcast; selection is
+    TakeOrderedAndProject. Nothing is ever corpus × corpus, and the
+    budget cut needs no global sort."""
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = TX.tokens(F.lower(F.col("text")))
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    is_tgt = F.col("doc_id") % DSIR_MOD == DSIR_REM
+    tgt = tf.filter(is_tgt).groupBy("tok").agg(F.sum("c").alias("tc"))
+    src = tf.groupBy("tok").agg(F.sum("c").alias("sc"))
+    tot = tf.agg(
+        F.sum(F.when(is_tgt, F.col("c")).otherwise(0)).alias("t_total"),
+        F.sum("c").alias("s_total"),
+        F.countDistinct("tok").alias("v"),
+    )
+    w = (
+        src.join(tgt, "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.floor(
+                F.lit(float(DSIR_SCALE))
+                * (
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
+                    * (F.col("s_total") + F.col("v")).cast("double")
+                )
+                / (
+                    (F.col("sc") + 1).cast("double")
+                    * (F.col("t_total") + F.col("v")).cast("double")
+                )
+            )
+            .cast("bigint")
+            .alias("w_ppm"),
+        )
+    )
+    return (
+        tf.filter(~is_tgt)
+        .join(F.broadcast(w), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("w_ppm")).cast("bigint").alias("score"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(DSIR_K)
+    )

@@ -28,6 +28,7 @@ ALLOWED_CROSS = {
     "q_rag_eval",
     "q_group_regression",  # 1-row broadcast of the x-origin scalar onto the scan
     "q_mix_weights",  # 1-row broadcast of the corpus token total onto domain rows
+    "q_importance_resample",  # 1-row LM-totals broadcast onto the vocab-sized weight table
     "q_kmeans_step",  # K-row centroid broadcast against the vector scan
     "q_pq_adc_topk",  # per-subspace K-row codebook broadcasts (kmeans.assign)
     "q_ivfpq_topk",  # coarse + per-subspace K-row centroid broadcasts
