@@ -1149,28 +1149,35 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget cut needs no global sort."""
     docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = TX.tokens(F.lower(F.col("text")))
+    is_tgt = F.col("doc_id") % DSIR_MOD == DSIR_REM
+    # tf is the shared substrate of the LM fit AND the scoring join —
+    # persist it or the explode+count lineage executes once per
+    # consumer (measured: decade-2 ratio 11.7 -> ~linear with one pass)
     tf = (
         docs.select("doc_id", F.explode(toks).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("c"))
+        .persist()
     )
-    is_tgt = F.col("doc_id") % DSIR_MOD == DSIR_REM
-    tgt = tf.filter(is_tgt).groupBy("tok").agg(F.sum("c").alias("tc"))
-    src = tf.groupBy("tok").agg(F.sum("c").alias("sc"))
-    tot = tf.agg(
-        F.sum(F.when(is_tgt, F.col("c")).otherwise(0)).alias("t_total"),
-        F.sum("c").alias("s_total"),
-        F.countDistinct("tok").alias("v"),
+    # BOTH LMs in one vocabulary-sized pass (conditional aggregation),
+    # and the totals from the vocab table — no extra corpus scans
+    lm = tf.groupBy("tok").agg(
+        F.sum("c").alias("sc"),
+        F.sum(F.when(is_tgt, F.col("c")).otherwise(0)).alias("tc"),
+    )
+    tot = lm.agg(
+        F.sum("tc").alias("t_total"),
+        F.sum("sc").alias("s_total"),
+        F.count("*").alias("v"),
     )
     w = (
-        src.join(tgt, "tok", "left")
-        .crossJoin(F.broadcast(tot))
+        lm.crossJoin(F.broadcast(tot))
         .select(
             "tok",
             F.floor(
                 F.lit(float(DSIR_SCALE))
                 * (
-                    (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
+                    (F.col("tc") + 1).cast("double")
                     * (F.col("s_total") + F.col("v")).cast("double")
                 )
                 / (

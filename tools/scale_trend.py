@@ -140,6 +140,9 @@ TREND = [
     # r10: streaming ANN serving off the stored codes (4 triggers of
     # per-batch ADC; the store build is the ladder's, not this query's)
     "q_stream_ann_lookup",
+    # r10: DSIR selection (vocab-sized LM tables, two token shuffles —
+    # replication-honest: the cohort split is proportional at any scale)
+    "q_importance_resample",
 ]
 
 SF_DIRS = {
@@ -179,6 +182,7 @@ TREND10 = [
     "q_posting_delta_merge",
     "q_stream_profile_lookup",
     "q_stream_ann_lookup",
+    "q_importance_resample",
 ]
 
 
