@@ -126,3 +126,25 @@ def test_delta_merge_base_reads_the_stored_table(spark, sf_small):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "doc_tf_" in plan, plan[:2000]
     assert plan.count("Generate explode") == 1, plan[:2000]
+
+
+def test_importance_resample_selects_raw_pool_only(spark, sf_small):
+    """DSIR selection invariants: every selected doc comes from the
+    RAW pool (the target cohort defines the distribution, it is not
+    re-selected), scores are positive (smoothed ratio weights), and
+    the selection size is min(budget, raw pool)."""
+    from etl_ai_assistent_spark import io
+    from etl_ai_assistent_spark.queries import curation as CU
+    from etl_ai_assistent_spark.registry import load_all, queries
+
+    load_all()
+    sel = queries()["q_importance_resample"](spark, sf_small)
+    rows = sel.collect()
+    assert all(r["doc_id"] % CU.DSIR_MOD != CU.DSIR_REM for r in rows)
+    assert all(r["score"] > 0 for r in rows)
+    docs = io.load_table(spark, sf_small, "documents")
+    raw_pool = docs.filter(
+        (F.col("doc_id") % CU.DSIR_MOD != CU.DSIR_REM)
+        & (F.trim(F.col("text")) != "")
+    ).count()
+    assert len(rows) == min(CU.DSIR_K, raw_pool)
