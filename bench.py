@@ -263,27 +263,51 @@ def _sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def _stage_totals(spark) -> tuple[int, int, int] | None:
-    """Cumulative (shuffle write bytes, disk spill bytes, input bytes)
-    across every completed stage, straight from the live UI status
-    store — the machine-readable counters behind the Spark UI's Stages
-    page. Deltas around a query's warm run turn "minimize shuffles"
-    from plan reading into recorded numbers. Best-effort: the py4j
-    surface is version-specific, so any failure degrades to None
+def _stage_list(spark):
+    store = spark._jsparkSession.sparkContext().statusStore()
+    gw = spark.sparkContext._gateway
+    empty = gw.jvm.java.util.ArrayList()
+    darr = gw.new_array(gw.jvm.double, 0)
+    return store.stageList(empty, False, False, darr, empty)
+
+
+def _stage_watermark(spark) -> int | None:
+    """Highest stageId currently in the UI status store (-1 when
+    empty). Attribution by WATERMARK, not by cumulative-counter
+    subtraction: the status store EVICTS old stages once
+    spark.ui.retainedStages is exceeded, so cumulative before/after
+    deltas go non-monotonic over a 117-query bench — r10's
+    BENCH_LOCAL.json recorded negative byte counts for 7 queries that
+    way (ADVICE r10, medium). Stages with stageId > the watermark are
+    exactly the measured run's stages regardless of what eviction did
+    to older entries; retainedStages is also raised for the bench
+    session so the window itself cannot be evicted mid-measure."""
+    try:
+        it = _stage_list(spark).iterator()
+        mx = -1
+        while it.hasNext():
+            mx = max(mx, it.next().stageId())
+        return mx
+    except Exception:  # noqa: BLE001 — observability must not break bench
+        return None
+
+
+def _stage_totals_since(spark, min_id: int) -> tuple[int, int, int] | None:
+    """(shuffle write bytes, disk spill bytes, input bytes) summed over
+    stages with stageId > min_id — the physical cost of everything run
+    after the watermark. Sums of non-negative per-stage counters, so a
+    negative 'measurement' can no longer be recorded. Best-effort: the
+    py4j surface is version-specific, any failure degrades to None
     (bench still records wall clock)."""
     try:
-        store = spark._jsparkSession.sparkContext().statusStore()
-        gw = spark.sparkContext._gateway
-        empty = gw.jvm.java.util.ArrayList()
-        darr = gw.new_array(gw.jvm.double, 0)
-        stages = store.stageList(empty, False, False, darr, empty)
         sw = sp = inb = 0
-        it = stages.iterator()
+        it = _stage_list(spark).iterator()
         while it.hasNext():
             s = it.next()
-            sw += s.shuffleWriteBytes()
-            sp += s.diskBytesSpilled()
-            inb += s.inputBytes()
+            if s.stageId() > min_id:
+                sw += s.shuffleWriteBytes()
+                sp += s.diskBytesSpilled()
+                inb += s.inputBytes()
         return sw, sp, inb
     except Exception:  # noqa: BLE001 — observability must not break bench
         return None
@@ -294,7 +318,14 @@ def main() -> None:
     from etl_ai_assistent_spark.registry import queries
     from etl_ai_assistent_spark.session import get_spark
 
-    spark = get_spark("etl-ai-assistent-spark-bench", driver_memory="64g")
+    spark = get_spark(
+        "etl-ai-assistent-spark-bench",
+        driver_memory="64g",
+        # the stage-byte attribution reads the UI status store; keep
+        # enough retained stages that a single query's window (tens of
+        # stages) can never be evicted between watermark and readback
+        extra_conf={"spark.ui.retainedStages": "20000"},
+    )
     qs = queries()
     names = [n for n in HEADLINE if n in qs]
 
@@ -333,19 +364,20 @@ def main() -> None:
         # perf signal — record the error and keep timing the rest.
         run_times: list[float] = []
         try:
-            before = None
+            mark = None
             for i in range(runs):
                 if i == runs - 1:
-                    before = _stage_totals(spark)
+                    mark = _stage_watermark(spark)
                 t0 = time.perf_counter()
                 df = qs[name](spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
                 run_times.append(time.perf_counter() - t0)
-            after = _stage_totals(spark)
-            if before is not None and after is not None:
-                # the LAST (warm) run's stage-counter deltas:
-                # [shuffle write B, disk spill B, input B]
-                shuffle[name] = [a - b for a, b in zip(after, before)]
+            if mark is not None:
+                # the LAST (warm) run's stages, attributed by stageId
+                # watermark: [shuffle write B, disk spill B, input B]
+                totals = _stage_totals_since(spark, mark)
+                if totals is not None:
+                    shuffle[name] = list(totals)
             timings[name] = round(min(run_times), 3)
             # [min, mean, max] per query (r8 verdict #7): lets the judge
             # separate host scatter (wide spread, min in band) from a

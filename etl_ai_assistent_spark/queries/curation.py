@@ -1082,6 +1082,41 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 DSIR_MOD, DSIR_REM = 7, 3  # doc_id % 7 == 3 stands in for the target domain
 DSIR_SCALE = 1_000_000  # ppm fixed point for per-token weights
 DSIR_K = 100  # selection budget
+# Hashed-feature space (r10 verdict #1): both LMs are fitted over token
+# HASH BUCKETS, not raw tokens, exactly as the DSIR paper does — the
+# weight table is then O(2^20) at ANY corpus scale, while an
+# open-vocabulary table grows with the corpus (q_heaps_fit measures
+# that growth) and would be a multi-GB broadcast at 100 TB. Collisions
+# merge rare tokens' statistics into shared buckets — the paper's
+# accepted trade (importance weights stay consistent because BOTH LMs
+# see the identical collision structure).
+DSIR_BUCKETS = 1 << 20
+
+
+def _dsir_tf(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
+    """The hashed-bucket TF substrate (doc_id, tok_b, c), persisted
+    through clustering's bounded per-sf _INDEX_CACHE so (a) the
+    explode+count lineage materializes once per corpus even though two
+    consumers (LM fit + scoring join) read it, and (b) a session
+    walking multiple sf_dirs (the scale-trend sweep) evicts the
+    previous decade's pinned blocks instead of accumulating them
+    (ADVICE r10: the bare per-call persist leaked one cached tf per
+    sf_dir for the life of the session)."""
+    from .clustering import _INDEX_CACHE, _evict_other_sfs, _repersist
+
+    key = ("dsir_tf", spark.sparkContext.applicationId, sf_dir)
+    _evict_other_sfs(sf_dir)
+    if key not in _INDEX_CACHE:
+        tf = (
+            docs.select("doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"))
+            .groupBy("doc_id", (md5_bucket(F.col("tok")) % DSIR_BUCKETS).alias("tok_b"))
+            .agg(F.count("*").alias("c"))
+            .persist()
+        )
+        _INDEX_CACHE[key] = (tf,)
+    ent = _INDEX_CACHE[key]
+    _repersist(ent[0])
+    return ent[0]
 
 
 @register(
@@ -1091,34 +1126,37 @@ WITH tokd AS (
   SELECT doc_id, {_TOKS} AS tok FROM documents
 ),
 tf AS (
-  SELECT doc_id, tok, count(*) AS c
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {DSIR_BUCKETS}
+           AS tok_b,
+         count(*) AS c
   FROM (SELECT doc_id, unnest(tok) AS tok FROM tokd)
   GROUP BY 1, 2
 ),
 tgt AS (
-  SELECT tok, sum(c) AS tc FROM tf
+  SELECT tok_b, sum(c) AS tc FROM tf
   WHERE doc_id % {DSIR_MOD} = {DSIR_REM} GROUP BY 1
 ),
-src AS (SELECT tok, sum(c) AS sc FROM tf GROUP BY 1),
+src AS (SELECT tok_b, sum(c) AS sc FROM tf GROUP BY 1),
 tot AS (
   SELECT (SELECT sum(c) FROM tf WHERE doc_id % {DSIR_MOD} = {DSIR_REM}) AS t_total,
          (SELECT sum(c) FROM tf) AS s_total,
          (SELECT count(*) FROM src) AS v
 ),
 w AS (
-  SELECT s.tok,
+  SELECT s.tok_b,
          CAST(floor({DSIR_SCALE}.0
                 * (CAST(coalesce(g.tc, 0) + 1 AS DOUBLE)
                    * CAST(tot.s_total + tot.v AS DOUBLE))
                 / (CAST(s.sc + 1 AS DOUBLE)
                    * CAST(tot.t_total + tot.v AS DOUBLE))) AS BIGINT) AS w_ppm
-  FROM src s LEFT JOIN tgt g USING (tok) CROSS JOIN tot
+  FROM src s LEFT JOIN tgt g USING (tok_b) CROSS JOIN tot
 ),
 scored AS (
   SELECT f.doc_id,
          CAST(sum(f.c * w.w_ppm) AS BIGINT) AS score,
          CAST(sum(f.c) AS BIGINT) AS n_tokens
-  FROM tf f JOIN w USING (tok)
+  FROM tf f JOIN w USING (tok_b)
   WHERE f.doc_id % {DSIR_MOD} <> {DSIR_REM}
   GROUP BY 1
 )
@@ -1141,27 +1179,26 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-ratio — same per-token ranking signal, no cross-engine libm
     dependency).
 
-    Scale: the LM tables are VOCABULARY-sized aggregates (map-side
-    combinable) joined back by a broadcast — the corpus contributes
-    one tf shuffle and one per-doc score shuffle, both key-bounded;
-    the totals ride a 1-row broadcast; selection is
-    TakeOrderedAndProject. Nothing is ever corpus × corpus, and the
-    budget cut needs no global sort."""
+    Scale: both LMs live in a FIXED 2^20 hashed-feature space (the
+    DSIR paper's construction), so the weight table the corpus joins
+    against is bounded at ~8 MB no matter how the vocabulary grows —
+    an open-vocabulary table scales with the corpus (q_heaps_fit) and
+    stops broadcasting. The corpus contributes one tf shuffle and one
+    per-doc score shuffle, both key-bounded; the totals ride a 1-row
+    broadcast; selection is TakeOrderedAndProject. Nothing is ever
+    corpus × corpus, and the budget cut needs no global sort."""
     docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = TX.tokens(F.lower(F.col("text")))
     is_tgt = F.col("doc_id") % DSIR_MOD == DSIR_REM
     # tf is the shared substrate of the LM fit AND the scoring join —
-    # persist it or the explode+count lineage executes once per
-    # consumer (measured: decade-2 ratio 11.7 -> ~linear with one pass)
-    tf = (
-        docs.select("doc_id", F.explode(toks).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c"))
-        .persist()
-    )
+    # persisted through the bounded per-sf cache (clustering's
+    # _INDEX_CACHE convention) so the explode+count lineage runs once
+    # per consumer AND switching sf_dirs evicts the previous corpus's
+    # pinned blocks instead of accumulating one per decade (measured:
+    # decade-2 ratio 11.7 -> ~linear with one pass)
+    tf = _dsir_tf(spark, sf_dir, docs)
     # BOTH LMs in one vocabulary-sized pass (conditional aggregation),
     # and the totals from the vocab table — no extra corpus scans
-    lm = tf.groupBy("tok").agg(
+    lm = tf.groupBy("tok_b").agg(
         F.sum("c").alias("sc"),
         F.sum(F.when(is_tgt, F.col("c")).otherwise(0)).alias("tc"),
     )
@@ -1173,7 +1210,7 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         lm.crossJoin(F.broadcast(tot))
         .select(
-            "tok",
+            "tok_b",
             F.floor(
                 F.lit(float(DSIR_SCALE))
                 * (
@@ -1191,7 +1228,7 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tf.filter(~is_tgt)
-        .join(F.broadcast(w), "tok")
+        .join(F.broadcast(w), "tok_b")
         .groupBy("doc_id")
         .agg(
             F.sum(F.col("c") * F.col("w_ppm")).cast("bigint").alias("score"),

@@ -143,24 +143,20 @@ def posting_store_root() -> str:
     return os.path.join(ST.store_root(), "spark_graft_posting_store_v2")
 
 
-def doc_tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The (doc_id, tok_h, c) posting table as a STORAGE artifact,
-    built once per corpus version (store contract: see FIXTURES.md)."""
-    tag, n_docs, fp = ST.corpus_key(sf_dir, "documents")
-    key = f"{tag}_{n_docs}_{fp}_{POSTING_BUCKETS}"
-    name = f"doc_tf_{key}"
+def _publish_bucketed_tf(
+    spark: SparkSession, name: str, path: str, build_tf
+) -> DataFrame:
+    """Publish a (doc_id, tok_h, c) posting table bucketed+sorted by
+    doc_id under the store contract (atomic temp-dir publish, validated
+    adoption) and register it as a bucketed catalog table. `build_tf`
+    is a thunk returning the DataFrame to materialize — called only
+    when this process actually builds (an adopting app pays catalog
+    DDL, never the tf lineage)."""
     if spark.catalog.tableExists(name):
         return spark.table(name)
-    path = os.path.join(posting_store_root(), key)
 
     def build(tmp: str) -> None:
-        docs = io.load_table(spark, sf_dir, "documents").select(
-            "doc_id", "text"
-        )
-        toks = TX.tokens(F.lower(F.col("text")))
-        tf = _tf_all(docs, "doc_id", toks).repartition(
-            POSTING_BUCKETS, F.col("doc_id")
-        )
+        tf = build_tf().repartition(POSTING_BUCKETS, F.col("doc_id"))
         tmp_name = f"{name}_build_{os.path.basename(tmp).split('-')[-1]}"
         (
             tf.write.format("parquet")
@@ -183,6 +179,26 @@ def doc_tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" INTO {POSTING_BUCKETS} BUCKETS LOCATION '{path}'"
     )
     return spark.table(name)
+
+
+def doc_tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, tok_h, c) posting table as a STORAGE artifact,
+    built once per corpus version (store contract: see FIXTURES.md)."""
+    tag, n_docs, fp = ST.corpus_key(sf_dir, "documents")
+    key = f"{tag}_{n_docs}_{fp}_{POSTING_BUCKETS}"
+
+    def build_tf() -> DataFrame:
+        docs = io.load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        return _tf_all(docs, "doc_id", TX.tokens(F.lower(F.col("text"))))
+
+    return _publish_bucketed_tf(
+        spark,
+        f"doc_tf_{key}",
+        os.path.join(posting_store_root(), key),
+        build_tf,
+    )
 
 
 @register(

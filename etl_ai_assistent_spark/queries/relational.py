@@ -1853,3 +1853,311 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lost_cents"), F.asc("c_custkey"))
         .limit(20)
     )
+
+# --- TPC-H Q4 / Q5 / Q12 / Q14 / Q19 shapes (r10 verdict #5) ----------------
+#
+# The five remaining TPC-H plan shapes feasible on this testdata, each
+# exercising a distinct plan feature the gate did not yet cover:
+# EXISTS semi-join with a date window (Q4), the 6-table join cycle as
+# the SPEC writes it (Q5), conditional two-bucket aggregation (Q12),
+# a promo ratio over a dimension join (Q14), and disjunctive
+# multi-predicate pushdown (Q19). The fixture omits l_shipmode /
+# l_commitdate / l_receiptdate / l_shipinstruct / p_container, so Q4
+# and Q12's predicates are shape-preserving stand-ins on the columns
+# that exist (documented per query); the PLAN each query gates is the
+# spec query's plan.
+
+Q4_FROM, Q4_TO = "1997-01-01 00:00:00", "1997-04-01 00:00:00"
+Q4_LATE_DAYS = 60
+
+
+@register(
+    "q_tpch_q4",
+    oracle=f"""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_FROM}'
+  AND o.o_orderdate <  TIMESTAMP '{Q4_TO}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+  )
+GROUP BY 1
+""",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking): orders placed in one
+    quarter that have at least one LATE lineitem, counted per
+    priority. The spec's lateness test (l_commitdate < l_receiptdate)
+    uses columns the fixture omits; the stand-in — shipped more than
+    {Q4_LATE_DAYS} days after the order date — keeps the exact plan
+    shape: a LEFT SEMI join (EXISTS: one probe per order, no fanout
+    duplication from multi-lineitem orders) whose join condition
+    carries a cross-table inequality, under a pushed date-window scan
+    on orders. At 100 TB the date window prunes orders partitions at
+    the scan, the semi-join shuffles on orderkey once (zero with both
+    facts bucketed on it), and the priority rollup is a 5-group
+    map-side combine."""
+    o = io.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q4_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_TO).cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = io.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )
+
+
+Q5_REGION = "EUROPE"
+Q5_FROM, Q5_TO = "1995-01-01 00:00:00", "1997-01-01 00:00:00"
+
+
+@register(
+    "q_tpch_q5",
+    oracle=f"""
+SELECT n.n_name,
+       CAST(sum({_REV_CENTS}) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o    ON c.c_custkey = o.o_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n    ON s.s_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{Q5_FROM}'
+  AND o.o_orderdate <  TIMESTAMP '{Q5_TO}'
+GROUP BY 1
+ORDER BY revenue_cents DESC, n.n_name
+""",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 as the spec writes it (local-supplier volume): the
+    6-table join CYCLE — customer⋈orders⋈lineitem⋈supplier closed by
+    the customer-nation = supplier-nation equality — restricted to one
+    region and a 2-year order window, revenue per nation ordered
+    descending. Differs from the sibling q_revenue_by_nation (same
+    topology, ASIA/1996-98, unordered with an item count) in gating
+    the spec's exact output: half-up integer cents, so the ORDER BY is
+    integer-deterministic. region/nation are fixed-size (5/25 rows) →
+    explicit broadcasts; customer/supplier grow with SF → left to AQE
+    (broadcast under the threshold, shuffle with skew-split above);
+    the only guaranteed big exchange is orders⋈lineitem on orderkey.
+    The date window pushes to the orders scan; at 100 TB the region
+    restriction reaches customer/supplier as a DPP filter through the
+    nation broadcast."""
+    c = io.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = io.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_TO).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = io.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = io.load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = io.load_table(spark, sf_dir, "nation")
+    r = io.load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q5_REGION
+    )
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("bigint").alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("n_name"))
+    )
+
+
+Q12_FROM, Q12_TO = "1998-01-01 00:00:00", "1999-01-01 00:00:00"
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "q_tpch_q12",
+    oracle=f"""
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q12_FROM}'
+  AND l.l_shipdate <  TIMESTAMP '{Q12_TO}'
+GROUP BY 1
+""",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority split): lineitems shipped in
+    one year, bucketed per group into high-priority vs low-priority
+    order counts by a conditional aggregation — the two-bucket
+    CASE-WHEN-inside-SUM plan shape. The fixture omits l_shipmode and
+    the receipt/commit dates, so the group key stands in as
+    l_linestatus and the window filters l_shipdate; the gated plan is
+    the spec's: one fact⋈fact equi-join under a pushed date window,
+    with BOTH buckets computed in a single aggregation pass (never two
+    joins or two scans). At 100 TB the ship-window prunes lineitem at
+    the scan and the join shuffles orderkey once; the conditional
+    buckets are map-side combinable integers."""
+    o = io.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = io.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q12_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q12_TO).cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    is_high = F.col("o_orderpriority").isin(*_Q12_HIGH)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+Q14_FROM, Q14_TO = "1997-06-01 00:00:00", "1997-09-01 00:00:00"
+
+
+@register(
+    "q_tpch_q14",
+    oracle=f"""
+SELECT
+  CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV_CENTS} ELSE 0 END)
+       AS BIGINT) AS promo_cents,
+  CAST(sum({_REV_CENTS}) AS BIGINT) AS total_cents,
+  100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV_CENTS} ELSE 0 END)
+               AS DOUBLE)
+        / CAST(sum({_REV_CENTS}) AS DOUBLE) AS promo_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q14_FROM}'
+  AND l.l_shipdate <  TIMESTAMP '{Q14_TO}'
+""",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the share of one quarter's
+    revenue carried by promo parts — a fact⋈dimension join feeding a
+    single-row conditional ratio. The fixture's p_type is already the
+    bare category ('PROMO'), so the spec's LIKE 'PROMO%%' is an exact
+    match here. Numerator and denominator are exact half-up cents
+    (bigint), and the ratio is ONE IEEE double division of two
+    integer-exact operands — bit-identical across engines with no
+    rounding fence. Plan: the ship window prunes lineitem at the scan;
+    part joins by partkey (broadcast while it fits — 200k×SF rows —
+    AQE shuffles it with skew handling beyond that); both buckets ride
+    one aggregation pass to a single row."""
+    li = io.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q14_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_TO).cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = io.load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    agg = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo).cast("bigint").alias("promo_cents"),
+            F.sum(rev).cast("bigint").alias("total_cents"),
+        )
+    )
+    return agg.select(
+        "promo_cents",
+        "total_cents",
+        (
+            F.lit(100.0)
+            * F.col("promo_cents").cast("double")
+            / F.col("total_cents").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+_Q19_BRANCHES = (
+    ("Brand#12", 5, 1, 11),
+    ("Brand#23", 10, 10, 20),
+    ("Brand#15", 15, 20, 30),
+)
+
+
+@register(
+    "q_tpch_q19",
+    oracle=f"""
+SELECT CAST(sum({_REV_CENTS}) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): revenue
+    over a lineitem⋈part join whose WHERE is an OR of three
+    brand/size/quantity conjunctions — the classic test that an
+    optimizer extracts the single-side implications of a disjunction
+    and pushes them below the join: part's scan should receive
+    (brand12∧size≤5) ∨ (brand23∧size≤10) ∨ (brand15∧size≤15) and
+    lineitem's scan quantity ∈ [1,30], leaving only the cross-branch
+    pairing above the join (tests/test_plans.py asserts both pushed
+    filters). The fixture omits l_shipinstruct / l_shipmode /
+    p_container, so those conjuncts are dropped; brand, size, and
+    quantity branches keep the disjunctive structure intact. Exact
+    half-up cents; single-row output."""
+    li = io.load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = io.load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    cond = None
+    for brand, size_hi, q_lo, q_hi in _Q19_BRANCHES:
+        branch = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        cond = branch if cond is None else (cond | branch)
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("bigint").alias("revenue_cents"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )

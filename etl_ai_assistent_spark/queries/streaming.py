@@ -1120,9 +1120,18 @@ def q_stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors — each trigger touches M code rows per corpus vector and
     K·M codebook cells. foreachBatch gives per-trigger batch semantics
     (window rank is legal there, unlike in a continuous aggregation)
-    and the parquet sink is the served-results log."""
-    import uuid
+    and the parquet sink is the served-results log.
 
+    Run outputs live under the sweepable runs family
+    (store.run_scoped_dir), keyed by applicationId: a rerun in the
+    same session DELETES and rewrites its own sink+checkpoint pair
+    (so /tmp never grows monotonically — r10 verdict #3's 60 orphan
+    uuid dirs), and stale pairs from dead sessions are vacuumed by
+    store.gc_runs on the way in."""
+    import os
+    import shutil
+
+    from .. import store as ST
     from ..operators import kmeans as KM
     from ..operators import pq as PQ
     from .clustering import (
@@ -1141,9 +1150,12 @@ def q_stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < NQ_PQ)
         .select("vec_id", KM.quantize("embedding").alias("qv"))
     )
-    run = uuid.uuid4().hex[:8]
-    out = f"/tmp/spark_graft_annserve_{run}"
-    ckpt = f"{out}_ckpt"
+    app = spark.sparkContext.applicationId
+    out = ST.run_scoped_dir(f"annserve_{app}")
+    ckpt = ST.run_scoped_dir(f"annserve_{app}_ckpt")
+    ST.gc_runs(keep={os.path.basename(out), os.path.basename(ckpt)})
+    for p in (out, ckpt):  # rerun = overwrite, not accumulate
+        shutil.rmtree(p, ignore_errors=True)
 
     def serve(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():

@@ -173,6 +173,56 @@ def gc_versions(
     return removed
 
 
+def runs_root() -> str:
+    """One family root for RUN-SCOPED outputs (streaming sinks,
+    checkpoints, served-results logs) — scratch that belongs to a
+    single query invocation, not to a corpus version. Everything under
+    it is sweepable by gc_runs; version-keyed store families must
+    never live here."""
+    return os.path.join(store_root(), "spark_graft_runs")
+
+
+def run_scoped_dir(name: str) -> str:
+    """Path for one named run output under the runs family. Callers
+    use DETERMINISTIC names (e.g. keyed by applicationId) so a rerun
+    overwrites its own previous output instead of accumulating — r10
+    verdict #3: uuid-keyed /tmp sinks left 60 orphan dirs in one
+    session, invisible to gc_versions because they sat outside any
+    family root."""
+    return os.path.join(runs_root(), name)
+
+
+def gc_runs(
+    keep: set[str] | list[str] | tuple[str, ...] = (),
+    max_age_s: float = 3600.0,
+    now: float | None = None,
+) -> list[str]:
+    """Sweep the runs family: remove every child not named in `keep`
+    whose mtime is older than `max_age_s` (younger strangers may
+    belong to a concurrently running process — same grace rule as
+    gc_versions' crashed-builder temps). Called from the queries that
+    write run-scoped outputs, so any session that serves also vacuums;
+    a deployment would run it from the maintenance job instead."""
+    root = runs_root()
+    if not os.path.isdir(root):
+        return []
+    keep_set = set(keep)
+    now = time.time() if now is None else now
+    removed: list[str] = []
+    for name in sorted(os.listdir(root)):
+        if name in keep_set:
+            continue
+        path = os.path.join(root, name)
+        try:
+            if now - os.path.getmtime(path) < max_age_s:
+                continue
+        except OSError:
+            continue  # vanished under a racing sweep
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(name)
+    return removed
+
+
 def has_success(path: str) -> bool:
     """The Spark `_SUCCESS` completion marker check used by validators
     (one per written parquet directory inside a store)."""

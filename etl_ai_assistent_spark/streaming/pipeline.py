@@ -217,6 +217,24 @@ def _fixture_tag(sf_dir: str) -> str:
     return f"{base}_{int(st.st_mtime)}_{st.st_size}"
 
 
+def _publish_fixture(out: str, build) -> str:
+    """Build-or-adopt a /tmp landing-dir fixture under the store
+    contract (ADVICE r10: the old build-in-place + marker-last pattern
+    let two racing processes interleave writes to the same part files,
+    and a winner's stream could read a torn parquet). `build(tmp)`
+    writes the COMPLETE fixture (parts + `_complete` marker) into a
+    unique temp dir; publication is one atomic os.rename, and a lost
+    race adopts the winner — exactly store.publish's semantics, reused
+    here. Pre-contract dirs already on disk validate by their marker
+    and are adopted unchanged."""
+    ST.publish(
+        out,
+        build,
+        validate=lambda p: os.path.exists(os.path.join(p, "_complete")),
+    )
+    return out
+
+
 def split_events_fixture(spark: SparkSession, sf_dir: str, parts: int = 4) -> str:
     """Split the single events parquet into `parts` files (by
     event_id % parts — deterministic) under /tmp, so a
@@ -224,27 +242,25 @@ def split_events_fixture(spark: SparkSession, sf_dir: str, parts: int = 4) -> st
     real cross-batch state store traffic instead of a single batch.
     The cache tag includes the source file's mtime+size so a regenerated
     testdata file invalidates stale fixtures automatically."""
-    import os
-
     tag = _fixture_tag(sf_dir)
     out = f"/tmp/spark_graft_events_split_{tag}_{parts}"
-    marker = os.path.join(out, "_complete")
-    if not os.path.exists(marker):
+
+    def build(tmp: str) -> None:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        os.makedirs(out, exist_ok=True)
+        os.makedirs(tmp, exist_ok=True)
         t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
         part_key = [int(v) % parts for v in t.column("event_id").to_pylist()]
-        import pyarrow as pa
-
-        t = t.append_column("__part", pa.array(part_key, type=pa.int32()))
+        t2 = t.append_column("__part", pa.array(part_key, type=pa.int32()))
         for i in range(parts):
-            sub = t.filter(pa.compute.equal(t.column("__part"), i)).drop(
+            sub = t2.filter(pa.compute.equal(t2.column("__part"), i)).drop(
                 ["__part"]
             )
-            pq.write_table(sub, os.path.join(out, f"part_{i}.parquet"))
-        open(marker, "w").close()
-    return out
+            pq.write_table(sub, os.path.join(tmp, f"part_{i}.parquet"))
+        open(os.path.join(tmp, "_complete"), "w").close()
+
+    return _publish_fixture(out, build)
 
 
 def read_events_stream_split(
@@ -277,22 +293,23 @@ def split_embeddings_fixture(
     st = os.stat(src)
     tag = f"{base}_{int(st.st_mtime)}_{st.st_size}"
     out = f"/tmp/spark_graft_emb_split_{tag}_{parts}"
-    marker = os.path.join(out, "_complete")
-    if not os.path.exists(marker):
+
+    def build(tmp: str) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        os.makedirs(out, exist_ok=True)
+        os.makedirs(tmp, exist_ok=True)
         t = pq.read_table(src)
         part_key = [int(v) % parts for v in t.column("vec_id").to_pylist()]
-        t = t.append_column("__part", pa.array(part_key, type=pa.int32()))
+        t2 = t.append_column("__part", pa.array(part_key, type=pa.int32()))
         for i in range(parts):
-            sub = t.filter(pa.compute.equal(t.column("__part"), i)).drop(
+            sub = t2.filter(pa.compute.equal(t2.column("__part"), i)).drop(
                 ["__part"]
             )
-            pq.write_table(sub, os.path.join(out, f"part_{i}.parquet"))
-        open(marker, "w").close()
-    return out
+            pq.write_table(sub, os.path.join(tmp, f"part_{i}.parquet"))
+        open(os.path.join(tmp, "_complete"), "w").close()
+
+    return _publish_fixture(out, build)
 
 
 def read_embeddings_stream_split(
@@ -320,12 +337,12 @@ def dup_events_fixture(spark: SparkSession, sf_dir: str) -> str:
     survives across batches — the at-least-once-upstream shape."""
     tag = _fixture_tag(sf_dir)
     out = f"/tmp/spark_graft_events_dup_{tag}"
-    marker = os.path.join(out, "_complete")
-    if not os.path.exists(marker):
+
+    def build(tmp: str) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        os.makedirs(out, exist_ok=True)
+        os.makedirs(tmp, exist_ok=True)
         t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
         part_key = [int(v) % 2 for v in t.column("event_id").to_pylist()]
         t2 = t.append_column("__part", pa.array(part_key, type=pa.int32()))
@@ -333,10 +350,11 @@ def dup_events_fixture(spark: SparkSession, sf_dir: str) -> str:
             sub = t2.filter(pa.compute.equal(t2.column("__part"), i)).drop(
                 ["__part"]
             )
-            pq.write_table(sub, os.path.join(out, f"part_{i}.parquet"))
-            pq.write_table(sub, os.path.join(out, f"part_{i + 2}.parquet"))
-        open(marker, "w").close()
-    return out
+            pq.write_table(sub, os.path.join(tmp, f"part_{i}.parquet"))
+            pq.write_table(sub, os.path.join(tmp, f"part_{i + 2}.parquet"))
+        open(os.path.join(tmp, "_complete"), "w").close()
+
+    return _publish_fixture(out, build)
 
 
 def read_events_stream_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,21 +577,21 @@ def heartbeat_split_events_fixture(
     micro-batch or everything after it would be dropped as late."""
     tag = _fixture_tag(sf_dir)
     out = f"/tmp/spark_graft_events_hb_{tag}_{parts}_v1"
-    marker = os.path.join(out, "_complete")
-    if not os.path.exists(marker):
+
+    def build(tmp: str) -> None:
         from datetime import timedelta
 
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        os.makedirs(out, exist_ok=True)
+        os.makedirs(tmp, exist_ok=True)
         t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
         part_key = [int(v) % parts for v in t.column("event_id").to_pylist()]
         t2 = t.append_column("__part", pa.array(part_key, type=pa.int32()))
         for i in range(parts):
             sub = t2.filter(pc.equal(t2.column("__part"), i)).drop(["__part"])
-            pq.write_table(sub, os.path.join(out, f"part_{i}.parquet"))
+            pq.write_table(sub, os.path.join(tmp, f"part_{i}.parquet"))
         hb_ts = pc.max(t.column("ts")).as_py() + timedelta(days=90)
         cols = []
         for field in t.schema:
@@ -592,16 +610,20 @@ def heartbeat_split_events_fixture(
             cols.append(pa.array(vals, type=field.type))
         pq.write_table(
             pa.Table.from_arrays(cols, schema=t.schema),
-            os.path.join(out, f"part_{parts}_hb.parquet"),
+            os.path.join(tmp, f"part_{parts}_hb.parquet"),
         )
+        # FileStreamSource orders pending files by mtime; pin them
+        # strictly increasing so the heartbeat is the LAST micro-batch
+        # (os.rename of the parent preserves per-file mtimes)
         base = 1_600_000_000
         for i in range(parts):
-            p = os.path.join(out, f"part_{i}.parquet")
+            p = os.path.join(tmp, f"part_{i}.parquet")
             os.utime(p, (base + 10 * i, base + 10 * i))
-        hb = os.path.join(out, f"part_{parts}_hb.parquet")
+        hb = os.path.join(tmp, f"part_{parts}_hb.parquet")
         os.utime(hb, (base + 10 * parts, base + 10 * parts))
-        open(marker, "w").close()
-    return out
+        open(os.path.join(tmp, "_complete"), "w").close()
+
+    return _publish_fixture(out, build)
 
 
 def read_events_stream_hb(

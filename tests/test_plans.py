@@ -264,6 +264,24 @@ def test_filter_pushdown_reaches_parquet(spark, sf_small):
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)" in plan
 
 
+def test_disjunctive_pushdown_reaches_both_scans(spark, sf_small):
+    """TPC-H Q19's OR-of-conjunctions must be decomposed into its
+    single-side implications and pushed below the join: the part scan
+    gets the brand∧size disjunction, the lineitem scan the quantity
+    ranges — not a post-join filter over full scans."""
+    plan = _plan(spark, "q_tpch_q19", sf_small)
+    part_scan = next(
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "part.parquet" in ln
+    )
+    li_scan = next(
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "lineitem" in ln
+    )
+    assert "Brand#12" in part_scan and "p_size" in part_scan, part_scan
+    assert "l_quantity" in li_scan, li_scan
+
+
 def test_column_pruning_reaches_parquet(spark, sf_small):
     """A 2-column projection must read a 2-column schema, not the table."""
     plan = _plan(spark, "q_token_stats", sf_small)

@@ -148,3 +148,40 @@ def test_importance_resample_selects_raw_pool_only(spark, sf_small):
         & (F.trim(F.col("text")) != "")
     ).count()
     assert len(rows) == min(CU.DSIR_K, raw_pool)
+
+
+def test_stream_ann_lookup_runs_dir_bounded(spark, sf_small):
+    """Run-scoped serving outputs must not grow /tmp monotonically
+    (r10 verdict #3: 60 orphan uuid sink+checkpoint pairs in one
+    session): the sink lives under store.runs_root() keyed by
+    applicationId, so a second invocation DELETES and rewrites the
+    same pair instead of minting a new one, and both runs serve the
+    same answer."""
+    from etl_ai_assistent_spark.registry import load_all, queries
+
+    load_all()
+    fn = queries()["q_stream_ann_lookup"]
+    n1 = fn(spark, sf_small).count()
+    entries1 = set(os.listdir(ST.runs_root()))
+    n2 = fn(spark, sf_small).count()
+    entries2 = set(os.listdir(ST.runs_root()))
+    assert n1 == n2 > 0
+    assert entries2 == entries1, (entries1, entries2)
+    app = spark.sparkContext.applicationId
+    assert f"annserve_{app}" in entries2
+
+
+def test_gc_runs_sweeps_stale_keeps_fresh(tmp_path, monkeypatch):
+    """gc_runs removes only entries past the grace age and never the
+    keep set — younger strangers may belong to a live process."""
+    monkeypatch.setenv("SPARK_GRAFT_STORE_ROOT", str(tmp_path))
+    root = ST.runs_root()
+    os.makedirs(os.path.join(root, "stale_run"))
+    os.makedirs(os.path.join(root, "fresh_run"))
+    os.makedirs(os.path.join(root, "kept_run"))
+    old = 1_600_000_000
+    os.utime(os.path.join(root, "stale_run"), (old, old))
+    os.utime(os.path.join(root, "kept_run"), (old, old))
+    removed = ST.gc_runs(keep={"kept_run"}, max_age_s=3600.0)
+    assert removed == ["stale_run"]
+    assert sorted(os.listdir(root)) == ["fresh_run", "kept_run"]
