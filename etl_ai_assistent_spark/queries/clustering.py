@@ -1128,3 +1128,251 @@ def q_ann_delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[F.col(f"code_{i}").cast("bigint").alias(f"code_{i}") for i in range(M_SUB)],
     )
+
+
+# --- ANN codes append-COMMIT: the growable store (r10 verdict #1b) ----------
+#
+# q_ann_delta_encode proved delta ENCODING against stored codebooks;
+# nothing committed those codes — the serving store's validation pins
+# codes rows == build-time corpus, so any growth forced a full rebuild.
+# This store closes that gap with the segment design every vector
+# store uses (Qdrant's incremental upsert against a persistent
+# collection, scripts/services/qdrant_service.py:24-42): codebooks are
+# trained ONCE on the base corpus; the codes artifact is a LIST OF
+# SEGMENTS resolved through a manifest; an append batch is encoded
+# (O(|delta|), K-row broadcasts over the delta scan only) and
+# committed as a new segment + an atomic manifest swap. Readers
+# resolve segments via the manifest only — never a directory glob —
+# so a reader sees pre- or post-commit state, never a torn one.
+
+ANN_GROW_NUM, ANN_GROW_DEN = 4, 5  # base corpus = first 80% of vec_ids
+
+
+def ann_grow_root() -> str:
+    return os.path.join(ST.store_root(), "spark_graft_ann_grow_v1")
+
+
+def _grow_manifest(path: str) -> dict:
+    import json
+
+    with open(os.path.join(path, "MANIFEST.json")) as f:
+        return json.load(f)
+
+
+def _write_grow_manifest(path: str, manifest: dict) -> None:
+    """Atomic manifest swap: write-temp + os.replace. The manifest is
+    the commit point — segment directories added before the swap are
+    invisible to readers until it lands, and replaying the same commit
+    writes identical bytes (deterministic encoding), so a racing
+    double-commit is benign last-writer-wins."""
+    import json
+    import uuid
+
+    tmp = os.path.join(path, f".manifest-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, os.path.join(path, "MANIFEST.json"))
+
+
+def _grow_valid(path: str) -> bool:
+    """Adoption validation across COMMITTED segments: every manifest
+    segment finished its write and the segment rows sum to the
+    manifest's corpus count (footer reads only)."""
+    try:
+        man = _grow_manifest(path)
+    except (OSError, ValueError):
+        return False
+    if not ST.has_success(os.path.join(path, "codebooks")):
+        return False
+    total = 0
+    for seg in man["segments"]:
+        seg_dir = os.path.join(path, "codes", seg)
+        if not ST.has_success(seg_dir):
+            return False
+        total += ST.parquet_rows(seg_dir)
+    return total == man["n_vecs"]
+
+
+def _grow_split(n: int) -> int:
+    return (n * ANN_GROW_NUM) // ANN_GROW_DEN
+
+
+def ann_grow_store(spark: SparkSession, sf_dir: str) -> str:
+    """Adopt-or-build the BASE version of the growable flat-PQ store:
+    codebooks trained on the base slice (vec_id < 4n/5 — the same
+    append framing as q_ann_delta_encode) and the base codes committed
+    as segment seg_0 under a manifest. One corpus version key per
+    embeddings fingerprint; the append-commit mutates the artifact
+    only through segment adds + manifest swaps."""
+    from ..operators import pq as PQ
+
+    path, n = _ann_grow_path(sf_dir)
+    split = _grow_split(n)
+
+    def build(tmp: str) -> None:
+        emb = (
+            io.load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < split)
+            .select("vec_id", KM.quantize("embedding").alias("qv"))
+            .persist()
+        )
+        try:
+            cbs = PQ.train_codebooks(emb, m=M_SUB, k=PQ_K, iters=1, dim=DIM)
+            cb_rows = [
+                [(int(r["cid"]), [int(x) for x in r["cv"]]) for r in cb.collect()]
+                for cb in cbs
+            ]
+            _write_codebooks(spark, cb_rows, os.path.join(tmp, "codebooks"))
+            PQ.encode(emb, _literal_codebooks(spark, cb_rows), dim=DIM).write.parquet(
+                os.path.join(tmp, "codes", "seg_0")
+            )
+            _write_grow_manifest(tmp, {"n_vecs": split, "segments": ["seg_0"]})
+        finally:
+            emb.unpersist()
+
+    ST.publish(path, build, validate=_grow_valid)
+    return path
+
+
+def _ann_grow_path(sf_dir: str) -> tuple[str, int]:
+    tag, n, fp = ST.corpus_key(sf_dir, "embeddings")
+    return os.path.join(ann_grow_root(), f"{tag}_{n}_{fp}"), n
+
+
+def ann_commit_delta(spark: SparkSession, sf_dir: str) -> str:
+    """The append COMMIT: encode the arrived cohort (vec_id >= 4n/5)
+    against the STORED base codebooks — no retraining, no touch of
+    seg_0 — and publish it as segment seg_1 (atomic dir rename via the
+    same publish contract) followed by the manifest swap. Idempotent:
+    a store whose manifest already covers the grown corpus is left
+    untouched, so re-runs and racing committers converge on one
+    state. Maintenance cost is O(|delta|): K-row codebook broadcasts
+    over a pushed-filter delta scan, |delta| code rows written."""
+    from ..operators import pq as PQ
+
+    path = ann_grow_store(spark, sf_dir)
+    _, n = _ann_grow_path(sf_dir)
+    split = _grow_split(n)
+    man = _grow_manifest(path)
+    if man["n_vecs"] >= n:
+        return path  # delta already committed
+    seg_dir = os.path.join(path, "codes", "seg_1")
+
+    def build_seg(tmp: str) -> None:
+        cbs = _literal_codebooks(spark, _load_codebook_rows(path, "codebooks"))
+        delta = (
+            io.load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") >= split)
+            .select("vec_id", KM.quantize("embedding").alias("qv"))
+        )
+        PQ.encode(delta, cbs, dim=DIM).write.parquet(tmp)
+
+    ST.publish(seg_dir, build_seg, validate=ST.has_success)
+    _write_grow_manifest(
+        path, {"n_vecs": n, "segments": man["segments"] + ["seg_1"]}
+    )
+    return path
+
+
+def grow_codes(spark: SparkSession, path: str) -> DataFrame:
+    """The committed codes view: the union of the manifest's segments,
+    each a schema-pinned lazy scan. Readers NEVER glob the codes dir —
+    the manifest is the consistency point."""
+    man = _grow_manifest(path)
+    out = None
+    for seg in man["segments"]:
+        df = spark.read.schema(_CODES_SCHEMA).parquet(
+            os.path.join(path, "codes", seg)
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _pq_full_encode_ctes(i: int) -> str:
+    """Encode the FULL corpus against the base-trained codebook gc1_i
+    (produced by _pq_sub_ctes over the `tr` slice) — the oracle replay
+    of commit-time encoding: stored-codebook encoding of base ∪ delta
+    must equal this from-scratch replay bit-for-bit."""
+    lo, hi = i * PQ_W + 1, (i + 1) * PQ_W
+    return f"""
+fe_s{i} AS (SELECT vec_id, qv[{lo}:{hi}] AS qv FROM q),
+fe_d{i} AS (
+  SELECT v.vec_id, {_D2W} * {KM.PACK} + c.cid AS p
+  FROM fe_s{i} v, gc1_{i} c
+),
+fe_code_{i} AS (
+  SELECT vec_id, min(p) % {KM.PACK} AS code FROM fe_d{i} GROUP BY vec_id
+)"""
+
+
+_GROW_CODE_WSUM_SQL = " + ".join(
+    f"(SELECT sum(code * (vec_id + 1)) FROM fe_code_{i}) * {i + 1}"
+    for i in range(M_SUB)
+)
+
+
+@register(
+    "q_ann_codes_commit",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+tr AS (
+  SELECT * FROM q
+  WHERE vec_id < (SELECT (count(*) * {ANN_GROW_NUM}) // {ANN_GROW_DEN}
+                  FROM embeddings)
+),{",".join(_pq_sub_ctes(i, src="tr", p="g", with_query=False) for i in range(M_SUB))},{",".join(_pq_full_encode_ctes(i) for i in range(M_SUB))}
+SELECT
+  CAST((SELECT count(*) FROM q) AS BIGINT) AS n_vecs,
+  CAST(2 AS BIGINT) AS n_segments,
+  CAST({_CB_WSUM_SQL.format(p="g")} AS BIGINT) AS cb_wsum,
+  CAST({_GROW_CODE_WSUM_SQL} AS BIGINT) AS code_wsum
+""",
+)
+def q_ann_codes_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index maintenance WRITE path: commit the append cohort's
+    codes into the growable store (encode against stored base
+    codebooks → publish segment seg_1 → atomic manifest swap), then
+    audit the POST-COMMIT artifact — corpus coverage, segment count
+    from the manifest, and position-weighted checksums over the stored
+    codebooks and the manifest-resolved union of ALL code segments.
+    The DuckDB oracle replays base-slice PQ training and a full-corpus
+    encode from the raw embeddings, so a dropped segment, a stale
+    manifest, a delta encoded against the wrong codebooks, or a torn
+    commit all fail the gate. Pairs with q_ann_delta_encode (the
+    encode step alone) to complete r10 verdict #1: corpus growth now
+    costs O(|delta|) commit work instead of a full rebuild, and the
+    artifact stays auditable after every commit."""
+    path = ann_commit_delta(spark, sf_dir)
+    man = _grow_manifest(path)
+    codes = grow_codes(spark, path)
+    code_w = sum(
+        (F.col(f"code_{i}") * (i + 1) for i in range(1, M_SUB)),
+        F.col("code_0"),
+    )
+    agg_cv = F.expr("aggregate(cv, CAST(0 AS BIGINT), (a, x) -> a + x)")
+    a_codes = codes.agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum(code_w * (F.col("vec_id") + 1)).cast("bigint").alias("code_wsum"),
+    )
+    a_cb = (
+        spark.read.schema(_CB_SCHEMA)
+        .parquet(os.path.join(path, "codebooks"))
+        .agg(
+            F.sum(
+                (F.col("sub").cast("bigint") * 1000 + F.col("cid") + 1)
+                * agg_cv
+            )
+            .cast("bigint")
+            .alias("cb_wsum")
+        )
+    )
+    return (
+        a_codes.crossJoin(F.broadcast(a_cb))
+        .select(
+            "n_vecs",
+            F.lit(len(man["segments"])).cast("bigint").alias("n_segments"),
+            "cb_wsum",
+            "code_wsum",
+        )
+    )

@@ -332,7 +332,14 @@ def q_posting_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     mis-hashed store fails the gate. Bench runs this before the
     retrieval family (INDEX_COLD) so serving numbers measure ranking,
     not tokenization."""
-    posting = doc_tf_table(spark, sf_dir)
+    return _posting_audit(doc_tf_table(spark, sf_dir))
+
+
+def _posting_audit(posting: DataFrame) -> DataFrame:
+    """The posting-table audit statistics (shared by the full build
+    and the compaction commit — both must reconcile against a full
+    corpus re-tokenization): counts, distincts, and a position-weighted
+    TF checksum that catches a row served from the wrong (doc, term)."""
     return posting.agg(
         F.count("*").cast("bigint").alias("n_postings"),
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
@@ -345,6 +352,115 @@ def q_posting_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tf_wsum"),
     )
+
+
+# --- LSM WRITE path: compaction commits base ⊎ delta as a new base ----------
+#
+# q_posting_delta_merge proved the READ-side algebra (serve from stored
+# base ∪ fresh delta); this is the missing commit step (r10 verdict
+# "next" #1a): a compactor that folds the append cohort's delta into a
+# NEW PUBLISHED base segment under the store contract. The append
+# cohort is the same doc_id % 10 == 7 slice the read path uses, so the
+# pair documents one consistent ingest story: deltas serve immediately
+# via the merge view, and compaction periodically rewrites them into
+# the base so read amplification stays bounded.
+
+COMPACT_MOD, COMPACT_REM = 10, 7  # the append cohort: doc_id % 10 == 7
+
+
+def posting_base_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRE-APPEND base segment: the posting table over the corpus
+    minus the append cohort — the artifact that existed before the
+    cohort arrived. Published under its own fingerprint-keyed
+    directory (the cohort spec rides the key, so it can never be
+    confused with the full-corpus table)."""
+    tag, n_docs, fp = ST.corpus_key(sf_dir, "documents")
+    key = (
+        f"{tag}_{n_docs}_{fp}_{POSTING_BUCKETS}"
+        f"_base{COMPACT_MOD}x{COMPACT_REM}"
+    )
+
+    def build_tf() -> DataFrame:
+        docs = (
+            io.load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % COMPACT_MOD != COMPACT_REM)
+            .select("doc_id", "text")
+        )
+        return _tf_all(docs, "doc_id", TX.tokens(F.lower(F.col("text"))))
+
+    return _publish_bucketed_tf(
+        spark,
+        f"doc_tf_{key}",
+        os.path.join(posting_store_root(), key),
+        build_tf,
+    )
+
+
+def compact_posting_build_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compaction PLAN: stored base segment ∪ the delta cohort
+    tokenized fresh. doc_ids are disjoint across segments, so the fold
+    is a pure union — per-term statistics merge at read (the
+    q_posting_delta_merge algebra); what compaction buys is ONE base
+    segment again. The only tokenizer in this plan is the delta's
+    explode: the base rides a bucketed parquet scan, so commit cost is
+    O(|base| IO + |delta| tokenize) — the gigabytes that ARRIVED are
+    the only text processed, which is the LSM contract at 100 TB.
+    Exposed as a named plan so tests can assert that shape."""
+    base = posting_base_table(spark, sf_dir)
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = _tf_all(
+        docs.filter(F.col("doc_id") % COMPACT_MOD == COMPACT_REM),
+        "doc_id",
+        TX.tokens(F.lower(F.col("text"))),
+    )
+    return base.unionByName(delta)
+
+
+@register(
+    "q_posting_compact",
+    oracle=f"""
+WITH doc_tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok
+  FROM (SELECT doc_id, text FROM documents)
+),
+doc_tf AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS tok_h,
+         count(*) AS c
+  FROM doc_tok GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_postings,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT tok_h) AS BIGINT) AS n_terms,
+       CAST(sum(c) AS BIGINT) AS c_sum,
+       CAST(sum(c * ((tok_h + doc_id) % 1000003)) AS BIGINT) AS tf_wsum
+FROM doc_tf
+""",
+)
+def q_posting_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance COMMIT: fold the append cohort's delta into
+    the stored base segment and PUBLISH the result as a new base
+    posting table under the store contract — fingerprint key of the
+    grown corpus, atomic temp-dir rename, validated adoption — then
+    audit the published artifact. The DuckDB oracle re-tokenizes the
+    ENTIRE merged corpus, so a compaction that drops the delta, serves
+    a stale base, or double-counts an overlapping doc fails the gate;
+    the audit reading the DISK files (not the build plan) means a torn
+    publish fails it too. Only the delta is ever tokenized (the base
+    folds in as a bucketed parquet scan — see compact_posting_build_tf);
+    at 100 TB this is Qdrant's incremental-upsert shape
+    (scripts/services/qdrant_service.py:24-42) with the merge made an
+    explicit, auditable artifact commit. Periodic leveled compaction
+    bounds the base-rewrite amplification; the read path between
+    commits is q_posting_delta_merge."""
+    tag, n_docs, fp = ST.corpus_key(sf_dir, "documents")
+    key = f"{tag}_{n_docs}_{fp}_{POSTING_BUCKETS}_compacted"
+    compacted = _publish_bucketed_tf(
+        spark,
+        f"doc_tf_{key}",
+        os.path.join(posting_store_root(), key),
+        lambda: compact_posting_build_tf(spark, sf_dir),
+    )
+    return _posting_audit(compacted)
 
 
 def _scored(

@@ -185,3 +185,70 @@ def test_gc_runs_sweeps_stale_keeps_fresh(tmp_path, monkeypatch):
     removed = ST.gc_runs(keep={"kept_run"}, max_age_s=3600.0)
     assert removed == ["stale_run"]
     assert sorted(os.listdir(root)) == ["fresh_run", "kept_run"]
+
+
+def test_posting_compact_tokenizes_only_the_delta(spark, sf_small):
+    """The compaction commit's build plan must fold the stored base in
+    as a parquet scan (catalog table doc_tf_*base*) and tokenize ONLY
+    the append cohort — exactly one Generate explode. Re-tokenizing
+    the base would defeat the LSM write path."""
+    df = RAG.compact_posting_build_tf(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "doc_tf_" in plan and f"base{RAG.COMPACT_MOD}x{RAG.COMPACT_REM}" in plan, plan[:2000]
+    assert plan.count("Generate explode") == 1, plan[:2000]
+
+
+def test_posting_compact_commits_base_plus_delta(spark, sf_small):
+    """Segment-commit law: the PUBLISHED compacted base must carry
+    exactly the content a full-corpus build produces — same audit
+    stats (counts, distincts, position-weighted checksum) as the
+    doc_tf store built from scratch. A dropped delta, a stale base or
+    a double-counted doc shifts the checksum."""
+    from etl_ai_assistent_spark.registry import load_all, queries
+
+    load_all()
+    compacted = queries()["q_posting_compact"](spark, sf_small).collect()
+    full = queries()["q_posting_index_build"](spark, sf_small).collect()
+    assert [r.asDict() for r in compacted] == [r.asDict() for r in full]
+
+
+def test_ann_commit_is_idempotent_and_delta_only(spark, sf_small):
+    """The append commit must touch only its own segment: seg_0 (the
+    base codes) is never rewritten, a re-run commits nothing new
+    (manifest already covers the corpus), and the manifest lists
+    exactly base + delta."""
+    from etl_ai_assistent_spark.queries import clustering as CL
+
+    path = CL.ann_commit_delta(spark, sf_small)
+    man = CL._grow_manifest(path)
+    assert man["segments"] == ["seg_0", "seg_1"]
+    seg0 = os.path.join(path, "codes", "seg_0", "_SUCCESS")
+    seg1 = os.path.join(path, "codes", "seg_1", "_SUCCESS")
+    m0, m1 = os.path.getmtime(seg0), os.path.getmtime(seg1)
+    CL.ann_commit_delta(spark, sf_small)
+    assert os.path.getmtime(seg0) == m0, "base segment was rewritten"
+    assert os.path.getmtime(seg1) == m1, "delta segment was rewritten"
+    assert CL._grow_manifest(path) == man
+
+
+def test_ann_committed_codes_equal_full_encode(spark, sf_small):
+    """Segment-commit law for the ANN store: the manifest-resolved
+    union of committed segments must be row-identical to encoding the
+    ENTIRE corpus against the stored base codebooks in one pass — a
+    dropped row, a duplicate, or a wrong-codebook delta all diverge."""
+    from etl_ai_assistent_spark import io
+    from etl_ai_assistent_spark.operators import kmeans as KM
+    from etl_ai_assistent_spark.operators import pq as PQ
+    from etl_ai_assistent_spark.queries import clustering as CL
+
+    path = CL.ann_commit_delta(spark, sf_small)
+    committed = CL.grow_codes(spark, path)
+    cbs = CL._literal_codebooks(
+        spark, CL._load_codebook_rows(path, "codebooks")
+    )
+    emb = io.load_table(spark, sf_small, "embeddings").select(
+        "vec_id", KM.quantize("embedding").alias("qv")
+    )
+    full = PQ.encode(emb, cbs, dim=CL.DIM)
+    assert committed.exceptAll(full).count() == 0
+    assert full.exceptAll(committed).count() == 0
