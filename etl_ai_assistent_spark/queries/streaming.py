@@ -1095,6 +1095,40 @@ def q_stream_profile_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.run_to_memory(agg, prefix="profile_lookup", mode="complete")
 
 
+@register(
+    "q_profile_maintain",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS hist_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS hist_cents
+FROM events
+GROUP BY 1
+""",
+)
+def q_profile_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store MAINTENANCE as a first-class query (r10 verdict
+    #4): the published per-user profile is refreshed under an arriving
+    event batch by ALGEBRAIC DELTA APPLICATION — the batch aggregates
+    to per-user (+count, +cents) deltas that full-outer-merge onto the
+    stored groups-sized artifact (operators/incremental.py, the
+    q_incremental_agg gate applied to a DISK artifact) — and the
+    refreshed version is published atomically under the store
+    contract. The returned rows are read back from the PUBLISHED
+    files, and the DuckDB oracle is the full per-user recompute over
+    ALL events, so the gate proves maintenance ≡ recomputation on the
+    served artifact itself: a dropped batch, a double-applied delta,
+    or a torn publish all fail. Cost per refresh is O(|batch| +
+    |groups|) instead of user_profile_table's full history rescan —
+    at 100 TB the difference between a per-CDC-batch job and an
+    hours-long rebuild. tests/test_serving_stores.py pins the
+    reconciliation law against the full-rebuild artifact."""
+    path = SP.maintain_profile_table(spark, sf_dir)
+    return spark.read.schema(
+        "user_id bigint, hist_events bigint, hist_cents bigint"
+    ).parquet(path)
+
+
 from .clustering import PQ_MQ_ORACLE as _PQ_MQ_ORACLE  # noqa: E402
 
 

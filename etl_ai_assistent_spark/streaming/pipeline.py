@@ -67,6 +67,114 @@ def user_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# --- incremental profile maintenance (r10 verdict #4) -----------------------
+#
+# user_profile_table FULL-REBUILDS the profile per events version even
+# though the repo owns the algebraic-upkeep operator
+# (operators/incremental.py, gated by q_incremental_agg). These wire
+# them: the published profile artifact is MAINTAINED under an append
+# batch at O(|batch| + |groups|) delta cost and re-published under the
+# store contract — the feature-store refresh job a 100 TB deployment
+# runs per CDC batch instead of re-aggregating the fact table.
+
+PROFILE_BATCH_MOD, PROFILE_BATCH_REM = 10, 7  # the arriving event batch
+
+
+def _profile_cents():
+    return F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+
+
+def profile_base_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRE-BATCH profile artifact: per-user rollup of the events
+    history MINUS the arriving batch (event_id % 10 == 7) — yesterday's
+    published feature store. Its own fingerprint-keyed version under
+    the profile family (the batch spec rides the key)."""
+    tag, n_rows, fp = ST.corpus_key(sf_dir, "events")
+    path = os.path.join(
+        ST.store_root(),
+        "spark_graft_profile_store_v1",
+        f"{tag}_{n_rows}_{fp}_base{PROFILE_BATCH_MOD}x{PROFILE_BATCH_REM}",
+    )
+
+    def build(tmp: str) -> None:
+        ev = io.load_table(spark, sf_dir, "events").filter(
+            F.col("event_id") % PROFILE_BATCH_MOD != PROFILE_BATCH_REM
+        )
+        prof = ev.groupBy("user_id").agg(
+            F.count("*").cast("bigint").alias("hist_events"),
+            F.sum(_profile_cents()).cast("bigint").alias("hist_cents"),
+        )
+        prof.write.mode("overwrite").parquet(tmp)
+
+    ST.publish(
+        path,
+        build,
+        validate=lambda p: ST.has_success(p) and ST.parquet_rows(p) > 0,
+    )
+    return spark.read.parquet(path)
+
+
+def maintain_profile_table(spark: SparkSession, sf_dir: str) -> str:
+    """Apply the arriving event batch to the STORED base profile with
+    the algebraic delta operator (operators/incremental.py — the
+    q_incremental_agg machinery applied to a disk artifact) and
+    publish the refreshed profile version under the store contract.
+    Events are append-only, so every change is an unmatched insert:
+    the maintenance plan aggregates the BATCH to per-user deltas and
+    full-outer-merges them onto the groups-sized stored profile —
+    never a rescan of history (the batch⋈base key join the operator
+    carries for update/delete retraction matches nothing here and
+    AQE broadcasts the batch side). Returns the published path."""
+    from ..operators.incremental import incremental_group_sums
+
+    tag, n_rows, fp = ST.corpus_key(sf_dir, "events")
+    path = os.path.join(
+        ST.store_root(),
+        "spark_graft_profile_maint_v1",
+        f"{tag}_{n_rows}_{fp}",
+    )
+
+    def build(tmp: str) -> None:
+        base_prof = profile_base_table(spark, sf_dir).select(
+            "user_id",
+            F.col("hist_events").alias("n"),
+            F.col("hist_cents").alias("sum_measure"),
+        )
+        ev = io.load_table(spark, sf_dir, "events")
+        is_batch = (
+            F.col("event_id") % PROFILE_BATCH_MOD == PROFILE_BATCH_REM
+        )
+        base_ev = ev.filter(~is_batch).select(
+            "event_id", "user_id", _profile_cents().alias("cents")
+        )
+        batch = ev.filter(is_batch).select(
+            "event_id",
+            "user_id",
+            _profile_cents().alias("cents"),
+            F.lit("I").alias("op"),
+        )
+        maintained = incremental_group_sums(
+            base_prof,
+            base_ev,
+            batch,
+            key="event_id",
+            group_col="user_id",
+            measure_col="cents",
+        )
+        maintained.select(
+            "user_id",
+            F.col("n").alias("hist_events"),
+            F.col("sum_measure").alias("hist_cents"),
+        ).write.mode("overwrite").parquet(tmp)
+
+    ST.publish(
+        path,
+        build,
+        validate=lambda p: ST.has_success(p) and ST.parquet_rows(p) > 0,
+    )
+    return path
+
+
 def _events_stream_schema(spark: SparkSession, any_file: str) -> T.StructType:
     """A file-source stream needs a declared schema; hardcoding one
     silently mis-decodes when the landing files re-type a column (the

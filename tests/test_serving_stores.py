@@ -252,3 +252,18 @@ def test_ann_committed_codes_equal_full_encode(spark, sf_small):
     full = PQ.encode(emb, cbs, dim=CL.DIM)
     assert committed.exceptAll(full).count() == 0
     assert full.exceptAll(committed).count() == 0
+
+
+def test_profile_maintenance_reconciles_with_full_rebuild(spark, sf_small):
+    """Feature-store maintenance law: the profile artifact published
+    by delta application (stored base profile + per-user batch deltas)
+    must be row-identical to the full-rebuild artifact
+    (user_profile_table's groupBy over the complete history) — the
+    q_incremental_agg maintenance≡recompute gate applied to the DISK
+    artifacts themselves."""
+    path = SP.maintain_profile_table(spark, sf_small)
+    maintained = spark.read.parquet(path)
+    full = SP.user_profile_table(spark, sf_small)
+    assert maintained.exceptAll(full).count() == 0
+    assert full.exceptAll(maintained).count() == 0
+    assert maintained.count() == full.count() > 0
