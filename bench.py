@@ -62,6 +62,10 @@ HEADLINE = [
     # every lexical ranker below measures ranking, not tokenization
     "q_posting_index_build",
     "q_posting_delta_merge",
+    # r11: the LSM WRITE path — first run folds the delta into a new
+    # published base (commit cost, recorded under cold); warm runs
+    # audit the published artifact
+    "q_posting_compact",
     "q_importance_resample",
     "q_rag_retrieval",
     # sketches / physical design / iterative graph (round-2 families).
@@ -82,6 +86,9 @@ HEADLINE = [
     # r10: stream-static feature-store enrichment (profile published
     # under the store contract; first run pays the tiny profile build)
     "q_stream_profile_lookup",
+    # r11: feature-store maintenance — first run publishes base profile
+    # + delta-applied refresh (cold); warm runs read the artifact
+    "q_profile_maintain",
     # q_stream_ann_lookup is correctness-gated and in the scale trend
     # (flat ~7 s across 3 decades) but excluded here for the same
     # reason as q_stream_stateful_totals: its wall clock is 4 triggers
@@ -108,6 +115,10 @@ HEADLINE = [
     # r10: incremental maintenance — O(|delta|) encode off the stored
     # codebooks (runs warm behind the ladder's store adoption)
     "q_ann_delta_encode",
+    # r11: the ANN append COMMIT — first run builds the growable base
+    # store + commits the delta segment (cold); warm runs audit the
+    # manifest-resolved artifact
+    "q_ann_codes_commit",
     # round-5/6 families: graph, window/array breadth, lakehouse
     # maintenance, integrity checksums, merge-on-read CDC
     "q_triangle_count",
@@ -213,6 +224,14 @@ HEADLINE = [
     "q_urgent_backlog",
     "q_discount_revenue",
     "q_returned_revenue",
+    # round-11: TPC-H Q4/Q5/Q12/Q14/Q19 shapes (semi-join window,
+    # 6-table cycle, conditional buckets, promo ratio, disjunctive
+    # pushdown)
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q12",
+    "q_tpch_q14",
+    "q_tpch_q19",
     # round-7: Fellegi-Sunter linkage with measured confusion table
     "q_linkage_score",
     # round-7: IVF recall/cost curve (nprobe sweep)
@@ -243,6 +262,12 @@ INDEX_COLD = (
     # and the TF posting-store build (corpus tokenization)
     "q_ann_index_build",
     "q_posting_index_build",
+    # r11: the maintenance WRITE paths — first run publishes the
+    # compacted posting base / the growable ANN store + delta commit /
+    # the delta-refreshed profile artifact
+    "q_posting_compact",
+    "q_ann_codes_commit",
+    "q_profile_maintain",
     "q_pq_adc_topk",
     "q_ivfpq_topk",
     "q_pq_multiquery_topk",
