@@ -100,6 +100,29 @@ FINDINGS = {
         " a theoretically-smaller input does not pay for a new"
         " materialization boundary unless the shrink is large"
     ),
+    "relational_decade2_drift_r11": (
+        "r10 verdict #7 asked for a named cause for q_pricing_summary"
+        " 7.25 / q_revenue_by_nation 6.27 / q_exact_dedup 6.32 decade-2"
+        " ratios drifting up vs their r9 recordings (~2-4). The r11"
+        " isolated re-measure NAMED it: hypervisor co-tenant"
+        " interference on the round's host, not plan shape. Evidence:"
+        " (a) during storms the same sf10 decimal aggregations ran 15-"
+        "20x slower (q_pricing_summary 134 s vs 8.7 s recorded r10)"
+        " with 85-99% KERNEL time, 13.7% steal time, and 430-500 ms"
+        " young GC pauses (jstat: 10x normal), while the decimal-free"
+        " q_exact_dedup reproduced its r10 number (5.8 vs 4.3 s);"
+        " (b) in a quiet window minutes later the identical sf1 plans"
+        " ran q_pricing_summary 2.93 s / q_revenue_by_nation 1.91 s /"
+        " q_exact_dedup 0.99 s — consistent with the r9/r10 era;"
+        " (c) the storm punishes allocation-heavy paths hardest"
+        " (high-precision DECIMAL sums compile to BigDecimal once the"
+        " sum precision exceeds 18 digits; long-arithmetic twins of"
+        " the same aggregation measured 2.5x faster warm and degrade"
+        " far less under the storm). Cross-round decade-2 ratio"
+        " comparisons are therefore host-noise-bounded for"
+        " decimal-heavy queries; the committed points carry whatever"
+        " the host gave with this finding as context"
+    ),
     "q_token_stats_decade2": (
         "the r9 12.13x decade-2 ratio did not reproduce under the r10"
         " isolated profile: scan-only is footer-trivial at both"
