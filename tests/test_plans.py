@@ -64,6 +64,7 @@ ALLOWED_CROSS = {
     "q_rfm_segments",  # 3x 1-row (min,max) range-stat broadcasts (rank auto-bucket)
     "q_ann_index_build",  # 6x 1-row artifact-checksum aggregates joined into the audit row
     "q_ann_delta_encode",  # per-subspace K-row codebook broadcasts (kmeans.assign)
+    "q_ann_codes_commit",  # 2x 1-row artifact-checksum aggregates joined into the audit row
 }
 
 # Streaming memory-sink queries execute eagerly on construction; the
@@ -278,7 +279,10 @@ def test_disjunctive_pushdown_reaches_both_scans(spark, sf_small):
         ln for ln in plan.splitlines()
         if "FileScan" in ln and "lineitem" in ln
     )
-    assert "Brand#12" in part_scan and "p_size" in part_scan, part_scan
+    # the rendered plan truncates long filter lists, so match the
+    # disjunction's structural prefix rather than a literal deep inside
+    assert "Or(Or(And(EqualTo(p_brand" in part_scan, part_scan
+    assert "p_size" in part_scan, part_scan
     assert "l_quantity" in li_scan, li_scan
 
 
