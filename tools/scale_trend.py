@@ -123,6 +123,18 @@ FINDINGS = {
         " decimal-heavy queries; the committed points carry whatever"
         " the host gave with this finding as context"
     ),
+    "d3_build_parallelism": (
+        "the sf100 trigram store build ran as only 10 tasks on 32"
+        " cores: the 1000-replica fixture is ONE ~450 MB parquet file"
+        " and scan parallelism is bounded by its input splits"
+        " (maxPartitionBytes), so the once-per-corpus tokenization"
+        " underused the host ~3x. Production corpora are many files"
+        " and do not hit this; if a single-file corpus ever matters,"
+        " the build side needs an explicit post-scan repartition —"
+        " left unchanged here because touching the store WRITER bumps"
+        " the layout version and forces fleet-wide rebuilds for a"
+        " fixture-only effect"
+    ),
     "q_token_stats_decade2": (
         "the r9 12.13x decade-2 ratio did not reproduce under the r10"
         " isolated profile: scan-only is footer-trivial at both"
