@@ -117,8 +117,10 @@ HEADLINE = [
     "q_ann_delta_encode",
     # r11: the ANN append COMMIT — first run builds the growable base
     # store + commits the delta segment (cold); warm runs audit the
-    # manifest-resolved artifact
+    # manifest-resolved artifact. The serve twin reads the grown
+    # (two-segment) codes and must match the single-store ADC shape.
     "q_ann_codes_commit",
+    "q_ann_grown_topk",
     # round-5/6 families: graph, window/array breadth, lakehouse
     # maintenance, integrity checksums, merge-on-read CDC
     "q_triangle_count",

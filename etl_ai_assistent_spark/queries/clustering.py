@@ -1376,3 +1376,58 @@ def q_ann_codes_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "code_wsum",
         )
     )
+
+
+_GROW_Q_CTES = ",".join(
+    f"""
+gqs_{i} AS (SELECT qv FROM fe_s{i} WHERE vec_id = 0),
+gtab_{i} AS (SELECT c.cid, {_D2W} AS d FROM gc1_{i} c, gqs_{i} v),
+gad_{i} AS (
+  SELECT k.vec_id, t.d FROM fe_code_{i} k JOIN gtab_{i} t ON t.cid = k.code
+)"""
+    for i in range(M_SUB)
+)
+
+
+@register(
+    "q_ann_grown_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+),
+tr AS (
+  SELECT * FROM q
+  WHERE vec_id < (SELECT (count(*) * {ANN_GROW_NUM}) // {ANN_GROW_DEN}
+                  FROM embeddings)
+),{",".join(_pq_sub_ctes(i, src="tr", p="g", with_query=False) for i in range(M_SUB))},{",".join(_pq_full_encode_ctes(i) for i in range(M_SUB))},{_GROW_Q_CTES}
+SELECT a0.vec_id,
+       CAST(a0.d + a1.d + a2.d + a3.d AS BIGINT) AS adc_dist
+FROM gad_0 a0
+JOIN gad_1 a1 USING (vec_id)
+JOIN gad_2 a2 USING (vec_id)
+JOIN gad_3 a3 USING (vec_id)
+ORDER BY adc_dist, vec_id
+LIMIT {PQ_TOPK}
+""",
+)
+def q_ann_grown_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving off the GROWN store — the proof that the append commit
+    changes nothing for readers: ADC top-{PQ_TOPK} for the vec_id-0
+    probe over the manifest-resolved union of ALL committed code
+    segments (base seg_0 + delta seg_1), scored against the stored
+    base-trained codebooks. The plan is identical in shape to
+    q_pq_adc_topk's serve path (map-literal lookups over a codes scan,
+    TakeOrderedAndProject — no join, no vector shuffle); the only
+    difference is that the codes arrive from two segments the commit
+    published. The DuckDB oracle replays base-slice training +
+    full-corpus encoding + ADC, so a reader that misses a segment,
+    double-reads one, or scores delta codes against refreshed
+    codebooks fails the gate. Together with q_ann_codes_commit this
+    closes the maintenance loop: absorb appends at O(|delta|), serve
+    the grown corpus unchanged."""
+    from ..operators import pq as PQ
+
+    path = ann_commit_delta(spark, sf_dir)
+    cb_rows = _load_codebook_rows(path, "codebooks")
+    tables = PQ.adc_table_rows(_probe_vector(sf_dir), cb_rows)
+    return PQ.adc_topk(grow_codes(spark, path), tables, k=PQ_TOPK)
