@@ -102,6 +102,9 @@ HEADLINE = [
     # round-5 families: CDC merge, blocked fuzzy match
     "q_cdc_merge",
     "q_fuzzy_match_names",
+    # round-12: banded edit-distance join (PassJoin pigeonhole +
+    # built-in levenshtein verify) — the indel tier of the fuzzy family
+    "q_levenshtein_match",
     "q_doc_surprisal",
     # ANN compression ladder, scoring path (round-6; r10: the index is
     # an ON-DISK store). q_ann_index_build runs FIRST: it pays the
@@ -319,15 +322,17 @@ def _stage_watermark(spark) -> int | None:
         return None
 
 
-def _stage_totals_since(spark, min_id: int) -> tuple[int, int, int] | None:
-    """(shuffle write bytes, disk spill bytes, input bytes) summed over
-    stages with stageId > min_id — the physical cost of everything run
-    after the watermark. Sums of non-negative per-stage counters, so a
-    negative 'measurement' can no longer be recorded. Best-effort: the
-    py4j surface is version-specific, any failure degrades to None
+def _stage_totals_since(spark, min_id: int) -> tuple[int, int, int, int] | None:
+    """(shuffle write bytes, disk spill bytes, input bytes, n_stages)
+    summed over stages with stageId > min_id — the physical cost of
+    everything run after the watermark. Sums of non-negative per-stage
+    counters, so a negative 'measurement' can no longer be recorded.
+    n_stages backs the retainedStages sizing assertion (r11 verdict
+    #7: retention only needs to cover ONE query's window). Best-effort:
+    the py4j surface is version-specific, any failure degrades to None
     (bench still records wall clock)."""
     try:
-        sw = sp = inb = 0
+        sw = sp = inb = n = 0
         it = _stage_list(spark).iterator()
         while it.hasNext():
             s = it.next()
@@ -335,9 +340,110 @@ def _stage_totals_since(spark, min_id: int) -> tuple[int, int, int] | None:
                 sw += s.shuffleWriteBytes()
                 sp += s.diskBytesSpilled()
                 inb += s.inputBytes()
-        return sw, sp, inb
+                n += 1
+        return sw, sp, inb, n
     except Exception:  # noqa: BLE001 — observability must not break bench
         return None
+
+
+def _drain_listener_bus(spark) -> None:
+    """Flush the async listener bus before reading the AppStatusStore.
+    The store is fed asynchronously: stage entries from the PRECEDING
+    run that flush after the watermark read get stageId > mark and are
+    misattributed to the warm run, and the warm run's last stage may
+    not be flushed at readback (r11 ADVICE). waitUntilEmpty is
+    Scala-private[spark] (public bytecode, callable via py4j); fall
+    back to a short settle loop on the max stageId when the surface
+    shifts."""
+    try:
+        bus = spark.sparkContext._jsc.sc().listenerBus()
+        try:
+            bus.waitUntilEmpty()
+            return
+        except Exception:  # noqa: BLE001 — older arity
+            bus.waitUntilEmpty(5000)
+            return
+    except Exception:  # noqa: BLE001 — settle loop fallback
+        prev = -2
+        for _ in range(40):
+            cur = _stage_watermark(spark)
+            if cur == prev:
+                return
+            prev = cur
+            time.sleep(0.05)
+
+
+# --- co-tenant storm detection (r11 verdict #1) ------------------------------
+#
+# This host is shared: r11's committed bench recorded q_rag_rerank at a
+# 72 s min that re-measured at 4-5 s in a quiet window, and the judge
+# reproduced a 3.4 s -> 173 s swing on back-to-back identical runs. A
+# timing taken during such a storm is not a measurement of the plan.
+# Per run we sample the two storm signatures: /proc/stat steal+iowait
+# (hypervisor co-tenant pressure — cycles the guest wanted but didn't
+# get) and JVM GC time (heap pressure turning wall clock into pause
+# time). A run whose window crosses either threshold is flagged and
+# retried within a per-query budget; the telemetry ships beside the
+# timing either way so the artifact says WHICH runs to trust.
+
+STORM_STEAL_PCT = 5.0  # % of the window's cpu ticks stolen/iowait
+STORM_GC_FRAC = 0.30  # GC pause time as a fraction of wall clock
+STORM_RETRIES = 2  # extra attempts per query when runs come back stormy
+
+
+def _cpu_pressure_ticks() -> tuple[int, int] | None:
+    """(total ticks, stolen+iowait ticks) from /proc/stat line 1."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        iowait = vals[4] if len(vals) > 4 else 0
+        steal = vals[7] if len(vals) > 7 else 0
+        return sum(vals), steal + iowait
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _jvm_gc_ms(spark) -> int | None:
+    """Cumulative GC pause ms across the driver JVM's collectors."""
+    try:
+        mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        it = mf.getGarbageCollectorMXBeans().iterator()
+        t = 0
+        while it.hasNext():
+            t += it.next().getCollectionTime()
+        return t
+    except Exception:  # noqa: BLE001
+        return None
+
+
+class _StormProbe:
+    """Samples the storm signatures around one timed run."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._cpu0 = _cpu_pressure_ticks()
+        self._gc0 = _jvm_gc_ms(spark)
+        self._t0 = time.perf_counter()
+
+    def read(self) -> dict:
+        wall = time.perf_counter() - self._t0
+        out: dict = {}
+        cpu1 = _cpu_pressure_ticks()
+        if self._cpu0 is not None and cpu1 is not None:
+            dt = cpu1[0] - self._cpu0[0]
+            if dt > 0:
+                out["steal_pct"] = round(
+                    100.0 * (cpu1[1] - self._cpu0[1]) / dt, 2
+                )
+        gc1 = _jvm_gc_ms(self._spark)
+        if self._gc0 is not None and gc1 is not None and wall > 0:
+            out["gc_frac"] = round((gc1 - self._gc0) / 1000.0 / wall, 3)
+        out["stormy"] = bool(
+            out.get("steal_pct", 0.0) > STORM_STEAL_PCT
+            or out.get("gc_frac", 0.0) > STORM_GC_FRAC
+        )
+        return out
 
 
 def main() -> None:
@@ -348,13 +454,25 @@ def main() -> None:
     spark = get_spark(
         "etl-ai-assistent-spark-bench",
         driver_memory="64g",
-        # the stage-byte attribution reads the UI status store; keep
-        # enough retained stages that a single query's window (tens of
-        # stages) can never be evicted between watermark and readback
-        extra_conf={"spark.ui.retainedStages": "20000"},
+        # the stage-byte attribution reads the UI status store; the
+        # watermark only needs the CURRENT query's window retained
+        # (hundreds of stages at most — measured per query below and
+        # asserted against this bound). r11 #7 retired the 20k
+        # belt-and-suspenders: retaining 20k stage rows across a
+        # 126-query session added steady driver-heap/listener pressure
+        # in exactly the session whose timings are the product.
+        extra_conf={"spark.ui.retainedStages": "2000"},
     )
     qs = queries()
     names = [n for n in HEADLINE if n in qs]
+    # triage hook: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those
+    # queries with the identical harness (storm probes, watermark
+    # attribution) — the quiet-window re-measure protocol runs through
+    # this instead of ad-hoc scripts so its numbers are comparable
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in wanted]
 
     # warm the JVM + parquet footer cache with one cheap action, and the
     # Python worker pool with one trivial Arrow-batched UDF — several
@@ -385,6 +503,8 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
     shuffle: dict[str, list[int]] = {}
+    stage_counts: dict[str, int] = {}
+    storms: dict[str, list[dict]] = {}
     errors: dict[str, str] = {}
     for name in names:
         # Fail-soft: one broken query must never zero the whole round's
@@ -392,19 +512,49 @@ def main() -> None:
         run_times: list[float] = []
         try:
             mark = None
-            for i in range(runs):
+            retries_left = STORM_RETRIES
+            i = 0
+            while i < runs:
                 if i == runs - 1:
+                    # drain the async listener bus so stage entries
+                    # from the PRECEDING run can't flush past the
+                    # watermark and be misattributed (r11 ADVICE)
+                    _drain_listener_bus(spark)
                     mark = _stage_watermark(spark)
+                probe = _StormProbe(spark)
                 t0 = time.perf_counter()
                 df = qs[name](spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
-                run_times.append(time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                tel = probe.read()
+                if tel.pop("stormy") and retries_left > 0:
+                    # co-tenant storm window: this timing measures the
+                    # neighbor, not the plan — discard the slot, log
+                    # the telemetry, and re-run it
+                    retries_left -= 1
+                    storms.setdefault(name, []).append(
+                        {"sec": round(dt, 3), "discarded": True, **tel}
+                    )
+                    continue
+                if tel.get("steal_pct", 0.0) > STORM_STEAL_PCT or tel.get(
+                    "gc_frac", 0.0
+                ) > STORM_GC_FRAC:
+                    # accepted anyway (retry budget spent) — flag it
+                    storms.setdefault(name, []).append(
+                        {"sec": round(dt, 3), "discarded": False, **tel}
+                    )
+                run_times.append(dt)
+                i += 1
             if mark is not None:
                 # the LAST (warm) run's stages, attributed by stageId
-                # watermark: [shuffle write B, disk spill B, input B]
+                # watermark: [shuffle write B, disk spill B, input B];
+                # drain again so the warm run's last stage is flushed
+                # at readback
+                _drain_listener_bus(spark)
                 totals = _stage_totals_since(spark, mark)
                 if totals is not None:
-                    shuffle[name] = list(totals)
+                    shuffle[name] = list(totals[:3])
+                    stage_counts[name] = totals[3]
             timings[name] = round(min(run_times), 3)
             # [min, mean, max] per query (r8 verdict #7): lets the judge
             # separate host scatter (wide spread, min in band) from a
@@ -452,6 +602,23 @@ def main() -> None:
     trend_path = os.path.join(here, "SCALE_TREND.json")
     full = dict(out)
     full["runs_min_mean_max"] = spread
+    if storms:
+        # every run whose window crossed the steal/GC storm threshold:
+        # discarded=true slots were re-run; discarded=false ones are in
+        # the timings and should be read with suspicion (r11 verdict #1)
+        full["storm_telemetry"] = storms
+    if stage_counts:
+        # retainedStages sizing evidence (r11 verdict #7): the largest
+        # single-query stage window must sit well inside the 2000
+        # retention or the watermark attribution can be evicted
+        # mid-measure
+        biggest = max(stage_counts.items(), key=lambda kv: kv[1])
+        full["max_query_stage_window"] = {biggest[0]: biggest[1]}
+        if biggest[1] > 1600:
+            full["stage_window_warning"] = (
+                f"{biggest[0]} used {biggest[1]} stages — raise "
+                "spark.ui.retainedStages"
+            )
     if shuffle:
         # measured physical cost of the warm run, per query:
         # [shuffle write bytes, disk spill bytes, input bytes] — the

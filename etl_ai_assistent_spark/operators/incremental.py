@@ -34,12 +34,13 @@ from pyspark.sql import functions as F
 
 def incremental_group_sums(
     base_agg: DataFrame,
-    base: DataFrame,
+    base: DataFrame | None,
     changes: DataFrame,
     key: str,
     group_col: str,
     measure_col: str,
     op_col: str = "op",
+    insert_only: bool = False,
 ) -> DataFrame:
     """Maintain (group_col, n, sum_measure) under a CDC batch.
 
@@ -48,42 +49,71 @@ def incremental_group_sums(
     snapshot (only the change keys' rows are read via the keyed join).
     changes: CDC rows with op ∈ I/U/D carrying the key, group and
     measure columns. Returns the post-merge aggregate; groups whose
-    count reaches zero disappear (as a recompute would have it)."""
-    old = base.select(
-        F.col(key).alias("_k"),
-        F.col(group_col).alias("_old_g"),
-        F.col(measure_col).cast("bigint").alias("_old_m"),
-        F.lit(1).alias("_matched"),
-    )
+    count reaches zero disappear (as a recompute would have it).
+
+    insert_only=True declares the batch APPEND-ONLY (every key is new
+    to the base): the retraction join is skipped entirely and `base`
+    may be None. This matters at 100 TB because the retraction join
+    keeps the batch on the PRESERVED left side of a left-outer join —
+    Spark only supports BuildRight broadcast for LeftOuter, so the
+    plan must shuffle (or broadcast) the entire BASE per refresh even
+    when no change key can possibly match (r11 ADVICE). With the fast
+    path, maintenance touches only the batch and the groups-sized
+    stored aggregate: O(|batch| + |groups|), no history scan. A D in
+    an insert_only batch is dropped — an unmatched D is a no-op under
+    the CDC rule anyway; callers own the every-key-is-new claim."""
     ch = changes.select(
         F.col(key).alias("_k"),
         F.col(op_col).alias("_op"),
         F.col(group_col).alias("_new_g"),
         F.col(measure_col).cast("bigint").alias("_new_m"),
     )
-    j = ch.join(old, "_k", "left")
+    if insert_only:
+        # append-only: nothing to retract, deltas are a pure aggregate
+        # of the batch — the base is never read
+        deltas = (
+            ch.filter(F.col("_op").isin("I", "U"))
+            .groupBy(F.col("_new_g").alias(group_col))
+            .agg(
+                F.count("*").cast("bigint").alias("_dn"),
+                F.sum("_new_m").cast("bigint").alias("_dm"),
+            )
+        )
+    else:
+        if base is None:
+            raise ValueError(
+                "incremental_group_sums: base required unless insert_only"
+            )
+        old = base.select(
+            F.col(key).alias("_k"),
+            F.col(group_col).alias("_old_g"),
+            F.col(measure_col).cast("bigint").alias("_old_m"),
+            F.lit(1).alias("_matched"),
+        )
+        j = ch.join(old, "_k", "left")
 
-    # ANY matched change retracts the old row's contribution: merge_apply
-    # upserts every op except D, so a matched I replaces the existing row
-    # exactly like a matched U (hypothesis caught the I-on-existing-key
-    # double count when this filtered to U/D only)
-    neg = j.filter(F.col("_matched").isNotNull()).select(
-        F.col("_old_g").alias(group_col),
-        F.lit(-1).cast("bigint").alias("_dn"),
-        (-F.col("_old_m")).alias("_dm"),
-    )
-    # every U adds its new value (matched U also removed the old one
-    # above; an unmatched U is merge.py's upsert fallthrough)
-    pos = j.filter(F.col("_op").isin("I", "U")).select(
-        F.col("_new_g").alias(group_col),
-        F.lit(1).cast("bigint").alias("_dn"),
-        F.col("_new_m").alias("_dm"),
-    )
-    deltas = (
-        neg.unionByName(pos)
-        .groupBy(group_col)
-        .agg(F.sum("_dn").alias("_dn"), F.sum("_dm").alias("_dm"))
-    )
+        # ANY matched change retracts the old row's contribution:
+        # merge_apply upserts every op except D, so a matched I
+        # replaces the existing row exactly like a matched U
+        # (hypothesis caught the I-on-existing-key double count when
+        # this filtered to U/D only)
+        neg = j.filter(F.col("_matched").isNotNull()).select(
+            F.col("_old_g").alias(group_col),
+            F.lit(-1).cast("bigint").alias("_dn"),
+            (-F.col("_old_m")).alias("_dm"),
+        )
+        # every U adds its new value (matched U also removed the old
+        # one above; an unmatched U is merge.py's upsert fallthrough)
+        pos = j.filter(F.col("_op").isin("I", "U")).select(
+            F.col("_new_g").alias(group_col),
+            F.lit(1).cast("bigint").alias("_dn"),
+            F.col("_new_m").alias("_dm"),
+        )
+        deltas = (
+            neg.unionByName(pos)
+            .groupBy(group_col)
+            .agg(F.sum("_dn").alias("_dn"), F.sum("_dm").alias("_dm"))
+        )
 
     merged = base_agg.join(deltas, group_col, "full_outer").select(
         group_col,

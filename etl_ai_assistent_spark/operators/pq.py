@@ -170,6 +170,63 @@ def probe_tables(
     return out
 
 
+def melt_codes(codes: DataFrame, m: int) -> DataFrame:
+    """The codes table unpivoted to (vec_id, subspace, cid) via stack
+    (codegen). Split out of adc_topk_multi so a SERVING loop (the
+    streaming ANN lookup's foreachBatch) can build it ONCE, persist
+    it, and pay only the probe join per trigger — the melt is the
+    corpus-sized, batch-independent half of the ADC plan (r11 verdict
+    #6: per-trigger cost was dominated by re-running this fixed
+    machinery for every micro-batch)."""
+    pairs = ", ".join(f"{i}, code_{i}" for i in range(m))
+    return codes.select(
+        "vec_id",
+        F.expr(f"stack({m}, {pairs}) AS (subspace, cid)"),
+    )
+
+
+def codebook_table(codebooks: list[DataFrame]) -> DataFrame:
+    """The M per-subspace codebooks as ONE (subspace, cid, cv)
+    DataFrame, so probe-table construction is a single equi-join on
+    subspace instead of M separate crossJoin branches — M× fewer plan
+    nodes per serving batch (the other half of the r11 verdict #6
+    per-trigger fixed cost)."""
+    out = None
+    for i, cb in enumerate(codebooks):
+        t = cb.select(F.lit(i).cast("int").alias("subspace"), "cid", "cv")
+        out = t if out is None else out.unionByName(t)
+    return out
+
+
+def probe_tables_flat(
+    queries: DataFrame, cb_table: DataFrame, *, m: int, dim: int
+) -> DataFrame:
+    """probe_tables with a PRE-MERGED codebook table: explode each
+    probe into its m subspace slices (one generator, not m plan
+    branches), equi-join the broadcast (subspace, cid, cv) table, and
+    score. Same (query_id, subspace, cid, d) contract as
+    probe_tables; one join regardless of m."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    w = dim // m
+    sliced = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), i ->"
+                f" struct(cast(i AS int) AS subspace,"
+                f" slice(qv, i * {w} + 1, {w}) AS qslice))"
+            )
+        ).alias("s"),
+    ).select("query_id", "s.subspace", "s.qslice")
+    return sliced.join(F.broadcast(cb_table), "subspace").select(
+        "query_id",
+        "subspace",
+        "cid",
+        KM.dist2(F.col("qslice"), F.col("cv")).alias("d"),
+    )
+
+
 def adc_topk_multi(
     codes: DataFrame, tables: DataFrame, m: int, k: int = 10
 ) -> DataFrame:
@@ -182,11 +239,15 @@ def adc_topk_multi(
     (query_id, vec_id) pairs that survive the join — M rows per
     (probe, vector), no floats, no per-query driver work (contrast
     adc_topk's single-probe map literal)."""
-    pairs = ", ".join(f"{i}, code_{i}" for i in range(m))
-    melted = codes.select(
-        "vec_id",
-        F.expr(f"stack({m}, {pairs}) AS (subspace, cid)"),
-    )
+    return adc_topk_multi_melted(melt_codes(codes, m), tables, k=k)
+
+
+def adc_topk_multi_melted(
+    melted: DataFrame, tables: DataFrame, k: int = 10
+) -> DataFrame:
+    """adc_topk_multi from a pre-melted (vec_id, subspace, cid) codes
+    table — the serving-loop entry point that lets the melt be built
+    once and cached across triggers."""
     scored = (
         melted.join(F.broadcast(tables), ["subspace", "cid"])
         .groupBy("query_id", "vec_id")

@@ -251,6 +251,35 @@ def _repersist(*dfs) -> None:
         df.persist()
 
 
+def cached_substrates(name, spark, sf_dir, build):
+    """Build-once/serve-many persisted substrate(s), bounded per sf_dir.
+
+    The generic form of the _INDEX_CACHE convention (r11 verdict #2):
+    a deterministic derived DataFrame that several consumers (or
+    several bench runs of the same query) re-read must be persisted
+    ONCE per (app, sf_dir), not once per call — a bare per-call
+    ``df.persist()`` with no unpersist leaks one pinned cache entry
+    per invocation, and across a 126-query × 3-run bench session those
+    hundreds of never-released entries compete with execution memory
+    (the adjudicated cause of q_rag_rerank's 72 s in-bench vs 4-5 s
+    isolated in r11). ``build`` returns a tuple of DataFrames; each is
+    persisted at the default level and re-marked on every cache hit
+    (clearCache() between bench queries unregisters plans —
+    _repersist restores them lazily)."""
+    key = (name, spark.sparkContext.applicationId, sf_dir)
+    _evict_other_sfs(sf_dir)
+    if key not in _INDEX_CACHE:
+        dfs = build()
+        if isinstance(dfs, DataFrame):
+            dfs = (dfs,)
+        for df in dfs:
+            df.persist()
+        _INDEX_CACHE[key] = tuple(dfs)
+    ent = _INDEX_CACHE[key]
+    _repersist(*ent)
+    return ent if len(ent) > 1 else ent[0]
+
+
 def _probe_vector(sf_dir: str) -> list[int]:
     """The serving query vector (vec_id 0) as lattice coordinates, read
     driver-side straight from the parquet fixture with DuckDB — a

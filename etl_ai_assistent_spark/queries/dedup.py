@@ -618,6 +618,63 @@ def q_fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_near_join(s, "id", "code", k=FUZZY_K)
 
 
+# --- banded edit-distance matching (indel-tolerant entity resolution) -------
+
+LEV_MAX_KEY = 400
+LEV_K = 1
+
+
+@register(
+    "q_levenshtein_match",
+    oracle=f"""
+WITH s0 AS (
+  SELECT c_custkey AS id, substr(c_name, length(c_name) - 3, 4) AS code
+  FROM customer WHERE c_custkey < {LEV_MAX_KEY}
+),
+tw AS (
+  SELECT id + 100000 AS id, substr(code, 1, 1) || substr(code, 3) AS code
+  FROM s0
+),
+s AS (SELECT * FROM s0 UNION ALL SELECT * FROM tw)
+SELECT a.id AS a_id, b.id AS b_id,
+       CAST(levenshtein(a.code, b.code) AS BIGINT) AS dist
+FROM s a JOIN s b ON a.id < b.id
+WHERE levenshtein(a.code, b.code) <= {LEV_K}
+""",
+)
+def q_levenshtein_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy self-match (operators/fuzzy.py
+    levenshtein_near_join): the indel-tolerant tier the Hamming
+    pigeonhole can't express — the reference DECLARES this capability
+    (rapidfuzz, an edit-distance library, in its pyproject.toml:22)
+    but never built it. Fixture is the corrupted-twin pattern from
+    q_fuzzy_match_names: each customer's 4-char name suffix plus a
+    twin with the 2nd character DELETED (a pure indel, invisible to
+    Hamming), matched at Levenshtein <= {LEV_K}.
+
+    Scale: PassJoin banding — candidates come from an equi-join of
+    canonical k+1-segment partitions against length-adjusted,
+    ±k-shifted probe substrings, so candidate volume is governed by
+    segment-block selectivity (the suffix carries the name's entropy;
+    the constant prefix is stripped exactly as the Hamming query
+    does); verification is Spark's BUILT-IN levenshtein expression on
+    deduplicated candidates only. The DuckDB oracle verifies by direct
+    all-pairs levenshtein on the bounded subset."""
+    from ..operators.fuzzy import levenshtein_near_join
+
+    c = io.load_table(spark, sf_dir, "customer")
+    s0 = c.filter(F.col("c_custkey") < LEV_MAX_KEY).select(
+        F.col("c_custkey").alias("id"),
+        F.expr("substr(c_name, length(c_name) - 3, 4)").alias("code"),
+    )
+    tw = s0.select(
+        (F.col("id") + 100000).alias("id"),
+        F.expr("substr(code, 1, 1) || substr(code, 3)").alias("code"),
+    )
+    s = s0.unionByName(tw)
+    return levenshtein_near_join(s, "id", "code", k=LEV_K)
+
+
 # --- semantic dedup (SemDeDup shape: cluster, then dedup within) ---------
 
 SEM_K = 8  # coarse clusters

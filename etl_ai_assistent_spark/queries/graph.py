@@ -163,19 +163,26 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # closing-edge check; persisting it computes the 4-way fact-table
     # edge derivation ONCE instead of once per alias. The edge set
     # itself is node²-bounded (≤300 rows for 25 nations) — trivially
-    # cacheable at any fact-table scale.
-    u = (
-        dir_edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    # cacheable at any fact-table scale. Both persists ride the
+    # bounded per-sf cache (r11 verdict #2: bare per-call persists
+    # leaked two pinned entries per bench run).
+    from .clustering import cached_substrates
+
+    def _build():
+        u = (
+            dir_edges.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .distinct()
         )
-        .distinct()
-        .persist()
-    )
-    # the oriented set feeds three scans (both wedge sides + closing
-    # edges) — persist it too, or each reference re-runs the degree
-    # aggregate and its two joins
-    oriented = TR.orient_by_degree(u).persist()
+        # the oriented set feeds three scans (both wedge sides +
+        # closing edges) — persist it too, or each reference re-runs
+        # the degree aggregate and its two joins
+        return u, TR.orient_by_degree(u)
+
+    _u, oriented = cached_substrates("tri_edges", spark, sf_dir, _build)
     return TR.per_node_counts(TR.triangles(oriented))
 
 
@@ -275,13 +282,16 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sym = u.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+    sym_raw = u.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         u.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    # every LPA round joins against sym — persist it or the 4-way
-    # fact-table edge derivation re-executes per round (the
-    # pagerank_int edges-persist rule)
-    sym = sym.persist()
+    # every LPA round joins against sym — persist it (through the
+    # bounded per-sf cache, r11 verdict #2) or the 4-way fact-table
+    # edge derivation re-executes per round (the pagerank_int
+    # edges-persist rule)
+    from .clustering import cached_substrates
+
+    sym = cached_substrates("lpa_sym", spark, sf_dir, lambda: sym_raw)
     nodes = nation.select(F.col("n_nationkey").alias("node"))
     labels = label_propagation(sym, nodes, iterations=LP_ITERS)
     w = Window.partitionBy("label")
@@ -381,15 +391,28 @@ def q_kcore_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a, b = cp.alias("a"), cp.alias("b")
-    u = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
-        .select(F.col("a.c").alias("a"), F.col("b.c").alias("b"))
-        .distinct()
-        .persist()  # feeds sym AND the edge-count side of k
-    )
-    sym = u.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        u.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).persist()  # every pruning round joins against sym
+
+    # u feeds sym AND the edge-count side of k; every pruning round
+    # joins against sym. Both persists ride the bounded per-sf cache
+    # (r11 verdict #2: the bare per-call persists pinned two new
+    # entries per bench run and were never released).
+    from .clustering import cached_substrates
+
+    def _build():
+        u = (
+            a.join(
+                b,
+                (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")),
+            )
+            .select(F.col("a.c").alias("a"), F.col("b.c").alias("b"))
+            .distinct()
+        )
+        sym = u.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionAll(u.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        return u, sym
+
+    u, sym = cached_substrates("kcore_edges", spark, sf_dir, _build)
     nodes = sym.select(F.col("src").alias("node")).distinct()
     kdf = (
         u.agg(F.count("*").cast("bigint").alias("n_edges"))

@@ -286,12 +286,16 @@ def _doc_probe_tf(
     consume it in 2-4 join branches. Before the store, each fresh app
     re-tokenized the corpus to rebuild it (the dominant cold cost of
     the retrieval family at sf10); now the build is once per corpus
-    version and apps adopt the files. The probe side stays in-plan:
-    it is N_PROBES documents, scan-pruned by the doc_id predicate."""
-    from pyspark import StorageLevel
+    version and apps adopt the files. The persist rides the bounded
+    per-sf cache (r11 verdict #2: the old per-call persist pinned one
+    new cache entry per retrieval query per bench run, never released
+    — the prime suspect for q_rag_rerank's in-bench 72 s vs 4-5 s
+    isolated). The probe side stays in-plan: it is N_PROBES documents,
+    scan-pruned by the doc_id predicate."""
+    from .clustering import cached_substrates
 
-    doc_tf = doc_tf_table(spark, sf_dir).persist(
-        StorageLevel.MEMORY_AND_DISK
+    doc_tf = cached_substrates(
+        "rag_doc_tf", spark, sf_dir, lambda: doc_tf_table(spark, sf_dir)
     )
     docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = TX.tokens(F.lower(F.col("text")))
@@ -1199,15 +1203,24 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     harvesting negatives harder than the positive — the label-noise
     regime ANCE filters for).
 
-    Scale: one pass over the shared BM25 ranking (persisted — it feeds
-    the gold-rank branch and the negatives branch), candidates bounded
-    to rank <= {HN_K + 1} before the per-probe re-rank, and the gold
+    Scale: one pass over the shared BM25 ranking (persisted through
+    the bounded per-sf cache — it feeds the gold-rank branch and the
+    negatives branch, and the old per-call persist leaked one pinned
+    entry per bench run, r11 verdict #2), candidates bounded to
+    rank <= {HN_K + 1} before the per-probe re-rank, and the gold
     table is |probes| rows riding a broadcast join. Nothing here
     touches the corpus beyond the posting-list joins the ranking
     already did."""
-    full = _bm25_ranked(
-        spark, sf_dir, tf_pair=_doc_probe_tf(spark, sf_dir)
-    ).persist()
+    from .clustering import cached_substrates
+
+    full = cached_substrates(
+        "bm25_full_ranking",
+        spark,
+        sf_dir,
+        lambda: _bm25_ranked(
+            spark, sf_dir, tf_pair=_doc_probe_tf(spark, sf_dir)
+        ),
+    )
     gold = (
         full.filter(F.col("doc_id") == F.col("probe_id"))
         .groupBy("probe_id")

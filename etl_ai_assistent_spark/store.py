@@ -214,13 +214,35 @@ def gc_runs(
             continue
         path = os.path.join(root, name)
         try:
-            if now - os.path.getmtime(path) < max_age_s:
+            if now - _newest_mtime(path) < max_age_s:
                 continue
         except OSError:
             continue  # vanished under a racing sweep
         shutil.rmtree(path, ignore_errors=True)
         removed.append(name)
     return removed
+
+
+def _newest_mtime(path: str) -> float:
+    """Liveness timestamp of a run dir = the NEWEST mtime anywhere under
+    it, not the top dir's. A live streaming checkpoint writes into
+    offsets/ and commits/ subdirs without touching the top directory's
+    mtime, so a stream running longer than max_age_s in one session
+    looked hour-stale to another session's sweep — which would rmtree
+    the live checkpoint out from under the stream (r11 ADVICE). The
+    walk costs one readdir pass over a run dir (small: checkpoints and
+    run sinks), paid only inside the gc path."""
+    newest = os.path.getmtime(path)
+    for dirpath, _dirnames, filenames in os.walk(path):
+        try:
+            newest = max(newest, os.path.getmtime(dirpath))
+            for fn in filenames:
+                newest = max(
+                    newest, os.path.getmtime(os.path.join(dirpath, fn))
+                )
+        except OSError:
+            continue  # file vanished mid-walk (live stream churn)
+    return newest
 
 
 def has_success(path: str) -> bool:

@@ -120,17 +120,25 @@ def maintain_profile_table(spark: SparkSession, sf_dir: str) -> str:
     q_incremental_agg machinery applied to a disk artifact) and
     publish the refreshed profile version under the store contract.
     Events are append-only, so every change is an unmatched insert:
-    the maintenance plan aggregates the BATCH to per-user deltas and
-    full-outer-merges them onto the groups-sized stored profile —
-    never a rescan of history (the batch⋈base key join the operator
-    carries for update/delete retraction matches nothing here and
-    AQE broadcasts the batch side). Returns the published path."""
+    the maintenance plan declares insert_only and the operator skips
+    the update/delete retraction join entirely — the batch aggregates
+    to per-user deltas and full-outer-merges onto the groups-sized
+    stored profile, and the event HISTORY is never read (r11 ADVICE:
+    the old path threaded history through the retraction join's
+    preserved-left-outer shape, which Spark can only execute by
+    shuffling or broadcasting the whole base — BuildRight-only for
+    LeftOuter — so each refresh silently rescanned history despite
+    the O(|batch|+|groups|) claim). Returns the published path."""
     from ..operators.incremental import incremental_group_sums
 
     tag, n_rows, fp = ST.corpus_key(sf_dir, "events")
     path = os.path.join(
         ST.store_root(),
-        "spark_graft_profile_maint_v1",
+        # v2: insert-only maintenance plan (v1 artifacts are value-
+        # identical but were built by the history-scanning plan; the
+        # family bump makes the published artifact the product of the
+        # code that claims it)
+        "spark_graft_profile_maint_v2",
         f"{tag}_{n_rows}_{fp}",
     )
 
@@ -144,9 +152,6 @@ def maintain_profile_table(spark: SparkSession, sf_dir: str) -> str:
         is_batch = (
             F.col("event_id") % PROFILE_BATCH_MOD == PROFILE_BATCH_REM
         )
-        base_ev = ev.filter(~is_batch).select(
-            "event_id", "user_id", _profile_cents().alias("cents")
-        )
         batch = ev.filter(is_batch).select(
             "event_id",
             "user_id",
@@ -155,11 +160,12 @@ def maintain_profile_table(spark: SparkSession, sf_dir: str) -> str:
         )
         maintained = incremental_group_sums(
             base_prof,
-            base_ev,
+            None,  # append-only: history is never read
             batch,
             key="event_id",
             group_col="user_id",
             measure_col="cents",
+            insert_only=True,
         )
         maintained.select(
             "user_id",

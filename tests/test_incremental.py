@@ -108,3 +108,72 @@ def test_delta_join_empty_terms_fold_away(spark):
     db_rdd = spark.createDataFrame([], "k int, pb int, _w bigint")
     dv_rdd = delta_join(a_rdd, da, b, db_rdd, key="k")
     assert dv_rdd._jdf.queryExecution().optimizedPlan().toString().count("Join") == 3
+
+
+def test_insert_only_fast_path_matches_general(spark):
+    """insert_only=True must equal the general path on an append-only
+    batch — the retraction join it skips matches nothing there, so
+    skipping it is a pure plan change (r11 ADVICE: the general path's
+    preserved-left-outer shape forces a full base scan per refresh)."""
+    base = _base(spark)
+    changes = spark.createDataFrame(
+        [(6, "I", "c", 60), (7, "I", "d", 70), (8, "I", "a", 5)],
+        "k int, op string, g string, m int",
+    )
+    general = incremental_group_sums(
+        _agg(base), base, changes, key="k", group_col="g", measure_col="m"
+    )
+    fast = incremental_group_sums(
+        _agg(base),
+        None,
+        changes,
+        key="k",
+        group_col="g",
+        measure_col="m",
+        insert_only=True,
+    )
+    assert _rows(fast) == _rows(general)
+    assert _rows(fast) == {
+        ("a", 3, 35),
+        ("b", 2, 70),
+        ("c", 2, 110),
+        ("d", 1, 70),
+    }
+
+
+def test_insert_only_plan_has_no_retraction_join(spark):
+    """The point of the fast path: ONE join in the whole plan (the
+    full-outer merge onto the stored aggregate) — no batch⋈base
+    retraction join, so no plan shape that could rescan history."""
+    base = _base(spark)
+    changes = spark.createDataFrame(
+        [(6, "I", "c", 60)], "k int, op string, g string, m int"
+    )
+    fast = incremental_group_sums(
+        _agg(base),
+        None,
+        changes,
+        key="k",
+        group_col="g",
+        measure_col="m",
+        insert_only=True,
+    )
+    plan = fast._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 1, plan
+
+
+def test_insert_only_requires_no_base(spark):
+    import pytest as _pytest
+
+    changes = spark.createDataFrame(
+        [(6, "I", "c", 60)], "k int, op string, g string, m int"
+    )
+    with _pytest.raises(ValueError):
+        incremental_group_sums(
+            _agg(_base(spark)),
+            None,
+            changes,
+            key="k",
+            group_col="g",
+            measure_col="m",
+        )

@@ -409,3 +409,60 @@ def test_retrieval_broadcasts_probe_side(spark, sf_small):
     the corpus-sized posting lists stay put."""
     plan = _plan(spark, "q_rag_retrieval", sf_small)
     assert "BroadcastHashJoin" in plan
+
+
+# --- persistent-RDD leak gate (r11 verdict #2) -------------------------------
+
+# Queries that persist shared substrates. Before r12 each CALL pinned a
+# fresh cache entry that was never released — across a 126-query ×
+# 3-run bench session that is hundreds of never-released entries
+# competing with execution memory (the adjudicated suspect for
+# q_rag_rerank's 72 s in-bench vs 4-5 s isolated). The fix routes every
+# such persist through clustering's bounded per-sf _INDEX_CACHE, whose
+# entries are keyed by (name, app, sf_dir): repeated calls re-serve the
+# SAME persisted plan, so the persistent-RDD count must not grow with
+# call count.
+LEAK_SUSPECTS = [
+    "q_bm25_retrieval",
+    "q_rag_rerank",
+    "q_hard_negatives",
+    "q_rag_fusion",
+    "q_triangle_count",
+    "q_label_propagation",
+    "q_kcore_prune",
+]
+
+
+def _persistent_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+@pytest.mark.parametrize("name", LEAK_SUSPECTS)
+def test_no_per_call_persist_leak(spark, sf_small, name):
+    """Materializing the same query twice must not grow the set of
+    pinned cache entries: call 2 serves the substrate persisted by
+    call 1 (bounded _INDEX_CACHE convention), never a fresh persist."""
+    qs = queries()
+    qs[name](spark, sf_small).write.format("noop").mode("overwrite").save()
+    after_first = _persistent_rdd_count(spark)
+    qs[name](spark, sf_small).write.format("noop").mode("overwrite").save()
+    after_second = _persistent_rdd_count(spark)
+    assert after_second <= after_first, (
+        f"{name}: persistent RDD count grew {after_first} -> "
+        f"{after_second} on a repeat call — a per-call persist leak"
+    )
+
+
+def test_persistent_rdd_count_bounded_after_sweep(spark, sf_small):
+    """The absolute bound: after materializing every leak-suspect query
+    the session's pinned entries stay within the substrate budget (one
+    per cached substrate name, not one per call)."""
+    qs = queries()
+    for name in LEAK_SUSPECTS:
+        qs[name](spark, sf_small).write.format("noop").mode("overwrite").save()
+        qs[name](spark, sf_small).write.format("noop").mode("overwrite").save()
+    # 7 queries share 5 distinct substrates (doc_tf, bm25 ranking,
+    # tri_edges pair, lpa_sym, kcore pair = 7 DataFrames) plus whatever
+    # earlier tests in the session legitimately pinned; 40 is far below
+    # the hundreds the per-call leak produced and far above the budget.
+    assert _persistent_rdd_count(spark) < 40

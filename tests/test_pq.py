@@ -218,3 +218,37 @@ def test_delta_encode_prunes_scan_and_matches_full_encode(spark, sf_small):
     assert df.count() == n - split
     assert df.exceptAll(full).count() == 0
     assert full.exceptAll(df).count() == 0
+
+
+def test_flat_probe_tables_match_per_subspace_path(spark, sf_small):
+    """probe_tables_flat (single explode + one equi-join against the
+    pre-merged codebook table) must produce the identical
+    (query_id, subspace, cid, d) rows as probe_tables' M crossJoin
+    branches — the serving-loop amortization (r11 verdict #6) is a
+    pure plan change."""
+    v = _vectors(spark, sf_small)
+    books = PQ.train_codebooks(v, m=M, k=K, iters=2, dim=DIM)
+    probes = v.filter(F.col("vec_id") < 3)
+    legacy = PQ.probe_tables(probes, books, dim=DIM)
+    flat = PQ.probe_tables_flat(
+        probes, PQ.codebook_table(books), m=M, dim=DIM
+    ).select(*legacy.columns)
+    assert flat.exceptAll(legacy).count() == 0
+    assert legacy.exceptAll(flat).count() == 0
+
+
+def test_melted_adc_matches_unmelted(spark, sf_small):
+    """adc_topk_multi_melted over a pre-built melt must equal
+    adc_topk_multi over raw codes — so caching the melt across
+    streaming triggers cannot change served results."""
+    v = _vectors(spark, sf_small)
+    books = PQ.train_codebooks(v, m=M, k=K, iters=2, dim=DIM)
+    codes = PQ.encode(v, books, dim=DIM)
+    probes = v.filter(F.col("vec_id") < 3)
+    tables = PQ.probe_tables_flat(
+        probes, PQ.codebook_table(books), m=M, dim=DIM
+    )
+    a = PQ.adc_topk_multi(codes, tables, m=M, k=TOPK)
+    b = PQ.adc_topk_multi_melted(PQ.melt_codes(codes, M), tables, k=TOPK)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

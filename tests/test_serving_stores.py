@@ -187,6 +187,33 @@ def test_gc_runs_sweeps_stale_keeps_fresh(tmp_path, monkeypatch):
     assert sorted(os.listdir(root)) == ["fresh_run", "kept_run"]
 
 
+def test_gc_runs_spares_live_stream_checkpoint(tmp_path, monkeypatch):
+    """A LIVE streaming checkpoint's top dir goes mtime-stale while new
+    offset files land inside offsets/ — gc must age by the newest mtime
+    found recursively, or a stream outliving max_age_s in one session
+    gets its checkpoint swept by another session's gc_runs (r11
+    ADVICE), crashing the stream."""
+    monkeypatch.setenv("SPARK_GRAFT_STORE_ROOT", str(tmp_path))
+    root = ST.runs_root()
+    ckpt = os.path.join(root, "live_ckpt")
+    offsets = os.path.join(ckpt, "offsets")
+    os.makedirs(offsets)
+    old = 1_600_000_000
+    # fresh offset file inside; then age every DIRECTORY mtime (the
+    # file write itself bumps offsets/'s mtime — simulate the stale
+    # top-dir state by aging dirs only)
+    with open(os.path.join(offsets, "42"), "w") as f:
+        f.write("{}")
+    os.utime(ckpt, (old, old))
+    removed = ST.gc_runs(max_age_s=3600.0)
+    assert removed == []
+    assert os.path.isdir(ckpt)
+    # once the inner files age out too, the checkpoint is sweepable
+    os.utime(offsets, (old, old))
+    os.utime(os.path.join(offsets, "42"), (old, old))
+    assert ST.gc_runs(max_age_s=3600.0) == ["live_ckpt"]
+
+
 def test_posting_compact_tokenizes_only_the_delta(spark, sf_small):
     """The compaction commit's build plan must fold the stored base in
     as a parquet scan (catalog table doc_tf_*base*) and tokenize ONLY
