@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import io
+from .relational import _money_units, _units_to_double
 from ..operators.asof import asof_join
 from ..operators.sessionize import sessionize
 from ..registry import register
@@ -68,7 +69,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("ts_s").alias("start_s"),
         F.max("ts_s").alias("end_s"),
-        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("session_value"),
+        _units_to_double(F.sum(_money_units("value")), 2).alias("session_value"),
     )
 
 
@@ -94,7 +95,7 @@ def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_start_s", "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+            _units_to_double(F.sum(_money_units("value")), 2).alias("total_value"),
             F.count_distinct("user_id").alias("n_users"),
         )
     )
@@ -332,10 +333,11 @@ def q_moving_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id",
         "event_id",
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .over(w)
-        .cast("double")
-        .alias("value_24h"),
+        # exact bigint cents through the range frame (no per-row
+        # BigDecimal in the window buffer), widened per row
+        _units_to_double(F.sum(_money_units("value")).over(w), 2).alias(
+            "value_24h"
+        ),
     )
 
 

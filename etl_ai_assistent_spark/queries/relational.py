@@ -96,8 +96,9 @@ def _units_to_double(c: str, k: int) -> F.Column:
     the observed case, 50777888124.4205 vs DuckDB's …420494); at the
     driver-gated scales totals are « 2^53 and both sides convert
     exactly."""
+    col = F.col(c) if isinstance(c, str) else c
     return (
-        F.col(c).cast(f"decimal(38,{k})")
+        col.cast(f"decimal(38,{k})")
         / F.lit(10**k).cast(f"decimal({k + 1},0)")
     ).cast("double")
 
@@ -287,9 +288,13 @@ WHERE o_custkey < 100
 """,
 )
 def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running per-customer spend in order-date order. Decimal running
-    sum -> exact at every row regardless of engine; ROWS frame with an
-    orderkey tiebreak makes the prefix deterministic under date ties."""
+    """Running per-customer spend in order-date order. The prefix sum
+    runs in exact bigint CENTS (a customer-lifetime total in cents
+    sits far under 2^63), widened to the oracle's double per row —
+    the window twin of the _exact_unit_sums rule: sum(decimal(22,2))
+    would allocate BigDecimal once per row per frame step. ROWS frame
+    with an orderkey tiebreak makes the prefix deterministic under
+    date ties."""
     o = io.load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
     w = (
         Window.partitionBy("o_custkey")
@@ -299,7 +304,9 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        _units_to_double(
+            F.sum(_money_units("o_totalprice")).over(w), 2
+        ).alias("running_spend"),
     )
 
 
@@ -319,8 +326,12 @@ def q_cube_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all 4 grouping sets in one
     pass (Catalyst Expand + single shuffle, not 4 scans)."""
     li = io.load_table(spark, sf_dir, "lineitem")
+    # exact bigint qty-cents through the Expand (≤5000/row: a long sum
+    # is safe past 10^15 rows), widened once — no per-row BigDecimal
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        _units_to_double(F.sum(_money_units("l_quantity")), 2).alias(
+            "sum_qty"
+        ),
         F.count("*").alias("n"),
     )
 
@@ -338,13 +349,26 @@ GROUP BY ROLLUP (CAST(year(o_orderdate) AS INT), o_orderstatus)
 def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP by (year, status): hierarchical totals in one shuffle."""
     o = io.load_table(spark, sf_dir, "orders")
-    return (
+    # two-level exact sum THROUGH the rollup: bigint cents per
+    # (year, status, partition) first — rollup of partials equals
+    # rollup of rows because sum is decomposable — then the rollup
+    # folds bucket-count-sized decimal(38,0) partials (totalprice
+    # cents run to 5e7/row, so the direct long sum would sit within
+    # 1.2x of 2^63 at the 10^11-order scale; the partition-bounded
+    # level 1 removes the ceiling entirely)
+    lvl1 = (
         o.withColumn("order_year", F.year("o_orderdate").cast("int"))
-        .rollup("order_year", "o_orderstatus")
+        .groupBy("order_year", "o_orderstatus", F.spark_partition_id().alias("_b"))
         .agg(
-            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
-            F.count("*").alias("n"),
+            F.sum(_money_units("o_totalprice")).alias("_t"),
+            F.count("*").alias("_n"),
         )
+    )
+    return lvl1.rollup("order_year", "o_orderstatus").agg(
+        _units_to_double(F.sum(F.col("_t").cast("decimal(38,0)")), 2).alias(
+            "total"
+        ),
+        F.sum("_n").cast("bigint").alias("n"),
     )
 
 
@@ -369,7 +393,7 @@ def q_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(_dec("l_quantity")).cast("double"))
+        .agg(_units_to_double(F.sum(_money_units("l_quantity")), 2))
     )
     return out.select(
         "l_returnflag",
@@ -660,15 +684,17 @@ def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer and every ordering custkey, with presence flags on both
     sides and zero-defaulted aggregates — rows missing from either side
     surface instead of vanishing. Completes the §2.6 join matrix
-    (equi/broadcast/semi/anti/as-of/range/full-outer). DECIMAL-exact
-    order totals widened to DOUBLE once."""
+    (equi/broadcast/semi/anti/as-of/range/full-outer). Exact bigint
+    CENTS per customer (orders-per-customer is a fixed dbgen ratio,
+    so the per-group total sits forever under 2^63 — no BigDecimal
+    buffer), widened to DOUBLE once."""
     customer = io.load_table(spark, sf_dir, "customer").select("c_custkey")
     orders = io.load_table(spark, sf_dir, "orders")
     order_tot = orders.groupBy("o_custkey").agg(
         F.count("*").cast("bigint").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
-        .cast("double")
-        .alias("total"),
+        _units_to_double(
+            F.sum(_money_units("o_totalprice")), 2
+        ).alias("total"),
     )
     j = customer.join(
         order_tot, customer["c_custkey"] == order_tot["o_custkey"], "full_outer"
@@ -1050,14 +1076,22 @@ def q_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
     )
-    price, disc = _dec("l_extendedprice"), _dec("l_discount", 3, 2)
-    return j.groupBy(
+    # revenue through the exact bigint-unit two-level sum (10^-4
+    # units) — the group count is tiny (bloc² × years) so every group
+    # funnels millions of rows through what was a BigDecimal buffer
+    price_u = _money_units("l_extendedprice")
+    disc_u = _money_units("l_discount")
+    totals = _exact_unit_sums(
+        j.withColumn("l_year", F.year("l_shipdate").cast("bigint")),
+        ["supp_nation", "cust_nation", "l_year"],
+        {"_rev": price_u * (100 - disc_u)},
+    )
+    return totals.select(
         "supp_nation",
         "cust_nation",
-        F.year("l_shipdate").cast("bigint").alias("l_year"),
-    ).agg(
-        F.sum(price * (_one() - disc)).cast("double").alias("revenue"),
-        F.count("*").alias("n_items"),
+        "l_year",
+        _units_to_double("_rev", 4).alias("revenue"),
+        F.col("_n").alias("n_items"),
     )
 
 
@@ -1121,22 +1155,28 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
     )
-    price, disc = _dec("l_extendedprice"), _dec("l_discount", 3, 2)
-    vol = price * (_one() - disc)
-    zero = F.lit(0).cast("decimal(12,2)")
-    agg = j.groupBy(
-        F.year("o_orderdate").cast("bigint").alias("o_year")
-    ).agg(
-        F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(zero))
-        .cast("double")
-        .alias("_num"),
-        F.sum(vol).cast("double").alias("_den"),
-        F.count("*").alias("n_items"),
+    # numerator/denominator in exact 10^-4 bigint units through the
+    # two-level sum (two groups total — the worst BigDecimal funnel),
+    # widened to the oracle's doubles before the share division
+    vol_u = _money_units("l_extendedprice") * (
+        100 - _money_units("l_discount")
     )
-    return agg.select(
+    totals = _exact_unit_sums(
+        j.withColumn("o_year", F.year("o_orderdate").cast("bigint")),
+        ["o_year"],
+        {
+            "_num": F.when(
+                F.col("supp_nation") == "NATION_1", vol_u
+            ).otherwise(F.lit(0).cast("bigint")),
+            "_den": vol_u,
+        },
+    )
+    return totals.select(
         "o_year",
-        F.round(F.col("_num") / F.col("_den"), 6).alias("mkt_share"),
-        "n_items",
+        F.round(
+            _units_to_double("_num", 4) / _units_to_double("_den", 4), 6
+        ).alias("mkt_share"),
+        F.col("_n").alias("n_items"),
     )
 
 
@@ -1511,10 +1551,14 @@ def q_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = io.load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity"
     )
+    # per-order qty in exact bigint cents (an order has ≤7 lineitems,
+    # but there are |orders| groups — the old decimal buffer allocated
+    # BigDecimal per group across the whole hash map); the HAVING
+    # threshold compares in cents, exact
     bulk = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).alias("sum_qty_dec"))
-        .filter(F.col("sum_qty_dec") > BULK_QTY)
+        .agg(F.sum(_money_units("l_quantity")).alias("_qc"))
+        .filter(F.col("_qc") > BULK_QTY * 100)
     )
     o = io.load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
@@ -1531,7 +1575,7 @@ def q_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderdate",
             "o_totalprice",
-            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+            _units_to_double("_qc", 2).alias("sum_qty"),
         )
     )
 
@@ -1564,36 +1608,47 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     demands, rather than an arbitrary LIMIT 1.
 
     Scale: revenue is one filtered scan + partial agg keyed on
-    suppkey (|suppliers| rows out); the max is a 1-row re-aggregation
-    of that small table, broadcast back as an equi-join on the EXACT
-    DECIMAL revenue (float equality would be a correctness landmine;
-    decimal equality is not), so no global sort and no single-
-    partition window appears anywhere. The shipdate band pushes to
-    the parquet scan."""
-    li = io.load_table(spark, sf_dir, "lineitem").select(
-        "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
-    )
-    rev = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    suppkey (|suppliers| rows out) in EXACT bigint 10^-4 units —
+    lineitems per supplier is a fixed dbgen ratio (~600 at every SF),
+    so the per-supplier unit total sits orders of magnitude under
+    2^63 at any corpus scale, and the hash map never holds a
+    BigDecimal; the max is a 1-row re-aggregation of that small
+    table, broadcast back as an equi-join on the exact INTEGER
+    revenue (float equality would be a correctness landmine; integer
+    equality is not), so no global sort and no single-partition
+    window appears anywhere. The shipdate band pushes to the parquet
+    scan. The shared rev substrate rides the bounded per-sf cache
+    (it feeds both the max and the winner join)."""
+    from .clustering import cached_substrates
+
+    def _build():
+        li = io.load_table(spark, sf_dir, "lineitem").select(
+            "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
         )
-        .groupBy("l_suppkey")
-        .agg(
-            F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount", 3, 2)))
-            .alias("total_rev")
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+            )
+            .groupBy("l_suppkey")
+            .agg(
+                F.sum(
+                    _money_units("l_extendedprice")
+                    * (100 - _money_units("l_discount"))
+                ).alias("_rev_u")
+            )
         )
-        .persist()  # feeds both the max and the winner join
-    )
-    mx = rev.agg(F.max("total_rev").alias("mx"))
+
+    rev = cached_substrates("top_rev_supplier", spark, sf_dir, _build)
+    mx = rev.agg(F.max("_rev_u").alias("mx"))
     s = io.load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.join(F.broadcast(mx), rev.total_rev == mx.mx)
+        rev.join(F.broadcast(mx), rev._rev_u == mx.mx)
         .join(s, rev.l_suppkey == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
-            F.col("total_rev").cast("double").alias("total_revenue"),
+            _units_to_double("_rev_u", 4).alias("total_revenue"),
         )
     )
 

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import io
+from .relational import _money_units, _units_to_double
 from ..functions import text as TX
 from ..operators import sketch as SK
 from ..operators.skew import salted_join
@@ -241,9 +242,9 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(
             F.count("*").cast("bigint").alias("n_items"),
-            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
-            .cast("double")
-            .alias("revenue"),
+            _units_to_double(
+                F.sum(_money_units("l_extendedprice")), 2
+            ).alias("revenue"),
         )
     )
 

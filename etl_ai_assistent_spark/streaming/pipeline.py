@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import io, schemas
+from ..queries.relational import _money_units, _units_to_double
 from .. import store as ST
 
 _qname_counter = itertools.count()
@@ -259,9 +260,11 @@ def tumbling_hourly(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts_ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(12,2)"))
-            .cast("double")
-            .alias("total_value"),
+            # exact bigint cents in the state store (a long slot, not
+            # a per-update BigDecimal allocation), widened on output
+            _units_to_double(F.sum(_money_units("value")), 2).alias(
+                "total_value"
+            ),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("hour_start_s"),
@@ -285,9 +288,11 @@ def sliding_windows(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts_ts", "2 hours", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(12,2)"))
-            .cast("double")
-            .alias("total_value"),
+            # exact bigint cents in the state store (a long slot, not
+            # a per-update BigDecimal allocation), widened on output
+            _units_to_double(F.sum(_money_units("value")), 2).alias(
+                "total_value"
+            ),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("win_start_s"),
@@ -308,9 +313,9 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         .groupBy(F.session_window("ts_ts", gap).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)"))
-            .cast("double")
-            .alias("session_value"),
+            _units_to_double(F.sum(_money_units("value")), 2).alias(
+                "session_value"
+            ),
         )
         .select(
             "user_id",
