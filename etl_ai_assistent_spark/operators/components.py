@@ -22,7 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+
+from .iterate import barrier, begin
 
 
 def connected_components(
@@ -33,18 +34,25 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """(node, component) for every node in `pairs`, component = min node
-    id reachable through the pair graph. Deterministic."""
-    edges = (
+    id reachable through the pair graph. Deterministic.
+
+    Each round ends at a lineage barrier (operators/iterate.py): labels
+    is referenced by both the neighbor join and its own rebuild, so the
+    previous persist() chain kept the ANALYZED plan growing per round
+    even though execution was deduplicated. The convergence collect
+    materializes the round's storage-backed checkpoint, so the next
+    round (and the final result) read cached blocks; nothing stays
+    pinned after the caller drops the result."""
+    begin(pairs.sparkSession)
+    edges = barrier(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
+    labels = barrier(
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -52,7 +60,7 @@ def connected_components(
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        new_labels = barrier(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
@@ -64,14 +72,9 @@ def connected_components(
                     < F.col("component")
                 ).cast("int").alias("changed"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
-        old = labels
-        labels = new_labels.drop("changed").persist(StorageLevel.MEMORY_AND_DISK)
-        old.unpersist()
-        new_labels.unpersist()
+        labels = new_labels.drop("changed")
         if changed == 0:
             break
-    edges.unpersist()
     return labels

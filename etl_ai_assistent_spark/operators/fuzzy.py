@@ -130,13 +130,6 @@ def hamming_near_join(
 # like hamming_near_join — strip constant prefixes first.
 
 
-def _seg_start(l, i, n_seg):
-    """1-based start of segment i for a length-l string — the same
-    canonical equal-split formula as segment_keys, so both sides of
-    the candidate join compute identical spans."""
-    return (l * i / n_seg).cast("int") + 1
-
-
 def levenshtein_probe_keys(
     df: DataFrame, id_col: str, s_col: str, k: int
 ) -> DataFrame:

@@ -9,6 +9,27 @@ Each round drops every node whose degree WITHIN the surviving subgraph
 is below k; round outputs are strict supersets of the true k-core and
 monotone decreasing, so fixed-R output is well-defined whether or not
 the fixpoint was reached.
+
+Plan shape (r13): each round references its predecessor exactly ONCE.
+The r12 version joined the alive set at BOTH edge endpoints per round,
+which duplicates the entire upstream lineage per reference — the
+analyzed plan grew exponentially in rounds (929 Exchange nodes / 5105
+formatted-plan lines at 4 rounds; planning, not data, dominated the
+query's wall clock, and persist() deduplicates execution, not
+planning). The single-reference round is EXACT, not an approximation:
+
+    alive_{i+1} = { v : deg_{alive_i}(v) >= k }
+
+where deg_{alive_i}(v) counts edges (v, u) with u in alive_i — WITHOUT
+restricting v to alive_i — equals the both-endpoints-restricted round,
+because alive sets shrink monotonically: a node dropped in round j had
+degree < k within alive_{j-1}, and its degree within any later
+alive_i ⊆ alive_{j-1} can only be smaller, so the k-filter alone keeps
+dead nodes dead. (Induction: alive_{i+1} ⊆ alive_i since v ∉ alive_i
+implies deg_{alive_i}(v) < k.) Only the FINAL degree report needs the
+explicit source-side restriction, because it is not k-filtered — and
+there the restriction is a semi-join on the aggregated node-count-sized
+output, not on the edge list.
 """
 
 from __future__ import annotations
@@ -20,17 +41,19 @@ from pyspark.sql import functions as F
 def subgraph_degrees(sym: DataFrame, alive: DataFrame) -> DataFrame:
     """Per-node degree restricted to the alive set: (node, d). `sym`
     is the symmetric edge list (src, dst); `alive` has one `node`
-    column. Two equi-joins (the alive side only shrinks — AQE
-    broadcasts it long before the edge set would fit) plus one
-    partial-agg'd count."""
-    s = alive.select(F.col("node").alias("_s"))
+    column. One edge-side equi-join on the dst endpoint, the
+    partial-agg'd count, then the src-endpoint restriction as a
+    SEMI-JOIN on the AGGREGATED (node-count sized) output — same rows
+    as filtering both endpoints before the count, but the second join
+    touches |nodes| rows instead of |edges| rows. The alive side only
+    shrinks — AQE broadcasts it long before the edge set would fit."""
     t = alive.select(F.col("node").alias("_t"))
-    return (
-        sym.join(s, F.col("src") == F.col("_s"))
-        .join(t, F.col("dst") == F.col("_t"))
+    deg = (
+        sym.join(t, F.col("dst") == F.col("_t"))
         .groupBy(F.col("src").alias("node"))
         .agg(F.count("*").cast("bigint").alias("d"))
     )
+    return deg.join(alive.select("node"), "node", "left_semi")
 
 
 def degree_prune(
@@ -39,14 +62,20 @@ def degree_prune(
     """`iters` synchronous pruning rounds at threshold k (a 1-row
     DataFrame with column `k`, broadcast into each round's filter so
     no driver-side action materializes it). Returns the surviving
-    nodes with their final in-subgraph degree: (node, d)."""
-    alive = nodes.select("node").persist()
+    nodes with their final in-subgraph degree: (node, d). Rounds are
+    single-reference (see module docstring), so the plan grows
+    linearly with `iters` and nothing needs per-round persistence."""
+    alive = nodes.select("node")
     for _ in range(iters):
+        t = alive.select(F.col("node").alias("_t"))
+        deg = (
+            sym.join(t, F.col("dst") == F.col("_t"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").cast("bigint").alias("d"))
+        )
         alive = (
-            subgraph_degrees(sym, alive)
-            .crossJoin(F.broadcast(k_df))
+            deg.crossJoin(F.broadcast(k_df))
             .filter(F.col("d") >= F.col("k"))
             .select("node")
-            .persist()  # feeds BOTH endpoint joins of the next round
         )
     return subgraph_degrees(sym, alive)

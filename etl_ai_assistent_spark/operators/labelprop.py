@@ -59,7 +59,30 @@ def label_propagation(
         f"'label_propagation: vote count >= 2^40 overflows the"
         f" packed-bigint argmax') AS BIGINT) ELSE cnt END"
     )
+    # Single-reference rounds (r13): the r12 loop rebuilt labels as
+    # labels LEFT JOIN winners + coalesce — referencing the previous
+    # round's labels twice (vote join AND rebuild), which duplicates
+    # the whole upstream lineage per reference and grows the analyzed
+    # plan exponentially in rounds (118 Exchange nodes at 3 rounds;
+    # planning dominated the wall clock — persist() deduplicates
+    # execution, not planning). The coalesce fallback only ever fires
+    # for ISOLATED nodes: the winner set each round is exactly the
+    # nodes with >= 1 incoming edge (the vote join's src side always
+    # covers every node), which is constant across rounds, and an
+    # isolated node's label never changes from its initial node id. So
+    # labels_{i+1} = winners_{i+1} ∪ isolated-initials — a disjoint
+    # union computed from CONSTANT inputs, leaving exactly one
+    # reference to labels_i per round. Bit-identical to the left-join
+    # form; the plan grows linearly with `iterations`.
     labels = nodes.select("node", F.col("node").cast("bigint").alias("label"))
+    isolated = (
+        nodes.join(
+            edges.select(F.col("dst").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+        .select("node", F.col("node").cast("bigint").alias("label"))
+    )
     for _ in range(iterations):
         votes = (
             edges.join(labels, edges.src == labels.node)
@@ -74,13 +97,7 @@ def label_propagation(
             ).alias("p")
         )
         winners = packed.select(
-            "node", F.expr(f"p % {LP_PACK}").cast("bigint").alias("new_label")
+            "node", F.expr(f"p % {LP_PACK}").cast("bigint").alias("label")
         )
-        labels = (
-            labels.join(winners, "node", "left")
-            .select(
-                "node",
-                F.coalesce("new_label", "label").cast("bigint").alias("label"),
-            )
-        )
+        labels = winners.unionByName(isolated)
     return labels

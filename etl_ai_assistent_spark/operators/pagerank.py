@@ -26,7 +26,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 SCALE = 1_000_000_000  # rank unit: ppb of total mass
 D_NUM, D_DEN = 85, 100  # damping 0.85 as an integer ratio
@@ -38,17 +37,25 @@ def pagerank_int(
     """(src, dst) distinct edges + (node) vertex set -> (node, rank_ppb)
     after `iterations` damped fixed-point rounds. `nodes.count()` is the
     one driver-side scalar (metadata-cheap); everything else is joins
-    and partial-agg sums."""
+    and partial-agg sums.
+
+    Every iteration scans `edges` twice (contribution join + the degree
+    table derived from it) and `nodes` once, so CALLERS with a non-
+    trivial edge derivation must pass a cached/persisted edges plan —
+    q_pagerank_nations routes its 4-way fact-table projection through
+    the bounded per-sf substrate cache (clustering.cached_substrates),
+    the same convention as the LPA and k-core callers. The r12 version
+    persisted internally and needed an eager count() + unpersist pair
+    per call (one extra driver job, and a pinned-entry leak when the
+    caller's input was already cached); with the substrate convention
+    the operator itself stays action-free and persistence-free. The
+    rank chain references each previous round exactly once, so the
+    plan grows linearly with `iterations`."""
     n = nodes.count()
     base = (15 * SCALE) // (100 * n)  # (1-d)/N in ppb, floor — mirrors the SQL
-    # Every iteration joins against edges and deg: persist both or the
-    # (possibly expensive) edge-derivation subtree re-executes k times —
-    # observed 5x the edge-build cost in the nation-graph bench before
-    # this barrier.
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     deg = edges.groupBy("src").agg(
         F.count("*").cast("bigint").alias("out_deg")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     ranks = nodes.select("node", F.lit(SCALE // n).cast("bigint").alias("r"))
     for _ in range(iterations):
         contrib = (
@@ -70,15 +77,5 @@ def pagerank_int(
                 .cast("bigint")
                 .alias("r"),
             )
-            # lazy persist: each iteration's cache fills during the ONE
-            # materializing action below — no per-iteration count()
-            # barrier (5 driver round-trips measurably dominate small
-            # graphs; at scale the caches still truncate lineage so no
-            # iteration recomputes its predecessors)
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-    ranks.count()  # single materialization fills every iteration's cache
-    # final ranks is cached; the join inputs can go
-    edges.unpersist()
-    deg.unpersist()
     return ranks.withColumnRenamed("r", "rank_ppb")

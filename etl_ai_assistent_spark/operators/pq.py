@@ -80,6 +80,68 @@ def encode(
     return out
 
 
+def _dist2_sql(vec_sql: str, cv: list) -> str:
+    """KM.dist2 as a SQL snippet against a LITERAL centroid array —
+    the same aggregate(zip_with(...)) expression, built as one string
+    so the whole argmin ships to the JVM in a single parse instead of
+    hundreds of py4j lambda round-trips (the Column-composed form cost
+    1.8 s of driver chatter per encode_rows call, r13 measured)."""
+    arr = "array(" + ",".join(f"{int(x)}L" for x in cv) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr},"
+        f" (x, y) -> (x - y) * (x - y)),"
+        f" CAST(0 AS BIGINT), (acc, d) -> acc + d)"
+    )
+
+
+def argmin_code_sql(vec_sql: str, cb_rows_one: list) -> str:
+    """Nearest-centroid id for one subspace slice against DRIVER-
+    RESIDENT codebook rows [(cid, cv), ...], as a PURE EXPRESSION:
+    least over k of dist2(vec, cv)·PACK + cid, then % PACK. The packed
+    form is bit-identical to KM.assign's min() (least ≡ min on
+    bigints; distance ties break on the lower cid) but needs NO
+    crossJoin, NO groupBy shuffle, and NO per-subspace join — the
+    whole argmin runs inside the row's codegen stage. Requires
+    cid < KM.PACK (the same bound KM.lloyd enforces)."""
+    if any(int(cid) >= KM.PACK for cid, _ in cb_rows_one):
+        raise ValueError(f"centroid id >= packing base {KM.PACK}")
+    packed = [
+        f"({_dist2_sql(vec_sql, cv)} * {KM.PACK} + {int(cid)})"
+        for cid, cv in cb_rows_one
+    ]
+    inner = packed[0] if len(packed) == 1 else (
+        "least(" + ", ".join(packed) + ")"
+    )
+    return f"CAST(({inner}) % {KM.PACK} AS BIGINT)"
+
+
+def encode_rows(
+    vectors: DataFrame, cb_rows: list[list], *, dim: int
+) -> DataFrame:
+    """PQ codes from DRIVER-RESIDENT codebook rows (per-subspace
+    [(cid, cv), ...] — what the on-disk ANN store serves): all m
+    argmins in ONE projection over the vector scan. encode() with
+    codebook DataFrames costs m broadcast crossJoins + m packed-min
+    shuffles + (m-1) vec_id equi-joins to reassemble the code row
+    (16 Exchange nodes at m=4, r13 measured on q_ann_delta_encode);
+    this is the same integer arithmetic with ZERO exchanges — one
+    narrow map over the scan. tests/test_pq.py pins encode_rows ==
+    encode on every partitioning."""
+    m = len(cb_rows)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    w = dim // m
+    return vectors.select(
+        "vec_id",
+        *[
+            F.expr(
+                argmin_code_sql(f"slice(qv, {i * w + 1}, {w})", fam)
+            ).alias(f"code_{i}")
+            for i, fam in enumerate(cb_rows)
+        ],
+    )
+
+
 def adc_table(query_qv: list[int], codebooks: list[DataFrame]) -> list[dict]:
     """Per-subspace lookup tables for ONE quantized query vector:
     m dicts {centroid_id: exact integer squared distance to the query's
@@ -252,6 +314,68 @@ def adc_topk_multi_melted(
         melted.join(F.broadcast(tables), ["subspace", "cid"])
         .groupBy("query_id", "vec_id")
         .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rnk")
+    )
+
+
+# ADC lookup-map serving (r13). The melted join form above expands the
+# scored relation to |corpus|·M·|batch| rows BEFORE the hash aggregate
+# re-collapses them — M join-output rows plus an aggregation buffer per
+# (probe, vector). The map form folds each probe's M·K lookup entries
+# into ONE broadcastable MAP column and computes the ADC sum ROW-
+# LOCALLY over the un-melted codes: the intermediate is |corpus|·|batch|
+# rows, no melt, no groupBy — only the per-probe top-k window still
+# shuffles. Values are the same exact bigint sums (element_at on keys
+# that are always present — codes' cids come from argmin over the same
+# codebooks the tables enumerate), pinned equal to the join form in
+# tests/test_pq.py.
+
+ADC_KEY_SPAN = 1 << 32  # map key = subspace * SPAN + cid; cid << SPAN
+
+
+def probe_lookup_maps(tables: DataFrame) -> DataFrame:
+    """(query_id, tbl) — each probe's (subspace, cid) → d lookup
+    entries folded into one MAP<BIGINT,BIGINT> keyed
+    subspace·SPAN + cid. |probes| rows of M·K entries each:
+    broadcast-trivial for a serving batch (same budget as the melted
+    form's broadcast of the raw tables)."""
+    key = (
+        F.col("subspace").cast("bigint") * F.lit(ADC_KEY_SPAN)
+        + F.col("cid").cast("bigint")
+    )
+    return tables.groupBy("query_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(key.alias("k"), F.col("d").alias("v")))
+        ).alias("tbl")
+    )
+
+
+def adc_topk_multi_maps(
+    codes: DataFrame, maps: DataFrame, m: int, k: int = 10
+) -> DataFrame:
+    """Batch ADC serving from un-melted codes and per-probe lookup
+    maps: one broadcast nested-loop attach of the |batch| map rows,
+    a row-local M-term sum, then the per-probe top-k window. Same
+    (query_id, vec_id, adc_dist, rnk) contract and bit-identical
+    values as adc_topk_multi."""
+    dist = None
+    for i in range(m):
+        term = F.element_at(
+            F.col("tbl"),
+            F.lit(i * ADC_KEY_SPAN) + F.col(f"code_{i}").cast("bigint"),
+        )
+        dist = term if dist is None else dist + term
+    scored = codes.crossJoin(F.broadcast(maps)).select(
+        "query_id", "vec_id", dist.cast("bigint").alias("adc_dist")
     )
     from pyspark.sql.window import Window
 

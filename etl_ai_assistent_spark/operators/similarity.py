@@ -150,15 +150,19 @@ def ivf_topk(
     nprobe: int = 1,
     threshold: float = -1.0,
     score_decimals: int | None = 6,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: probe the nprobe nearest centroids,
     exact-search only their clusters.
 
     At 100 TB the items table is written partitioned by cluster id, so the
     semi-join on cluster becomes partition pruning — the scan reads only
-    nprobe/nlist of the data. Recall is tunable via nprobe.
+    nprobe/nlist of the data. Recall is tunable via nprobe. ``cents``
+    lets the caller supply the (cached) centroid table — it is the IVF
+    coarse index, an offline build artifact, not per-serve work.
     """
-    cents = centroids(items, vec_col=vec_col, cluster_col=cluster_col)
+    if cents is None:
+        cents = centroids(items, vec_col=vec_col, cluster_col=cluster_col)
     probed = (
         cents.withColumn("cscore", _score("centroid", query))
         .orderBy(F.desc("cscore"))
@@ -269,13 +273,26 @@ def srp_topk(
     bands: int = SRP_BANDS,
     dim: int = 64,
     score_decimals: int = 6,
+    item_bands: DataFrame | None = None,
+    query_bands: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k cosine: banded-signature equi-join
     generates candidates (never the full cross product), exact cosine
     verifies them, a per-query window keeps the top k. The approximate
-    twin of knn_join — recall is governed by the banding curve."""
-    ib = srp_bands(items, vec_col=vec_col, id_col=id_col, bits=bits, bands=bands, dim=dim)
-    qb = srp_bands(queries, vec_col=vec_col, id_col=id_col, bits=bits, bands=bands, dim=dim)
+    twin of knn_join — recall is governed by the banding curve.
+
+    ``item_bands``/``query_bands`` let a caller supply a pre-built
+    (cached) bucketing table — the signing pass over the corpus is an
+    index build, not per-serve work (q_srp_topk routes it through the
+    bounded per-sf substrate cache). Passing None keeps the inline
+    build (per-row deterministic, so a cached table is value-identical
+    by construction)."""
+    ib = item_bands if item_bands is not None else srp_bands(
+        items, vec_col=vec_col, id_col=id_col, bits=bits, bands=bands, dim=dim
+    )
+    qb = query_bands if query_bands is not None else srp_bands(
+        queries, vec_col=vec_col, id_col=id_col, bits=bits, bands=bands, dim=dim
+    )
     cands = (
         qb.withColumnRenamed("id", "query_id")
         .join(ib.withColumnRenamed("id", "item_id"), ["band_idx", "band_val"])

@@ -220,9 +220,19 @@ def _evict_other_sfs(sf_dir: str) -> None:
     many sf_dirs would otherwise accumulate pinned index storage without
     eviction. Index artifacts for OTHER sf_dirs are dead weight once the
     session moves on — unpersist their DataFrames (also inside list/dict
-    entries) and drop the keys. Cache keys never cross Spark apps, so
-    only the sf_dir component (key[2]) matters; bench/driver runs touch
-    one sf_dir and pay nothing here."""
+    entries) and drop the keys. Entries keyed by a PREVIOUS
+    applicationId (a process that recreated its SparkSession) are also
+    dropped (ADVICE r12): their storage died with the old context, so
+    only the dict entry survives — unpersisting would throw against the
+    dead context, dropping the key is the whole cleanup. Bench/driver
+    runs touch one sf_dir in one app and pay nothing here."""
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    app = active.sparkContext.applicationId if active is not None else None
+    dead = [k for k in _INDEX_CACHE if app is not None and k[1] != app]
+    for k in dead:
+        _INDEX_CACHE.pop(k)  # storage died with the old SparkContext
     stale = [k for k in _INDEX_CACHE if k[2] != sf_dir]
     for k in stale:
         entry = _INDEX_CACHE.pop(k)
@@ -299,6 +309,30 @@ def _probe_vector(sf_dir: str) -> list[int]:
     ).fetchall()
     return [
         int(math.floor(float(x) * KM.Q_SCALE)) + KM.Q_OFFSET for x in emb
+    ]
+
+
+def _probe_vectors(sf_dir: str, n: int) -> list[tuple[int, list[int]]]:
+    """_probe_vector generalized to the serving batch: the first `n`
+    probes' lattice coordinates, read driver-side with DuckDB (footer-
+    indexed, no Spark job) — the same exact quantization replication.
+    Bench-sized cohorts only; an unbounded probe stream goes through
+    the executor-side path (pq.probe_tables_flat)."""
+    import math
+
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT vec_id, embedding FROM read_parquet(?)"
+        " WHERE vec_id < ? ORDER BY vec_id",
+        params=[os.path.join(sf_dir, "embeddings.parquet"), n],
+    ).fetchall()
+    return [
+        (
+            int(vid),
+            [int(math.floor(float(x) * KM.Q_SCALE)) + KM.Q_OFFSET for x in emb],
+        )
+        for vid, emb in rows
     ]
 
 
@@ -449,8 +483,9 @@ def _build_ann_store(spark: SparkSession, sf_dir: str, tmp: str) -> None:
             for cb in cbs
         ]
         _write_codebooks(spark, cb_rows, os.path.join(tmp, "codebooks"))
-        cbs_lit = _literal_codebooks(spark, cb_rows)
-        PQ.encode(emb, cbs_lit, dim=DIM).write.parquet(
+        # r13: encode via the single-projection expression form (zero
+        # exchanges) — bit-equal to PQ.encode, pinned in tests/test_pq.py
+        PQ.encode_rows(emb, cb_rows, dim=DIM).write.parquet(
             os.path.join(tmp, "codes")
         )
         # IVF coarse quantizer
@@ -492,9 +527,8 @@ def _build_ann_store(spark: SparkSession, sf_dir: str, tmp: str) -> None:
             for cb in res_cbs
         ]
         _write_codebooks(spark, res_rows, os.path.join(tmp, "res_codebooks"))
-        res_lit = _literal_codebooks(spark, res_rows)
         (
-            PQ.encode(rv.select("vec_id", "qv"), res_lit, dim=DIM)
+            PQ.encode_rows(rv.select("vec_id", "qv"), res_rows, dim=DIM)
             .join(coarse_assign, "vec_id")
             .write.partitionBy("cluster")
             .parquet(os.path.join(tmp, "res_codes"))
@@ -787,17 +821,36 @@ def q_pq_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, _, codes, _, _ = _pq_index(spark, sf_dir)
     key = ("pq_mq", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
-        # the serving batch's lookup tables are a pure function of
+        # the serving batch's lookup MAPS are a pure function of
         # (probes, codebooks) — index-build work, persisted once, so
-        # each serving call pays only the broadcast join + top-k
-        emb, cb_rows, *_ = _pq_index(spark, sf_dir)
-        cbs = _literal_codebooks(spark, cb_rows)
-        probes = emb.filter(F.col("vec_id") < NQ_PQ).select("vec_id", "qv")
-        t = PQ.probe_tables(probes, cbs, dim=DIM).persist()
-        t.count()
+        # each serving call pays only the map attach + top-k. r13:
+        # folded to one MAP row per probe so serving computes the ADC
+        # sum row-locally over the un-melted codes — the
+        # melt+join+aggregate path expanded |corpus|·M·|probes| rows
+        # per call. The bench-sized probe cohort ({NQ_PQ} rows) is
+        # read and quantized DRIVER-SIDE (the _probe_vector pattern —
+        # zero Spark jobs; the executor build of the same 5 map rows
+        # cost ~13 s of broadcast/job machinery, r13 measured);
+        # adc_table_rows replicates probe_tables' integer arithmetic
+        # exactly (pinned in tests/test_pq.py). Unbounded probe
+        # streams keep the executor path — queries/streaming.py's
+        # serve loop builds maps from probe_tables_flat per trigger.
+        _, cb_rows, *_ = _pq_index(spark, sf_dir)
+        entries = []
+        for vid, qv in _probe_vectors(sf_dir, NQ_PQ):
+            tabs = PQ.adc_table_rows(qv, cb_rows)
+            tbl = {
+                i * PQ.ADC_KEY_SPAN + int(cid): int(d)
+                for i, t in enumerate(tabs)
+                for cid, d in t.items()
+            }
+            entries.append((vid, tbl))
+        t = spark.createDataFrame(
+            entries, "query_id bigint, tbl map<bigint,bigint>"
+        ).persist()
         _INDEX_CACHE[key] = t
     _repersist(_INDEX_CACHE[key])
-    return PQ.adc_topk_multi(codes, _INDEX_CACHE[key], m=M_SUB, k=PQ_TOPK)
+    return PQ.adc_topk_multi_maps(codes, _INDEX_CACHE[key], m=M_SUB, k=PQ_TOPK)
 
 
 # --- residual-encoded IVF-PQ (the faithful FAISS IVFADC formulation) -------
@@ -1146,13 +1199,16 @@ def q_ann_delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ann_store(spark, sf_dir)
     _, n = _ann_store_path(sf_dir)
     split = (n * 4) // 5
-    cbs = _literal_codebooks(spark, _load_codebook_rows(path, "codebooks"))
     delta = (
         io.load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") >= split)
         .select("vec_id", KM.quantize("embedding").alias("qv"))
     )
-    enc = PQ.encode(delta, cbs, dim=DIM)
+    # r13: single-projection expression encode (operators/pq.encode_rows)
+    # — the DataFrame-codebook form cost 4 broadcast crossJoins + 4
+    # packed-min shuffles + 3 vec_id reassembly joins (16 Exchange
+    # nodes) for what is one narrow map over the delta scan
+    enc = PQ.encode_rows(delta, _load_codebook_rows(path, "codebooks"), dim=DIM)
     return enc.select(
         "vec_id",
         *[F.col(f"code_{i}").cast("bigint").alias(f"code_{i}") for i in range(M_SUB)],
@@ -1252,7 +1308,7 @@ def ann_grow_store(spark: SparkSession, sf_dir: str) -> str:
                 for cb in cbs
             ]
             _write_codebooks(spark, cb_rows, os.path.join(tmp, "codebooks"))
-            PQ.encode(emb, _literal_codebooks(spark, cb_rows), dim=DIM).write.parquet(
+            PQ.encode_rows(emb, cb_rows, dim=DIM).write.parquet(
                 os.path.join(tmp, "codes", "seg_0")
             )
             _write_grow_manifest(tmp, {"n_vecs": split, "segments": ["seg_0"]})
@@ -1288,13 +1344,14 @@ def ann_commit_delta(spark: SparkSession, sf_dir: str) -> str:
     seg_dir = os.path.join(path, "codes", "seg_1")
 
     def build_seg(tmp: str) -> None:
-        cbs = _literal_codebooks(spark, _load_codebook_rows(path, "codebooks"))
         delta = (
             io.load_table(spark, sf_dir, "embeddings")
             .filter(F.col("vec_id") >= split)
             .select("vec_id", KM.quantize("embedding").alias("qv"))
         )
-        PQ.encode(delta, cbs, dim=DIM).write.parquet(tmp)
+        PQ.encode_rows(
+            delta, _load_codebook_rows(path, "codebooks"), dim=DIM
+        ).write.parquet(tmp)
 
     ST.publish(seg_dir, build_seg, validate=ST.has_success)
     _write_grow_manifest(

@@ -392,23 +392,34 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("contaminated", F.lit(True))
     )
-    rep = (
-        docs.filter(F.size(toks) >= 2)
-        .select("doc_id", toks.alias("tok"))
-        .select("doc_id", F.explode(_ngrams(F.col("tok"), REP_N)).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.expr("(1000000 * max(c)) div sum(c)")
-            .cast("bigint")
-            .alias("top_gram_ppm")
-        )
+    # r13: the dominant-bigram signal is computed ROW-LOCALLY — the max
+    # n-gram multiplicity equals the longest equal-run in the SORTED
+    # gram array, a single sort+fold inside the row's codegen stage.
+    # The r12 form exploded every gram and paid two corpus-sized
+    # shuffles (groupBy(doc_id, g) then groupBy(doc_id)) for a number
+    # that never leaves its document; same integers, zero exchanges,
+    # and the rep join below disappears. Docs with < 2 tokens keep the
+    # old NULL-rep semantics (reasons already coalesces to 0).
+    maxrun = (
+        "aggregate(array_sort(_g),"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),"
+        " (s, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(x <=> s.prev, s.run + 1L, 1L),"
+        "   'best', GREATEST(s.best, IF(x <=> s.prev, s.run + 1L, 1L))),"
+        " s -> s.best)"
+    )
+    top_gram_ppm = F.when(
+        F.size(F.col("tok")) >= 2,
+        F.expr(f"(1000000 * {maxrun}) div size(_g)").cast("bigint"),
     )
     n_tok = F.size(F.col("tok"))
-    feats = docs.select("doc_id", "text", toks.alias("tok")).select(
+    feats = docs.select(
+        "doc_id", "text", toks.alias("tok")
+    ).withColumn("_g", _ngrams(F.col("tok"), REP_N)).select(
         "doc_id",
         n_tok.alias("n_tokens"),
+        top_gram_ppm.alias("top_gram_ppm"),
         (
             (F.lit(1_000_000) * F.size(F.array_distinct(F.col("tok"))))
             / F.greatest(n_tok, F.lit(1))
@@ -439,14 +450,10 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("digit_ppm") > MAX_DIGIT_PPM, R_DIGIT).otherwise(0)
         + F.when(F.col("contaminated"), R_CONTAM).otherwise(0)
     )
-    return (
-        feats.join(rep, "doc_id", "left")
-        .join(contam, "doc_id", "left")
-        .select(
-            "doc_id",
-            reasons.cast("bigint").alias("reasons"),
-            (reasons == 0).alias("keep"),
-        )
+    return feats.join(contam, "doc_id", "left").select(
+        "doc_id",
+        reasons.cast("bigint").alias("reasons"),
+        (reasons == 0).alias("keep"),
     )
 
 

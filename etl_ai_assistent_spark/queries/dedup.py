@@ -1068,24 +1068,34 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lsh = D.minhash_near_dup_pairs(
         corpus, text_col="text", id_col="id", k=K, bands=BANDS, threshold=0.5
-    ).select("id_a", "id_b", F.lit(1).alias("hit"))
-    return (
-        truth.join(lsh.drop("hit"), ["id_a", "id_b"], "left_semi")
-        .agg(F.count("*").cast("bigint").alias("n_hits"))
-        .crossJoin(
-            F.broadcast(truth.agg(F.count("*").cast("bigint").alias("n_true")))
+    ).select("id_a", "id_b")
+    # r13 ONE PASS: the r12 audit ran the truth subtree twice (semi-join
+    # probe + its own count) and the LSH subtree twice (semi-join build
+    # + its own count) across three crossJoined aggregates. Both pair
+    # sets are DISTINCT by construction (candidates deduped before
+    # verification), so a single full-outer join on the pair key
+    # computes all three counts in one pass over each subtree:
+    # n_true = rows with a truth side, n_lsh = rows with an LSH side,
+    # n_hits = rows with both — identical values, half the work.
+    j = truth.withColumn("t", F.lit(1)).join(
+        lsh.withColumn("l", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    return j.agg(
+        F.count("t").cast("bigint").alias("n_true"),
+        F.count("l").cast("bigint").alias("n_lsh"),
+        F.sum(
+            F.when(F.col("t").isNotNull() & F.col("l").isNotNull(), 1)
+            .otherwise(0)
         )
-        .crossJoin(
-            F.broadcast(lsh.agg(F.count("*").cast("bigint").alias("n_lsh")))
-        )
-        .select(
-            "n_true",
-            "n_lsh",
-            "n_hits",
-            F.expr(
-                "CAST(1000000 * n_hits div greatest(n_true, 1) AS BIGINT)"
-            ).alias("recall_ppm"),
-        )
+        .cast("bigint")
+        .alias("n_hits"),
+    ).select(
+        "n_true",
+        "n_lsh",
+        "n_hits",
+        F.expr(
+            "CAST(1000000 * n_hits div greatest(n_true, 1) AS BIGINT)"
+        ).alias("recall_ppm"),
     )
 
 

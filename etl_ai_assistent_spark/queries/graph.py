@@ -80,7 +80,7 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = io.load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = io.load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = io.load_table(spark, sf_dir, "nation")
-    edges = (
+    edges_raw = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -88,6 +88,19 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .distinct()
+    )
+    # pagerank_int scans edges twice per round — persist the 4-way
+    # fact-table derivation through the bounded per-sf substrate cache
+    # (the lpa_sym/kcore_edges convention) so each round reads memory.
+    # Cached PRE-PARTITIONED on src: the contribution join attaches
+    # ranks and out-degrees by src (both broadcastable — node-count
+    # sized), so with the cache hash-partitioned on src the per-round
+    # join chain runs in place and only the tiny post-partial-agg
+    # groupBy(dst) output crosses the wire (guide §2.4).
+    from .clustering import cached_substrates
+
+    edges = cached_substrates(
+        "pr_edges", spark, sf_dir, lambda: edges_raw.repartition("src")
     )
     nodes = nation.select(F.col("n_nationkey").alias("node"))
     ranks = pagerank_int(edges, nodes, iterations=PR_ITERS)
@@ -291,7 +304,16 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edges-persist rule)
     from .clustering import cached_substrates
 
-    sym = cached_substrates("lpa_sym", spark, sf_dir, lambda: sym_raw)
+    # cached PRE-PARTITIONED on dst, the per-round aggregation key:
+    # each LPA round broadcast-joins labels on src (partitioning-
+    # preserving) and then counts votes by (dst, label) / picks the
+    # packed min by dst — with the cache hash-partitioned on dst both
+    # aggregations are satisfied in place, so a round adds ZERO
+    # exchanges (guide §2.4: operations keyed the same way share one
+    # exchange, paid once at the substrate build)
+    sym = cached_substrates(
+        "lpa_sym", spark, sf_dir, lambda: sym_raw.repartition("dst")
+    )
     nodes = nation.select(F.col("n_nationkey").alias("node"))
     labels = label_propagation(sym, nodes, iterations=LP_ITERS)
     w = Window.partitionBy("label")
@@ -407,9 +429,17 @@ def q_kcore_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.c").alias("a"), F.col("b.c").alias("b"))
             .distinct()
         )
-        sym = u.select(
-            F.col("a").alias("src"), F.col("b").alias("dst")
-        ).unionAll(u.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        # sym cached PRE-PARTITIONED on src, the per-round aggregation
+        # key: each pruning round broadcast-joins the (shrinking) alive
+        # set on dst and counts degrees by src — with the cache hash-
+        # partitioned on src the count aggregates in place, so a round
+        # adds ZERO exchanges (guide §2.4; the one shuffle is paid at
+        # the substrate build)
+        sym = (
+            u.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(u.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .repartition("src")
+        )
         return u, sym
 
     u, sym = cached_substrates("kcore_edges", spark, sf_dir, _build)

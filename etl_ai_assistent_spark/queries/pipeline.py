@@ -130,6 +130,18 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reasons"),
         )
     )
+    # r13 SINGLE PASS: the r12 version derived `shards` from
+    # disp.filter(keep) and then joined it back onto disp — referencing
+    # the entire gate+semdedup+dedup composition subtree TWICE, so the
+    # whole upstream pipeline executed twice per call (and the plan
+    # carried two copies). Instead, compute the shard window over ALL
+    # rows with non-keepers contributing zero width: the running sum of
+    # when(keep, n_tokens) over (bucket, doc_id-order) equals the
+    # keeper-only running sum at every keeper row (interleaved
+    # non-keepers add 0), and non-keepers' shard_id is masked to NULL —
+    # exactly the LEFT-JOIN semantics, one pass, zero self-joins.
+    # when() short-circuits per row, so dropped documents are never
+    # tokenized (same work as the filtered form).
     bucket = (
         F.conv(
             F.substring(
@@ -142,39 +154,34 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % SHARD_BUCKETS
     )
-    sized = (
-        disp.filter(F.col("reasons") == 0)
-        .select(
-            "doc_id",
-            bucket.alias("bucket"),
-            F.size(TX.tokens(F.lower(F.col("text")))).alias("n_tokens"),
-        )
+    keep = F.col("reasons") == 0
+    sized = disp.select(
+        "doc_id",
+        "reasons",
+        bucket.alias("bucket"),
+        F.when(
+            keep, F.size(TX.tokens(F.lower(F.col("text"))))
+        ).otherwise(0).alias("n_tokens"),
     )
     w = (
         Window.partitionBy("bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    shards = (
+    return (
         sized.withColumn(
             "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
         )
         .select(
             "doc_id",
-            (
-                F.col("bucket") * 100000
-                + F.expr(f"tokens_before div {SHARD_TOKENS}")
-            )
-            .cast("bigint")
-            .alias("shard_id"),
-        )
-    )
-    return (
-        disp.join(shards, "doc_id", "left")
-        .select(
-            "doc_id",
             "reasons",
             (F.col("reasons") == 0).alias("keep"),
-            "shard_id",
+            F.when(
+                F.col("reasons") == 0,
+                (
+                    F.col("bucket") * 100000
+                    + F.expr(f"tokens_before div {SHARD_TOKENS}")
+                ).cast("bigint"),
+            ).alias("shard_id"),
         )
     )

@@ -474,7 +474,15 @@ def _scored(
 ) -> DataFrame:
     doc_tf, probe_tf = tf_pair if tf_pair is not None else _doc_probe_tf(spark, sf_dir)
 
-    doc_norm = _norm(doc_tf, "doc_id")
+    # r13: the per-document norm table is a corpus-level index artifact
+    # (one agg over the cached posting index) consumed by five
+    # retrieval queries — cache it beside doc_tf instead of re-running
+    # the aggregation per call
+    from .clustering import cached_substrates
+
+    doc_norm = cached_substrates(
+        "rag_doc_norm", spark, sf_dir, lambda: _norm(doc_tf, "doc_id")
+    )
     probe_norm = _norm(probe_tf, "probe_id").withColumnRenamed("nrm", "pnrm")
 
     # Probe TF is bounded by N_PROBES × span length — broadcast it so the
@@ -583,39 +591,53 @@ def q_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, ~80% df — see module docstring). Rational smoothed idf
     (see _TFIDF_CTES) for cross-engine bit-parity."""
     doc_tf, probe_tf = _doc_probe_tf(spark, sf_dir)
-    # corpus size rides a 1-row broadcast (the BM25 stats pattern) —
-    # no driver-side .count() action per invocation (r7 verdict #4)
-    n_row = F.broadcast(
-        io.load_table(spark, sf_dir, "documents").agg(
-            (F.count("*") + F.lit(1)).cast("double").alias("n1")
-        )
-    )
-    df_tbl = doc_tf.groupBy("tok_h").agg(
-        F.count("*").cast("double").alias("dfb")
-    )
-    idf = (F.col("n1") / (F.col("dfb") + F.lit(1.0))).alias("idf")
 
-    def weight(tf_df: DataFrame, key: str) -> DataFrame:
-        return (
-            tf_df.join(df_tbl, "tok_h")
-            .crossJoin(n_row)
-            .select(
-                key,
-                "tok_h",
-                (F.col("c").cast("double") * idf).alias("w"),
+    # r13: the idf table, the WEIGHTED corpus postings, and the per-doc
+    # norms are pure functions of the corpus — TF-IDF INDEX artifacts,
+    # not per-serve work. The r12 plan recomputed doc_w (a doc_tf ⋈
+    # df_tbl join) twice per call (dots branch + norm branch) and
+    # df_tbl twice inside that; routing all three through the bounded
+    # per-sf substrate cache leaves the serve path as one broadcast
+    # probe join + groupBy + top-k window. Same expressions, same
+    # left-to-right float folds — cached values are bit-identical.
+    from .clustering import cached_substrates
+
+    def _build_tfidf_index():
+        n_row = F.broadcast(
+            io.load_table(spark, sf_dir, "documents").agg(
+                (F.count("*") + F.lit(1)).cast("double").alias("n1")
             )
         )
-
-    doc_w = weight(doc_tf, "doc_id")
-    probe_w = weight(probe_tf, "probe_id")
-
-    def wnorm(df: DataFrame, key: str, out: str) -> DataFrame:
-        return df.groupBy(key).agg(
-            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias(out)
+        idf_tbl = (
+            doc_tf.groupBy("tok_h")
+            .agg(F.count("*").cast("double").alias("dfb"))
+            .crossJoin(n_row)
+            .select(
+                "tok_h",
+                (F.col("n1") / (F.col("dfb") + F.lit(1.0))).alias("idf"),
+            )
         )
+        doc_w = doc_tf.join(idf_tbl, "tok_h").select(
+            "doc_id",
+            "tok_h",
+            (F.col("c").cast("double") * F.col("idf")).alias("w"),
+        )
+        doc_norm = doc_w.groupBy("doc_id").agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+        )
+        return idf_tbl, doc_w, doc_norm
 
-    doc_norm = wnorm(doc_w, "doc_id", "nrm")
-    probe_norm = wnorm(probe_w, "probe_id", "pnrm")
+    idf_tbl, doc_w, doc_norm = cached_substrates(
+        "tfidf_index", spark, sf_dir, _build_tfidf_index
+    )
+    probe_w = probe_tf.join(idf_tbl, "tok_h").select(
+        "probe_id",
+        "tok_h",
+        (F.col("c").cast("double") * F.col("idf")).alias("w"),
+    )
+    probe_norm = probe_w.groupBy("probe_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("pnrm")
+    )
     dots = (
         F.broadcast(probe_w.withColumnRenamed("w", "pw"))
         .join(doc_w.withColumnRenamed("w", "dw"), "tok_h")
@@ -854,13 +876,28 @@ def _bm25_ranked(
     doc_tf, probe_tf = (
         tf_pair if tf_pair is not None else _doc_probe_tf(spark, sf_dir)
     )
-    dl = doc_tf.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.expr("sum(dl) div count(*)").cast("bigint").alias("avgdl"),
-    )
-    df_tbl = doc_tf.groupBy("tok_h").agg(
-        F.count("*").cast("bigint").alias("dfb")
+    # r13: document lengths, corpus stats, and document frequencies are
+    # BM25 index artifacts (pure functions of the posting store; dl was
+    # additionally referenced twice per call — stats + the term join).
+    # Cached once per sf beside doc_tf, leaving the serve path as the
+    # broadcast probe join + score + top-k window.
+    from .clustering import cached_substrates
+
+    def _build_bm25_stats():
+        dl = doc_tf.groupBy("doc_id").agg(
+            F.sum("c").cast("bigint").alias("dl")
+        )
+        stats = dl.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.expr("sum(dl) div count(*)").cast("bigint").alias("avgdl"),
+        )
+        df_tbl = doc_tf.groupBy("tok_h").agg(
+            F.count("*").cast("bigint").alias("dfb")
+        )
+        return dl, stats, df_tbl
+
+    dl, stats, df_tbl = cached_substrates(
+        "bm25_stats", spark, sf_dir, _build_bm25_stats
     )
     term = (
         F.broadcast(probe_tf.withColumnRenamed("c", "qtf"))

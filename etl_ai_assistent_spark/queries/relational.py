@@ -33,11 +33,23 @@ def _one() -> F.Column:
 
 
 def _money_units(c: str, k: int = 2) -> F.Column:
-    """POSITIVE money double → exact integer units of 10^-k — the same
-    HALF_UP rounding as cast(double AS decimal(p,k)), computed in
-    bigint. The fixture's money columns are doubles nearest to 2dp
-    values, so ×10^k lands within 1 ulp of the integer and
-    floor(+0.5) recovers it exactly."""
+    """Money double → exact integer units of 10^-k via floor(x·10^k +
+    0.5). For POSITIVE inputs this is the same HALF_UP rounding as
+    cast(double AS decimal(p,k)); the fixture's money columns are
+    doubles nearest to 2dp values, so ×10^k lands within 1 ulp of the
+    integer and floor(+0.5) recovers it exactly.
+
+    Sign note (ADVICE r12): for NEGATIVE inputs floor(x+0.5) rounds
+    half toward +infinity, which diverges from decimal-cast HALF_UP
+    (half away from zero) at exact .5 boundaries. That divergence is
+    from DECIMAL-CAST semantics, not from the oracles: every consuming
+    query's DuckDB oracle computes the IDENTICAL floor(x·10^k + 0.5)
+    expression (e.g. q_profile_maintain's
+    sum(CAST(floor(value*100+0.5) AS BIGINT))), so engine/oracle
+    parity holds for ANY sign — which is why events.value (sign-
+    unconstrained by schema) may flow through here. Do NOT "fix" the
+    rounding one-sided: switching either side alone to sign-aware
+    rounding breaks bit-parity at ties."""
     return F.floor(F.col(c) * (10**k) + F.lit(0.5)).cast("bigint")
 
 
@@ -65,7 +77,18 @@ def _exact_unit_sums(
     spark.sql.files.maxPartitionBytes at ANY corpus scale, so the
     per-bucket bigint sums cannot overflow (≈4M rows × ≤1.1e11/row ≈
     4e17 « 2^63) — the overflow bound rides partition SIZE, not table
-    size. Level 2 sums the |groups|·|partitions| bucket partials as
+    size. Scope of that bound (ADVICE r12): it is airtight only when
+    `df` is a RAW SCAN. For post-join/post-shuffle inputs
+    (q_trade_volume, q_market_share, q_revenue_by_nation),
+    spark_partition_id() reflects shuffle/AQE partitions, whose row
+    counts are governed by spark.sql.adaptive.advisoryPartitionSizeInBytes
+    plus AQE skew-splitting rather than maxPartitionBytes; a
+    pathologically skewed join key could in principle concentrate
+    ~7.7e7 rows × ~1.2e11 units in one bucket and wrap silently in
+    non-ANSI mode. Deployments running joined inputs at extreme skew
+    should keep AQE skew-join handling on (this engine's default) or
+    salt the bucket key; the margin at the advisory default is ~200×.
+    Level 2 sums the |groups|·|partitions| bucket partials as
     decimal(38,0) — exact, and the BigDecimal cost is paid on bucket
     rows, not data rows. Bucket assignment is non-deterministic under
     retries, but the regrouped total is bucket-invariant, so the

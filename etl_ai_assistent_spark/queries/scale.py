@@ -297,25 +297,27 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = io.load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("x")
     )
-    # min/max/count (codegen'd, cheap) separated from the exact
-    # percentiles (sort-buffer aggregate, the expensive part): the stats
-    # row is cross-joined into THREE downstream subtrees, and keeping
-    # the percentiles inside it re-ran the sort per use (observed 4x the
-    # cost at sf0.1). The 1-row stats frame is persisted as a barrier.
+    # ONE stats pass (r13): min/max/count AND the exact percentiles in
+    # a single aggregate over a single scan — the r12 split kept them
+    # apart because the stats row fans into three downstream subtrees
+    # and an UNPERSISTED combined row re-ran the percentile sort per
+    # use (observed 4x at sf0.1); the persist() barrier already
+    # prevents that, so the split's second full scan of x was pure
+    # waste. Still ONE percentile call with an array of quantiles:
+    # each separate percentile(x, q) expression keeps its own
+    # full-column sort buffer (3 buffers = 3x the work — observed
+    # 6.4s vs 2.0s at sf0.1); the array form shares one buffer.
+    qs_sql = ", ".join(f"{q}D" for q in _HIST_QS)
     s = (
         x.agg(
             F.min("x").alias("mn"),
             F.max("x").alias("mx"),
             F.count("*").cast("bigint").alias("n"),
+            F.expr(f"percentile(x, array({qs_sql}))").alias("ps"),
         )
         .persist()
     )
-    # ONE percentile call with an array of quantiles: each separate
-    # percentile(x, q) expression keeps its own full-column sort buffer
-    # (3 buffers = 3x the work — observed 6.4s vs 2.0s at sf0.1); the
-    # array form shares one buffer and returns all three cut points.
-    qs_sql = ", ".join(f"{q}D" for q in _HIST_QS)
-    pct = x.agg(F.expr(f"percentile(x, array({qs_sql}))").alias("ps")).select(
+    pct = s.select(
         *[
             F.round(F.col("ps").getItem(i), 6).alias(f"p{i}")
             for i in range(len(_HIST_QS))

@@ -1179,21 +1179,17 @@ def q_stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, cb_rows, codes, _, _ = _pq_index(spark, sf_dir)
     cbs = _literal_codebooks(spark, cb_rows)
-    # the batch-INDEPENDENT halves of the per-trigger ADC plan, built
+    # the batch-INDEPENDENT half of the per-trigger ADC plan, built
     # once outside foreachBatch (r11 verdict #6 — per-trigger cost was
     # dominated by re-running this fixed machinery every micro-batch):
-    # the corpus-sized codes melt persists through the bounded per-sf
-    # cache so each trigger scans cached (vec_id, subspace, cid) rows,
-    # and the M codebooks pre-merge into ONE broadcastable table so
-    # probe scoring is a single equi-join, not M crossJoin branches.
-    from .clustering import cached_substrates
-
-    melted = cached_substrates(
-        "ann_codes_melt",
-        spark,
-        sf_dir,
-        lambda: PQ.melt_codes(codes, M_SUB),
-    )
+    # the M codebooks pre-merge into ONE broadcastable table so probe
+    # scoring is a single equi-join, not M crossJoin branches. r13:
+    # the corpus-sized codes MELT substrate is gone — serving now
+    # folds each probe's lookup entries into one MAP row and computes
+    # the ADC sum row-locally over the un-melted (already persisted)
+    # codes table (operators/pq.adc_topk_multi_maps), so a trigger
+    # touches |codes| rows instead of |codes|·M join outputs and skips
+    # the per-trigger hash aggregate entirely.
     cb_table = PQ.codebook_table(cbs)
     probes = (
         SP.read_embeddings_stream_split(spark, sf_dir, parts=4)
@@ -1211,7 +1207,9 @@ def q_stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if batch.isEmpty():
             return
         tables = PQ.probe_tables_flat(batch, cb_table, m=M_SUB, dim=DIM)
-        res = PQ.adc_topk_multi_melted(melted, tables, k=PQ_TOPK)
+        res = PQ.adc_topk_multi_maps(
+            codes, PQ.probe_lookup_maps(tables), m=M_SUB, k=PQ_TOPK
+        )
         # ≤ |batch probes|·k rows: one sink file per trigger, not one
         # per shuffle partition
         res.coalesce(1).write.mode("append").parquet(out)

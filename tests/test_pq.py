@@ -252,3 +252,43 @@ def test_melted_adc_matches_unmelted(spark, sf_small):
     b = PQ.adc_topk_multi_melted(PQ.melt_codes(codes, M), tables, k=TOPK)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_encode_rows_matches_encode(spark, sf_small):
+    """encode_rows (single-projection expression argmin over driver-
+    resident codebook rows — zero exchanges) must be bit-equal to
+    encode (broadcast crossJoin + packed-min shuffle per subspace +
+    vec_id reassembly joins) on every partitioning, including the
+    packed tie-break toward the lower centroid id."""
+    v = _vectors(spark, sf_small)
+    books = PQ.train_codebooks(v, m=M, k=K, iters=2, dim=DIM)
+    rows = [
+        [(int(r["cid"]), [int(x) for x in r["cv"]]) for r in cb.collect()]
+        for cb in books
+    ]
+    legacy = PQ.encode(v, books, dim=DIM)
+    expr_form = PQ.encode_rows(v, rows, dim=DIM)
+    assert legacy.exceptAll(expr_form).count() == 0
+    assert expr_form.exceptAll(legacy).count() == 0
+    expr_repart = PQ.encode_rows(v.repartition(5), rows, dim=DIM)
+    assert legacy.exceptAll(expr_repart).count() == 0
+
+
+def test_adc_maps_match_join_form(spark, sf_small):
+    """adc_topk_multi_maps (per-probe lookup MAP, row-local M-term sum
+    over un-melted codes) must equal adc_topk_multi (melt + broadcast
+    equi-join + hash aggregate) — the r13 serving rewrite cannot change
+    a single served row, rank, or distance."""
+    v = _vectors(spark, sf_small)
+    books = PQ.train_codebooks(v, m=M, k=K, iters=2, dim=DIM)
+    codes = PQ.encode(v, books, dim=DIM)
+    probes = v.filter(F.col("vec_id") < 3)
+    tables = PQ.probe_tables_flat(
+        probes, PQ.codebook_table(books), m=M, dim=DIM
+    )
+    a = PQ.adc_topk_multi(codes, tables, m=M, k=TOPK)
+    b = PQ.adc_topk_multi_maps(
+        codes, PQ.probe_lookup_maps(tables), m=M, k=TOPK
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
