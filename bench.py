@@ -726,16 +726,27 @@ def main() -> None:
     full["quiet"] = not storm_residual
     if storm_residual:
         full["storm_residual"] = storm_residual
+    # ADVICE r13: coerce committed reference values defensively — a
+    # future BENCH_LOCAL.json schema change must not crash the bench at
+    # artifact-write time after all timing work is done
+    ref_num: dict[str, float] = {}
+    for n, v in ref_queries.items():
+        try:
+            fv = float(v)
+        except (TypeError, ValueError):
+            continue
+        if fv > 0:
+            ref_num[n] = fv
     recon = {
-        n: {"sec": t, "committed_sec": ref_queries[n],
-            "ratio": round(t / ref_queries[n], 2),
+        n: {"sec": t, "committed_sec": ref_num[n],
+            "ratio": round(t / ref_num[n], 2),
             "storm_flagged": bool(storm_residual.get(n))}
         for n, t in timings.items()
-        if ref_queries.get(n) and t > 2.0 * ref_queries[n]
+        if ref_num.get(n) and t > 2.0 * ref_num[n]
     }
-    if ref_queries:
+    if ref_num:
         full["reconciliation_vs_committed"] = {
-            "n_compared": sum(1 for n in timings if n in ref_queries),
+            "n_compared": sum(1 for n in timings if n in ref_num),
             "flagged_over_2x": recon,
         }
     # ADVICE r12: dispersion-backstop reruns extend run_times past the
@@ -778,10 +789,19 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
         json.dump(full, f, indent=1)
 
+    # r13 verdict #2: the full `cold` dict (30 entries by r13) starved
+    # the `queries` dict out of the 1800-char line — the driver's
+    # per-query round-over-round signal degraded to 29 of 127 entries.
+    # stdout now carries `cold_total` (+ count) with full cold detail in
+    # BENCH_LOCAL.json, so the budget goes to per-query warm timings
+    # (~60 entries fit; `value` still totals ALL queries).
     budget = 1800
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])
     while True:
         compact = dict(out)
+        compact.pop("cold", None)
+        compact["cold_total"] = round(sum(cold.values()), 3)
+        compact["n_cold"] = len(cold)
         compact["queries"] = dict(sorted(slowest))
         compact["n_queries_total"] = len(timings)
         compact["full_detail"] = "BENCH_LOCAL.json"

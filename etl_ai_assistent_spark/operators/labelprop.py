@@ -101,3 +101,78 @@ def label_propagation(
         )
         labels = winners.unionByName(isolated)
     return labels
+
+
+def label_propagation_fold(
+    edges: DataFrame, nodes: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """label_propagation for DIMENSION-BOUNDED graphs (node²-bounded
+    edge sets — the 25-nation trade graph): aggregate the graph to ONE
+    row of arrays and run every synchronous round as a row-local
+    integer expression fold, the pagerank_fold pattern (see
+    operators/pagerank.py for the why: each distributed round is 1-2
+    blocking AQE stage barriers of pure scheduling latency over
+    kilobytes; the fold replaces ~10 sequential barriers with ~4
+    regardless of round count — guide §8 / §2.4).
+
+    EXACTNESS vs label_propagation (pinned by
+    tests/test_pagerank_fold.py on random graphs):
+    - vote count for (v, L) = #incoming edges e (e.dst = v) whose src
+      label is L — the same count the distributed groupBy(node, label)
+      computes; counts are order-independent, so collect_list order
+      cannot affect values;
+    - winner(v) = min over incoming edges of the SAME packed bigint
+      (LP_MAXC − cnt)·LP_PACK + label (duplicate labels give duplicate
+      packed values; min over edges ≡ min over distinct labels) —
+      integer min commutes;
+    - a node with no incoming edges keeps its own id
+      (array_min(empty) = NULL → coalesce(v)), exactly the
+      winners ∪ isolated-initials rule — and CLOSED over `nodes` (the
+      r12 left-join semantics: output keys = nodes, never edge-only
+      dsts), which resolves the r13 ADVICE domain-contract note for
+      this form;
+    - votes whose src ∉ nodes are dropped (NULL label lookups never
+      equal anything and array_min skips NULL packed entries) — the
+      distributed form's inner vote join did the same;
+    - the label < 2^20 packed-domain guard is the same raise_error,
+      applied to every vote's label lookup.
+    """
+    es = edges.agg(
+        F.collect_list(
+            F.struct(
+                F.col("src").cast("bigint").alias("s"),
+                F.col("dst").cast("bigint").alias("d"),
+            )
+        ).alias("es")
+    )
+    ns = nodes.agg(
+        F.collect_list(F.col("node").cast("bigint")).alias("ns")
+    )
+    row = ns.join(F.broadcast(es))
+    row = row.withColumn(
+        "lb", F.expr("transform(ns, v -> v)")
+    )
+    guard = (
+        f"IF(element_at(lm, e.s) >= {LP_PACK}, CAST(raise_error("
+        "'label_propagation: node id >= 2^20 overflows the packed-bigint"
+        " argmax; re-id nodes densely first') AS BIGINT),"
+        " element_at(lm, e.s))"
+    )
+    cnt = (
+        "CAST(size(filter(es, e2 -> e2.d = v"
+        " AND element_at(lm, e2.s) = element_at(lm, e.s))) AS BIGINT)"
+    )
+    upd = (
+        "transform(ns, v -> coalesce("
+        " array_min(transform(filter(es, e -> e.d = v),"
+        f"  e -> (CAST({LP_MAXC} AS BIGINT) - {cnt}) * {LP_PACK} + {guard}))"
+        f" % {LP_PACK}, v))"
+    )
+    for _ in range(iterations):
+        row = row.withColumn("lm", F.expr("map_from_arrays(ns, lb)"))
+        row = row.withColumn("lb", F.expr(upd))
+    return row.select(
+        F.explode(F.arrays_zip("ns", "lb")).alias("z")
+    ).select(
+        F.col("z.ns").alias("node"), F.col("z.lb").alias("label")
+    )

@@ -79,3 +79,86 @@ def pagerank_int(
             )
         )
     return ranks.withColumnRenamed("r", "rank_ppb")
+
+
+def pagerank_fold(
+    edges: DataFrame, nodes: DataFrame, iterations: int = 5
+) -> DataFrame:
+    """pagerank_int for DIMENSION-BOUNDED graphs (node²-bounded edge
+    sets — the 25-nation trade graph stays ≤625 edges at ANY fact-table
+    scale): aggregate the graph to ONE row of arrays and run every
+    damped round as a row-local integer expression fold.
+
+    Why: the distributed round shape pays one shuffle + one-or-two
+    broadcast materializations per round — with AQE each is a blocking
+    stage barrier, so a 5-round loop over kilobytes of data costs
+    ~15 sequential stage launches of pure scheduling latency (measured
+    r13: q_pagerank_nations 3.0 s warm at BOTH 8 and 32 cores while the
+    warm run read only 56 KB — the substrate served; scheduling, not
+    data, was the wall). The fold form runs the whole recurrence in one
+    projection over one row: two single-row aggregates + one tiny join,
+    ~4 barriers total regardless of round count (guide §8: decide with
+    small rows; §2.4: remove shuffles outright).
+
+    EXACTNESS vs pagerank_int (pinned by tests/test_pagerank_fold.py on
+    random graphs): every operation is 64-bit integer arithmetic on the
+    same operands —
+    - n, base, r0 are the same integer expressions (n = size(ns));
+    - out_deg(v) = #edges with src = v, the same count;
+    - contrib(v) = Σ over edges e with e.dst = v of r[e.src] div
+      out_deg[e.src]: bigint sums commute, so any edge order (and any
+      collect_list order) gives the identical total — the distributed
+      groupBy(dst) computes exactly this sum;
+    - edges whose src ∉ nodes contributed nothing in pagerank_int (the
+      inner join with ranks dropped them); here element_at(rm, e.s)
+      is NULL for such src and the IF's NULL-guard contributes 0.
+    collect_list order therefore cannot affect any output value.
+
+    The input contract matches pagerank_int: (src, dst) distinct edges,
+    (node) vertex set; returns (node, rank_ppb). No driver action at
+    all (pagerank_int needs nodes.count(); here n lives in the plan)."""
+    es = edges.agg(
+        F.collect_list(
+            F.struct(
+                F.col("src").cast("bigint").alias("s"),
+                F.col("dst").cast("bigint").alias("d"),
+            )
+        ).alias("es")
+    )
+    ns = nodes.agg(
+        F.collect_list(F.col("node").cast("bigint")).alias("ns")
+    )
+    row = ns.join(F.broadcast(es))
+    # out-degree map over the node set; srcs outside `ns` resolve to
+    # NULL lookups below (≡ the inner-join drop in pagerank_int)
+    row = row.withColumn(
+        "dm",
+        F.expr(
+            "map_from_arrays(ns, transform(ns, v ->"
+            " CAST(size(filter(es, e -> e.s = v)) AS BIGINT)))"
+        ),
+    )
+    row = row.withColumn(
+        "rk",
+        F.expr(
+            f"transform(ns, v -> CAST({SCALE} AS BIGINT)"
+            " div CAST(size(ns) AS BIGINT))"
+        ),
+    )
+    upd = (
+        "transform(ns, v -> CAST("
+        f" (15 * CAST({SCALE} AS BIGINT)) div (100 * CAST(size(ns) AS BIGINT))"
+        f" + ({D_NUM} * aggregate(es, CAST(0 AS BIGINT), (acc, e) ->"
+        "     acc + IF(e.d = v AND element_at(rm, e.s) IS NOT NULL,"
+        "              element_at(rm, e.s) div element_at(dm, e.s),"
+        f"              CAST(0 AS BIGINT)))) div {D_DEN}"
+        " AS BIGINT))"
+    )
+    for _ in range(iterations):
+        row = row.withColumn("rm", F.expr("map_from_arrays(ns, rk)"))
+        row = row.withColumn("rk", F.expr(upd))
+    return row.select(
+        F.explode(F.arrays_zip("ns", "rk")).alias("z")
+    ).select(
+        F.col("z.ns").alias("node"), F.col("z.rk").alias("rank_ppb")
+    )

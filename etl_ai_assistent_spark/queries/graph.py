@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .. import io
-from ..operators.pagerank import SCALE, pagerank_int
+from ..operators.pagerank import SCALE, pagerank_fold
 from ..registry import register
 
 PR_ITERS = 5
@@ -71,10 +71,11 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     in nation src bought from a supplier in nation dst), 5 damped
     iterations in 64-bit ppb fixed point — bit-identical to the oracle's
     unrolled integer CTEs because every step is integer division and
-    integer sums (no float order sensitivity anywhere). Per iteration:
-    one edges⋈ranks equi-join (rank side broadcastable) + one
-    partial-agg'd groupBy(dst) — k bounded shuffles total, the Pregel
-    shape without a graph engine."""
+    integer sums (no float order sensitivity anywhere). The distributed
+    work is the 4-way fact-table edge derivation; the rank recurrence
+    itself runs row-locally over the node²-bounded edge set
+    (operators/pagerank.pagerank_fold — exactness argument and barrier
+    accounting there)."""
     li = io.load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = io.load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = io.load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -89,21 +90,21 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # pagerank_int scans edges twice per round — persist the 4-way
-    # fact-table derivation through the bounded per-sf substrate cache
-    # (the lpa_sym/kcore_edges convention) so each round reads memory.
-    # Cached PRE-PARTITIONED on src: the contribution join attaches
-    # ranks and out-degrees by src (both broadcastable — node-count
-    # sized), so with the cache hash-partitioned on src the per-round
-    # join chain runs in place and only the tiny post-partial-agg
-    # groupBy(dst) output crosses the wire (guide §2.4).
+    # The 4-way fact-table edge derivation persists through the bounded
+    # per-sf substrate cache (the lpa_sym/kcore_edges convention) so
+    # warm runs read the ≤625-row edge set from memory. r14: the rank
+    # recurrence itself runs as pagerank_fold — the edge set is
+    # node²-bounded (≤625 rows for 25 nations at ANY fact-table scale),
+    # and the r13 distributed rounds spent their whole warm wall on
+    # ~15 sequential AQE stage barriers (driver-measured 3.0 s at both
+    # 8 and 32 cores with only 56 KB read — the substrate served;
+    # scheduling was the cost). The r13 repartition("src") is gone with
+    # the per-round aggregations it existed for.
     from .clustering import cached_substrates
 
-    edges = cached_substrates(
-        "pr_edges", spark, sf_dir, lambda: edges_raw.repartition("src")
-    )
+    edges = cached_substrates("pr_edges", spark, sf_dir, lambda: edges_raw)
     nodes = nation.select(F.col("n_nationkey").alias("node"))
-    ranks = pagerank_int(edges, nodes, iterations=PR_ITERS)
+    ranks = pagerank_fold(edges, nodes, iterations=PR_ITERS)
     w_pos = F.row_number().over(Window.orderBy(F.desc("rank_ppb"), F.asc("n_name")))
     return (
         ranks.join(nation, ranks.node == nation.n_nationkey)
@@ -268,11 +269,13 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     round engine-exact, so the oracle unrolls the rounds as CTEs —
     the q_pagerank_nations verification pattern applied to LPA.
 
-    Scale: per round one edges⋈labels equi-join + one (node, label)
-    count + one packed min — k bounded shuffles, no collect, flat
-    lineage. On power-law graphs the (node, label) count partial-
-    aggregates map-side, so hub fan-in arrives pre-combined."""
-    from ..operators.labelprop import label_propagation
+    Scale: the distributed work is the 4-way fact-table edge
+    derivation; the vote rounds themselves run row-locally over the
+    node²-bounded symmetric edge set
+    (operators/labelprop.label_propagation_fold — exactness argument
+    there). The generic distributed operator (label_propagation) stays
+    for graphs whose edge set is NOT dimension-bounded."""
+    from ..operators.labelprop import label_propagation_fold
 
     li = io.load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = io.load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -298,24 +301,21 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym_raw = u.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         u.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    # every LPA round joins against sym — persist it (through the
-    # bounded per-sf cache, r11 verdict #2) or the 4-way fact-table
-    # edge derivation re-executes per round (the pagerank_int
-    # edges-persist rule)
+    # The 4-way fact-table edge derivation persists through the bounded
+    # per-sf substrate cache (r11 verdict #2) so warm runs read the
+    # ≤600-row symmetric edge set from memory. r14: the vote rounds run
+    # as label_propagation_fold (see operators/labelprop.py and the
+    # pagerank_fold rationale) — node²-bounded graph, so the whole
+    # recurrence is one row-local expression instead of ~10 sequential
+    # AQE stage barriers. The r13 repartition("dst") is gone with the
+    # per-round aggregations it existed for — it was also the named
+    # suspect in the r13 verdict's unresolved 32-core 16.9 s anomaly
+    # (adjudication in OPTIMIZATION_r14.md).
     from .clustering import cached_substrates
 
-    # cached PRE-PARTITIONED on dst, the per-round aggregation key:
-    # each LPA round broadcast-joins labels on src (partitioning-
-    # preserving) and then counts votes by (dst, label) / picks the
-    # packed min by dst — with the cache hash-partitioned on dst both
-    # aggregations are satisfied in place, so a round adds ZERO
-    # exchanges (guide §2.4: operations keyed the same way share one
-    # exchange, paid once at the substrate build)
-    sym = cached_substrates(
-        "lpa_sym", spark, sf_dir, lambda: sym_raw.repartition("dst")
-    )
+    sym = cached_substrates("lpa_sym", spark, sf_dir, lambda: sym_raw)
     nodes = nation.select(F.col("n_nationkey").alias("node"))
-    labels = label_propagation(sym, nodes, iterations=LP_ITERS)
+    labels = label_propagation_fold(sym, nodes, iterations=LP_ITERS)
     w = Window.partitionBy("label")
     return (
         labels.join(nation, labels.node == nation.n_nationkey)

@@ -19,7 +19,8 @@ from etl_ai_assistent_spark.registry import queries
 ALLOWED_CROSS = {
     "q_knn_join",  # brute-force query×corpus scoring (queries side is tiny)
     "q_histogram_quantiles",  # 3-quantile probe × 1000-bin histogram, both broadcast-tiny
-    "q_pagerank_nations",  # scalar-count subquery into the 25-node rank init
+    "q_pagerank_nations",  # 1-row edges-array x 1-row nodes-array fold join (r14)
+    "q_label_propagation",  # 1-row edges-array x 1-row nodes-array fold join (r14)
     "q_ann_topk",  # routes to q_knn_join's exact plan below exact_max_rows
     "q_ann_recall",  # embeds q_knn_join's exact side as the recall baseline
     "q_topk_cosine",  # single query vector vs corpus
