@@ -45,37 +45,61 @@ def subgraph_degrees(sym: DataFrame, alive: DataFrame) -> DataFrame:
     partial-agg'd count, then the src-endpoint restriction as a
     SEMI-JOIN on the AGGREGATED (node-count sized) output — same rows
     as filtering both endpoints before the count, but the second join
-    touches |nodes| rows instead of |edges| rows. The alive side only
-    shrinks — AQE broadcasts it long before the edge set would fit."""
+    touches |nodes| rows instead of |edges| rows.
+
+    r14: BOTH references to `alive` consume the SAME explicitly
+    broadcast subtree (`bt`). Measured at sf0.1: with the dst join
+    broadcast by AQE and the semi planned as sort-merge, the two
+    alive references did NOT share a runtime exchange — AQE
+    re-optimizes each query-stage subtree independently, the two
+    copies diverged (broadcast vs shuffle), and the ENTIRE R-round
+    pruning chain under `alive` executed twice (+24 AQE stages,
+    +1.3 s warm — the r13 ADVICE double-execution risk, observed).
+    One shared broadcast exchange canonicalizes identically at both
+    references, so the chain materializes once (guide §2.4)."""
     t = alive.select(F.col("node").alias("_t"))
+    bt = F.broadcast(t)
     deg = (
-        sym.join(t, F.col("dst") == F.col("_t"))
+        sym.join(bt, F.col("dst") == F.col("_t"))
         .groupBy(F.col("src").alias("node"))
         .agg(F.count("*").cast("bigint").alias("d"))
     )
-    return deg.join(alive.select("node"), "node", "left_semi")
+    return deg.join(bt, F.col("node") == F.col("_t"), "left_semi")
 
 
 def degree_prune(
     sym: DataFrame, nodes: DataFrame, k_df: DataFrame, iters: int
 ) -> DataFrame:
     """`iters` synchronous pruning rounds at threshold k (a 1-row
-    DataFrame with column `k`, broadcast into each round's filter so
-    no driver-side action materializes it). Returns the surviving
-    nodes with their final in-subgraph degree: (node, d). Rounds are
-    single-reference (see module docstring), so the plan grows
-    linearly with `iters` and nothing needs per-round persistence."""
-    alive = nodes.select("node")
+    DataFrame with column `k`, broadcast once onto the initial alive
+    set so no driver-side action materializes it). Returns the
+    surviving nodes with their final in-subgraph degree: (node, d).
+    Rounds are single-reference (see module docstring), so the plan
+    grows linearly with `iters` and nothing needs per-round
+    persistence.
+
+    r14: k THREADS THROUGH the alive rows instead of a per-round
+    crossJoin(k_df). The r13 form re-joined the 1-row k table in every
+    round; its own 14-stage subtree (two single-row counts over the
+    edge substrate + the join) was re-materialized per round under
+    AQE (measured: 47 AQE stages for 3 rounds at sf0.1). Attaching k
+    to alive_0 once and carrying it with min(k) — every group's k
+    values are copies of the same constant, so min(k) IS k — leaves
+    one k reference total and one broadcast stage per round: measured
+    2.37 → 1.05 s warm / 81 → 49 stages with bit-identical output.
+    The per-round degree aggregation itself stays exchange-free when
+    `sym` is cached hash-partitioned on src (the caller convention)."""
+    alive = nodes.select("node").crossJoin(F.broadcast(k_df))
     for _ in range(iters):
-        t = alive.select(F.col("node").alias("_t"))
+        t = alive.select(F.col("node").alias("_t"), "k")
+        bt = F.broadcast(t)
         deg = (
-            sym.join(t, F.col("dst") == F.col("_t"))
+            sym.join(bt, F.col("dst") == F.col("_t"))
             .groupBy(F.col("src").alias("node"))
-            .agg(F.count("*").cast("bigint").alias("d"))
+            .agg(
+                F.count("*").cast("bigint").alias("d"),
+                F.min("k").alias("k"),
+            )
         )
-        alive = (
-            deg.crossJoin(F.broadcast(k_df))
-            .filter(F.col("d") >= F.col("k"))
-            .select("node")
-        )
-    return subgraph_degrees(sym, alive)
+        alive = deg.filter(F.col("d") >= F.col("k")).select("node", "k")
+    return subgraph_degrees(sym, alive.select("node"))

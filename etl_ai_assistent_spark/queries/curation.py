@@ -295,7 +295,7 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = docs.groupBy("lang", "source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(F.size(TX.tokens(F.lower(F.col("text")))))
+        F.sum(TX.token_count(F.lower(F.col("text"))))
         .cast("bigint")
         .alias("n_tokens"),
     )
@@ -523,7 +523,7 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = docs.select(
         "doc_id",
         bucket.alias("bucket"),
-        F.size(TX.tokens(F.lower(F.col("text")))).alias("n_tokens"),
+        TX.token_count(F.lower(F.col("text"))).alias("n_tokens"),
     )
     w = (
         Window.partitionBy("bucket")
@@ -1042,7 +1042,7 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = docs.select(
         "doc_id",
         bucket.alias("bucket"),
-        F.size(TX.tokens(F.lower(F.col("text")))).alias("n_tokens"),
+        TX.token_count(F.lower(F.col("text"))).alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
     w = (
         Window.partitionBy("bucket")

@@ -160,7 +160,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reasons",
         bucket.alias("bucket"),
         F.when(
-            keep, F.size(TX.tokens(F.lower(F.col("text"))))
+            keep, TX.token_count(F.lower(F.col("text")))
         ).otherwise(0).alias("n_tokens"),
     )
     w = (

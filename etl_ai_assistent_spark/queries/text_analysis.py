@@ -59,7 +59,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp/size expressions inside whole-stage codegen; the scan reads
     only (doc_id, text)."""
     docs = io.load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.size(TX.tokens("text")).alias("ntk")
+        "doc_id", "text", TX.token_count("text").alias("ntk")
     )
     n_tok = F.col("ntk")
     return docs.select(
@@ -260,7 +260,7 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of small tuples; avg is rounded (order-sensitive sum) for
     cross-engine parity."""
     docs = io.load_table(spark, sf_dir, "documents")
-    n_tok = F.size(TX.tokens("text"))
+    n_tok = TX.token_count("text")
     return (
         docs.select(
             "lang",
@@ -541,7 +541,7 @@ def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs that tokenize non-empty equals countDistinct(doc_id) over tok
     # (the oracle's formulation) at |docs| cost
     n = (
-        docs.filter(F.size(TX.tokens(F.lower(F.col("text")))) > 0)
+        docs.filter(TX.token_count(F.lower(F.col("text"))) > 0)
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
     bits = (

@@ -445,7 +445,7 @@ def q_vectorize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = lines.select(
         F.md5("line").alias("point_id"),
         F.lit("hash-64").alias("model"),
-        F.size(TX.tokens("line")).cast("bigint").alias("n_tokens"),
+        TX.token_count("line").cast("bigint").alias("n_tokens"),
         hash_embed_expr("line", 64).alias("embedding"),
     )
     return recs.select(

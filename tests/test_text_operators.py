@@ -370,3 +370,37 @@ def test_vocab_ranking_is_a_bounded_sort(spark, sf_small):
     df = q_vocab_encode(spark, sf_small)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan, plan
+
+
+def test_token_count_matches_size_of_tokens(spark):
+    """token_count (regexp_count form, r14) must equal
+    size(tokens(text)) for every input shape: empty, whitespace-only,
+    tabs/newlines/CR/FF runs, leading/trailing separators, single
+    token, unicode text, and NULL."""
+    from pyspark.sql import functions as F
+
+    from etl_ai_assistent_spark.functions import text as TX
+
+    rows = [
+        ("",),
+        ("   ",),
+        ("\t\n\r\f",),
+        ("one",),
+        (" one ",),
+        ("a b",),
+        ("a  b\t\tc\nd",),
+        ("  lead and trail  ",),
+        ("x\ny\rz\fw\x0bv",),
+        ("héllo wörld  ünï",),
+        ("a" * 5000 + " " + "b" * 5000,),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    bad = df.select(
+        F.size(TX.tokens("text")).alias("a"),
+        TX.token_count("text").alias("b"),
+        "text",
+    ).filter(
+        "(a IS NULL) <> (b IS NULL) OR (a IS NOT NULL AND a <> b)"
+    )
+    assert bad.count() == 0, bad.collect()
