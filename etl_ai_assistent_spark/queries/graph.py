@@ -17,6 +17,48 @@ from ..registry import register
 
 PR_ITERS = 5
 
+
+def _trade_dir_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct directed nation trade edge set (src = customer
+    nation, dst = supplier nation), as THE shared graph substrate:
+    q_pagerank_nations, q_label_propagation, and q_triangle_count all
+    start from this IDENTICAL 4-way fact-table projection + distinct.
+    r14 (guide §2.4/§6 build-once-serve-many): before, each query's own
+    substrate re-ran the lineitem⋈orders⋈customer⋈supplier pass on its
+    first call (~2-3 s each at sf0.1, 3× per fresh process, recorded
+    under bench cold); now the fact-table pass is paid ONCE and the
+    per-query substrates (lpa_sym, tri_edges) derive from these ≤625
+    cached rows. Value-identical by construction — the three queries'
+    edge CTEs in their oracles are textually the same derivation."""
+    li = io.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = io.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = io.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = io.load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    edges_raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .distinct()
+    )
+    from .clustering import cached_substrates
+
+    return cached_substrates(
+        "trade_dir_edges", spark, sf_dir, lambda: edges_raw
+    )
+
+
 _PR_EDGES = """
 edges AS (
   SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
@@ -76,33 +118,18 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself runs row-locally over the node²-bounded edge set
     (operators/pagerank.pagerank_fold — exactness argument and barrier
     accounting there)."""
-    li = io.load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = io.load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = io.load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = io.load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = io.load_table(spark, sf_dir, "nation")
-    edges_raw = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .select(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .distinct()
-    )
-    # The 4-way fact-table edge derivation persists through the bounded
-    # per-sf substrate cache (the lpa_sym/kcore_edges convention) so
-    # warm runs read the ≤625-row edge set from memory. r14: the rank
-    # recurrence itself runs as pagerank_fold — the edge set is
-    # node²-bounded (≤625 rows for 25 nations at ANY fact-table scale),
-    # and the r13 distributed rounds spent their whole warm wall on
-    # ~15 sequential AQE stage barriers (driver-measured 3.0 s at both
-    # 8 and 32 cores with only 56 KB read — the substrate served;
-    # scheduling was the cost). The r13 repartition("src") is gone with
-    # the per-round aggregations it existed for.
-    from .clustering import cached_substrates
-
-    edges = cached_substrates("pr_edges", spark, sf_dir, lambda: edges_raw)
+    # The 4-way fact-table edge derivation is the SHARED cached
+    # substrate (_trade_dir_edges — one fact pass per process across
+    # the three nation-graph queries). r14: the rank recurrence itself
+    # runs as pagerank_fold — the edge set is node²-bounded (≤625 rows
+    # for 25 nations at ANY fact-table scale), and the r13 distributed
+    # rounds spent their whole warm wall on ~15 sequential AQE stage
+    # barriers (driver-measured 3.0 s at both 8 and 32 cores with only
+    # 56 KB read — the substrate served; scheduling was the cost). The
+    # r13 repartition("src") is gone with the per-round aggregations
+    # it existed for.
+    edges = _trade_dir_edges(spark, sf_dir)
     nodes = nation.select(F.col("n_nationkey").alias("node"))
     ranks = pagerank_fold(edges, nodes, iterations=PR_ITERS)
     w_pos = F.row_number().over(Window.orderBy(F.desc("rank_ppb"), F.asc("n_name")))
@@ -158,28 +185,20 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph). The per-node counts are
     orientation-invariant, so the id-ordered DuckDB oracle still
     verifies values exactly."""
-    c = io.load_table(spark, sf_dir, "customer")
-    o = io.load_table(spark, sf_dir, "orders")
-    li = io.load_table(spark, sf_dir, "lineitem")
-    s = io.load_table(spark, sf_dir, "supplier")
-    dir_edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .select(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .distinct()
-    )
+    # r14: the 4-way fact-table derivation comes from the SHARED cached
+    # substrate (_trade_dir_edges) — one fact pass per process across
+    # the three nation-graph queries; u/oriented below derive from its
+    # ≤625 cached rows.
+    dir_edges = _trade_dir_edges(spark, sf_dir)
     from ..operators import triangles as TR
 
     # u feeds the degree aggregate, both wedge sides, and the
-    # closing-edge check; persisting it computes the 4-way fact-table
-    # edge derivation ONCE instead of once per alias. The edge set
-    # itself is node²-bounded (≤300 rows for 25 nations) — trivially
-    # cacheable at any fact-table scale. Both persists ride the
-    # bounded per-sf cache (r11 verdict #2: bare per-call persists
-    # leaked two pinned entries per bench run).
+    # closing-edge check; persisting it computes the derivation ONCE
+    # instead of once per alias. The edge set itself is node²-bounded
+    # (≤300 rows for 25 nations) — trivially cacheable at any
+    # fact-table scale. Both persists ride the bounded per-sf cache
+    # (r11 verdict #2: bare per-call persists leaked two pinned
+    # entries per bench run).
     from .clustering import cached_substrates
 
     def _build():
@@ -277,20 +296,12 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for graphs whose edge set is NOT dimension-bounded."""
     from ..operators.labelprop import label_propagation_fold
 
-    li = io.load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = io.load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = io.load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = io.load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = io.load_table(spark, sf_dir, "nation")
-    dir_edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .select(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .distinct()
-    )
+    # r14: the 4-way fact-table derivation comes from the SHARED cached
+    # substrate (_trade_dir_edges); u/sym derive from its ≤625 cached
+    # rows, so only the first nation-graph query in a process pays the
+    # fact pass.
+    dir_edges = _trade_dir_edges(spark, sf_dir)
     u = (
         dir_edges.filter(F.col("src") != F.col("dst"))
         .select(

@@ -931,19 +931,32 @@ def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_r = Window.partitionBy("probe_id").orderBy(
         F.desc("score"), F.asc("item_id")
     )
+    # r14 (guide §2.4/§1.2): the per-point candidate sets NEST — point
+    # np's candidates are exactly the rows of the max-nprobe set whose
+    # cluster rank ≤ np (crk is unique per (probe, label), so carrying
+    # it through the join preserves the per-point membership test).
+    # Score the max-nprobe set ONCE and filter per point: the r13 form
+    # re-joined and re-scored the corpus per sweep point (3 corpus-side
+    # joins + 3 cosine passes); this computes one. Per-point top-k
+    # windows are unchanged, so ranks, hits, and recall are identical.
+    pl_all = crank.filter(F.col("rk") <= max(NPROBE_SWEEP)).select(
+        "probe_id", "label", F.col("rk").alias("crk")
+    )
+    cand_all = (
+        emb.join(pl_all, "label")
+        .join(F.broadcast(probes), "probe_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("item_id"),
+            F.round(V.cosine("embedding", "pv"), 6).alias("score"),
+            "crk",
+        )
+        .persist()  # feeds every sweep point, like crank/exact above
+    )
     rows = []
     for np_ in NPROBE_SWEEP:
-        pl = crank.filter(F.col("rk") <= np_).select("probe_id", "label")
-        cand = (
-            emb.join(pl, "label")
-            .join(F.broadcast(probes), "probe_id")
-            .filter(F.col("vec_id") != F.col("probe_id"))
-            .select(
-                "probe_id",
-                F.col("vec_id").alias("item_id"),
-                F.round(V.cosine("embedding", "pv"), 6).alias("score"),
-            )
-        )
+        cand = cand_all.filter(F.col("crk") <= np_)
         topk = (
             cand.withColumn("rk", F.row_number().over(w_r))
             .filter(F.col("rk") <= KNN_K)
