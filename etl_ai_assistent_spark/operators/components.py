@@ -42,7 +42,18 @@ def connected_components(
     even though execution was deduplicated. The convergence collect
     materializes the round's storage-backed checkpoint, so the next
     round (and the final result) read cached blocks; nothing stays
-    pinned after the caller drops the result."""
+    pinned after the caller drops the result.
+
+    NO-RETENTION CONTRACT (r13 ADVICE, pinned by
+    tests/test_pagerank_fold.py::test_connected_components_no_retention):
+    fully consume (collect/write) this result BEFORE calling
+    connected_components again in the same process. The next call's
+    begin() evicts prior-generation checkpoint blocks — localCheckpoint
+    removes the recompute path, so RE-EXECUTING a retained result (or a
+    DataFrame derived from it) after a later call either serves
+    still-cached blocks or fails LOUDLY with a missing-checkpoint-block
+    error; it can never return silently wrong rows. Callers that need a
+    result to outlive later calls must materialize it first."""
     begin(pairs.sparkSession)
     edges = barrier(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))

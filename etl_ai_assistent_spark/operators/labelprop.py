@@ -43,7 +43,14 @@ def label_propagation(
 ) -> DataFrame:
     """edges: (src, dst) DIRECTED rows of an undirected graph (both
     orientations present, no self-loops); nodes: (node). Returns
-    (node, label) after `iterations` synchronous rounds."""
+    (node, label) after `iterations` synchronous rounds.
+
+    PRECONDITION (r13 ADVICE): edge endpoints ⊆ nodes. The r13
+    winners ∪ isolated round form keys winners by edge dst, so a dst
+    outside `nodes` would appear in the output and an edge src outside
+    `nodes` would silently lose its vote — the nation-graph caller
+    satisfies closure by construction (FK endpoints), and
+    label_propagation_fold below is closed over `nodes` by shape."""
     # Packed-bigint domain guards, enforced IN the plan (raise_error,
     # no extra driver action): a label >= LP_PACK or a vote count
     # >= LP_MAXC would silently truncate through `p % LP_PACK` —

@@ -292,3 +292,52 @@ def test_adc_maps_match_join_form(spark, sf_small):
     )
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_driver_built_probe_maps_match_executor_path(spark, sf_small):
+    """r13 ADVICE: q_pq_multiquery_topk's driver-side probe path
+    (_probe_vectors DuckDB read + adc_table_rows + the ADC_KEY_SPAN map
+    fold) was only pinned component-wise. End-to-end pin: for the REAL
+    serving batch (vec_id < NQ_PQ, the store's trained codebooks), the
+    driver-built (query_id, tbl) map rows must equal
+    probe_lookup_maps(probe_tables_flat(batch)) — the executor path the
+    streaming serve loop uses."""
+    from etl_ai_assistent_spark.queries.clustering import (
+        DIM,
+        M_SUB,
+        NQ_PQ,
+        _literal_codebooks,
+        _pq_index,
+        _probe_vectors,
+    )
+
+    _, cb_rows, _, _, _ = _pq_index(spark, sf_small)
+    # driver path (exactly q_pq_multiquery_topk's build)
+    entries = []
+    for vid, qv in _probe_vectors(sf_small, NQ_PQ):
+        tabs = PQ.adc_table_rows(qv, cb_rows)
+        tbl = {
+            i * PQ.ADC_KEY_SPAN + int(cid): int(d)
+            for i, t in enumerate(tabs)
+            for cid, d in t.items()
+        }
+        entries.append((vid, tbl))
+    driver_rows = {
+        vid: dict(sorted(tbl.items())) for vid, tbl in entries
+    }
+    # executor path (the streaming serve loop's per-trigger build)
+    batch = (
+        io.load_table(spark, sf_small, "embeddings")
+        .filter(F.col("vec_id") < NQ_PQ)
+        .select("vec_id", KM.quantize("embedding").alias("qv"))
+    )
+    cb_table = PQ.codebook_table(_literal_codebooks(spark, cb_rows))
+    exec_maps = PQ.probe_lookup_maps(
+        PQ.probe_tables_flat(batch, cb_table, m=M_SUB, dim=DIM)
+    )
+    exec_rows = {
+        r["query_id"]: dict(sorted(r["tbl"].items()))
+        for r in exec_maps.collect()
+    }
+    assert set(exec_rows) == set(driver_rows)
+    assert exec_rows == driver_rows
